@@ -1,0 +1,611 @@
+"""Driver-contract queries, part 2: similarity join chain, top-k/windows,
+dedup suite, ANN search, text analysis, streaming — plus the merged REGISTRY.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark import driver_queries as core
+from pyp_etl_pipeline_spark.functions import scoring
+from pyp_etl_pipeline_spark.operators import dedup, similarity, textan, windows
+from pyp_etl_pipeline_spark.operators.similarity import _hyperplanes
+from pyp_etl_pipeline_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# J2-J7: the blocked similarity join chain (token_set scorer + penalties)
+# --------------------------------------------------------------------------
+
+def _fuzzy_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared chain: queries = part names minus first token (every 10th part,
+    every 4th of those prefixed 'organic ' to fire the dietary penalty);
+    candidates = token-blocked part names; token_set scoring + disagreement
+    + penalties; deterministic rank."""
+    part = load_table(spark, sf, "part")
+    q0 = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("qk"),
+        F.array_join(F.slice(F.split("p_name", " "), 2, 100), " ").alias("qname0"),
+    )
+    q = q0.select(
+        "qk",
+        F.when(F.col("qk") % 40 == 0, F.concat(F.lit("organic "), F.col("qname0")))
+        .otherwise(F.col("qname0"))
+        .alias("qname"),
+    )
+    qt = q.select("qk", "qname", scoring.tokens("qname").alias("qtok"))
+    dt = part.select(F.col("p_partkey").alias("ck"), F.col("p_name").alias("cname")).withColumn(
+        "ctok", scoring.tokens("cname")
+    )
+    qx = qt.select("qk", F.explode("qtok").alias("tok"))
+    dx = dt.select("ck", F.explode("ctok").alias("tok"))
+    pr = qx.join(dx, "tok").select("qk", "ck").distinct()
+    pairs = pr.join(qt, "qk").join(dt, "ck")
+
+    raw = scoring.token_set_ratio("qname", "cname")
+    r_plain = scoring.ratio(F.lower(F.trim(F.col("qname"))), F.lower(F.trim(F.col("cname"))))
+    r_part = scoring.containment_ratio("qname", "cname")
+    scored = pairs.withColumn("raw_score", raw).withColumn(
+        "disg", scoring.algorithm_disagreement_penalty(F.col("raw_score"), r_plain, r_part)
+    )
+    adj = scored.withColumn(
+        "adjusted",
+        scoring.apply_match_penalties(F.col("raw_score") - F.col("disg"), F.col("qname"), F.col("cname")),
+    )
+    w = Window.partitionBy("qk").orderBy(F.desc("adjusted"), F.asc("cname"), F.asc("ck"))
+    return adj.withColumn("rnk", F.row_number().over(w))
+
+
+def _fuzzy_cte() -> str:
+    """The DuckDB twin of _fuzzy_ranked, as a WITH-clause prefix."""
+    ratio_s0s1 = core.sql_ratio("s0", "s1")
+    ratio_s0s2 = core.sql_ratio("s0", "s2")
+    ratio_s1s2 = core.sql_ratio("s1", "s2")
+    r_plain = core.sql_ratio("lower(trim(qname))", "lower(trim(cname))")
+    r_part = core.sql_containment_ratio("qname", "cname")
+    penalties = core.sql_penalties("(raw_score - disg)", "qname", "cname")
+    return f"""
+WITH q0 AS (
+  SELECT p_partkey AS qk, array_to_string(string_split(p_name, ' ')[2:], ' ') AS qname0
+  FROM part WHERE p_partkey % 10 = 0
+),
+q AS (SELECT qk, CASE WHEN qk % 40 = 0 THEN 'organic ' || qname0 ELSE qname0 END AS qname FROM q0),
+qt AS (SELECT qk, qname, {core.sql_tokens("qname")} AS qtok FROM q),
+dt AS (SELECT p_partkey AS ck, p_name AS cname, {core.sql_tokens("p_name")} AS ctok FROM part),
+qx AS (SELECT qk, unnest(qtok) AS tok FROM qt),
+dx AS (SELECT ck, unnest(ctok) AS tok FROM dt),
+pr AS (SELECT DISTINCT qk, ck FROM qx JOIN dx USING (tok)),
+pairs AS (SELECT pr.qk, qt.qname, qt.qtok, pr.ck, dt.cname, dt.ctok FROM pr JOIN qt USING (qk) JOIN dt USING (ck)),
+tsr AS (
+  SELECT *,
+    coalesce(array_to_string(list_sort(list_intersect(qtok, ctok)), ' '), '') AS s_int,
+    coalesce(array_to_string(list_filter(qtok, w -> NOT list_contains(ctok, w)), ' '), '') AS rest_a,
+    coalesce(array_to_string(list_filter(ctok, w -> NOT list_contains(qtok, w)), ' '), '') AS rest_b
+  FROM pairs
+),
+glued AS (
+  SELECT *, s_int AS s0,
+    CASE WHEN length(rest_a) = 0 THEN s_int WHEN length(s_int) = 0 THEN rest_a ELSE s_int || ' ' || rest_a END AS s1,
+    CASE WHEN length(rest_b) = 0 THEN s_int WHEN length(s_int) = 0 THEN rest_b ELSE s_int || ' ' || rest_b END AS s2
+  FROM tsr
+),
+scored0 AS (
+  SELECT *, greatest({ratio_s0s1}, {ratio_s0s2}, {ratio_s1s2}) AS raw_score,
+         {r_plain} AS r_plain, {r_part} AS r_part
+  FROM glued
+),
+scored1 AS (
+  SELECT *, CASE WHEN greatest(raw_score, r_plain, r_part) - least(raw_score, r_plain, r_part) > {core.S.ALGORITHM_DISAGREEMENT_THRESHOLD}
+                 THEN CAST({core.S.ALGORITHM_DISAGREEMENT_PENALTY} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS disg
+  FROM scored0
+),
+adj AS (SELECT *, {penalties} AS adjusted FROM scored1),
+ranked AS (
+  SELECT qk, ck, cname, raw_score, disg, adjusted,
+         row_number() OVER (PARTITION BY qk ORDER BY adjusted DESC, cname ASC, ck ASC) AS rnk
+  FROM adj
+)
+"""
+
+
+def j02_fuzzy_topk(spark: SparkSession, sf: str) -> DataFrame:
+    r = _fuzzy_ranked(spark, sf)
+    return r.filter(F.col("rnk") <= 5).select(
+        F.col("qk").alias("query_key"),
+        F.col("ck").alias("cand_key"),
+        F.col("cname").alias("cand_name"),
+        F.col("rnk").cast("long").alias("match_rank"),
+        F.round("adjusted", 4).alias("score"),
+    )
+
+
+J02_SQL = (
+    _fuzzy_cte()
+    + """
+SELECT qk AS query_key, ck AS cand_key, cname AS cand_name, rnk AS match_rank, round(adjusted, 4) AS score
+FROM ranked WHERE rnk <= 5
+"""
+)
+
+
+def j04_penalty_bands(spark: SparkSession, sf: str) -> DataFrame:
+    r = _fuzzy_ranked(spark, sf)
+    return r.filter((F.col("qk") % 50 == 0) & (F.col("rnk") <= 10)).select(
+        F.col("qk").alias("query_key"),
+        F.col("ck").alias("cand_key"),
+        F.round("raw_score", 4).alias("raw_score"),
+        F.round("disg", 1).alias("disagreement_penalty"),
+        F.round("adjusted", 4).alias("adjusted_score"),
+        scoring.band("adjusted").alias("band"),
+    )
+
+
+J04_SQL = (
+    _fuzzy_cte()
+    + f"""
+SELECT qk AS query_key, ck AS cand_key, round(raw_score, 4) AS raw_score,
+       round(disg, 1) AS disagreement_penalty, round(adjusted, 4) AS adjusted_score,
+       {core.sql_band("adjusted")} AS band
+FROM ranked WHERE qk % 50 = 0 AND rnk <= 10
+"""
+)
+
+
+def j07_alternatives(spark: SparkSession, sf: str) -> DataFrame:
+    r = _fuzzy_ranked(spark, sf)
+    return r.filter((F.col("rnk") >= 2) & (F.col("rnk") <= 4) & (F.col("adjusted") >= 50.0)).select(
+        F.col("qk").alias("query_key"),
+        F.col("rnk").cast("long").alias("alt_rank"),
+        F.col("ck").alias("cand_key"),
+        F.round("adjusted", 4).alias("score"),
+    )
+
+
+J07_SQL = (
+    _fuzzy_cte()
+    + """
+SELECT qk AS query_key, rnk AS alt_rank, ck AS cand_key, round(adjusted, 4) AS score
+FROM ranked WHERE rnk BETWEEN 2 AND 4 AND adjusted >= 50.0
+"""
+)
+
+
+def a01_band_summary(spark: SparkSession, sf: str) -> DataFrame:
+    r = _fuzzy_ranked(spark, sf)
+    return (
+        r.filter(F.col("rnk") == 1)
+        .select(scoring.band("adjusted").alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+A01_SQL = (
+    _fuzzy_cte()
+    + f"""
+SELECT {core.sql_band("adjusted")} AS band, count(*) AS n_items
+FROM ranked WHERE rnk = 1 GROUP BY 1
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# O: top-k / latest per group
+# --------------------------------------------------------------------------
+
+def o01_topk_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("order_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("order_rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "order_rank")
+    )
+
+
+O01_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, order_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS order_rank
+  FROM orders
+) WHERE order_rank <= 3
+"""
+
+
+def o04_latest_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+O04_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# W: event-time windows
+# --------------------------------------------------------------------------
+
+def w01_tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.tumbling_agg(load_table(spark, sf, "events"))
+
+
+W01_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def w02_sliding_1h_15m(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.sliding_agg(load_table(spark, sf, "events"))
+
+
+W02_SQL = """
+SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 - k * 900 AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events, generate_series(0, 3) t(k)
+GROUP BY 1, 2
+"""
+
+
+def w03_sessionize_30m(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.sessionize(load_table(spark, sf, "events"))
+
+
+W03_SQL = """
+WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+     l AS (SELECT *, ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap FROM e),
+     s AS (SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM l)
+SELECT user_id, session_seq, min(ep) AS session_start, max(ep) AS session_end,
+       count(*) AS n_events, max(ep) - min(ep) AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# DD: dedup suite
+# --------------------------------------------------------------------------
+
+def dd01_exact_dup_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    fps = d.select(dedup.fingerprint("text").alias("fp"))
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("dup_count"))
+        .groupBy("dup_count")
+        .agg(F.count("*").alias("n_fingerprints"))
+    )
+
+
+DD01_SQL = f"""
+WITH fp AS (SELECT md5({core.sql_normalized_text("text")}) AS f, count(*) AS c FROM documents GROUP BY 1)
+SELECT c AS dup_count, count(*) AS n_fingerprints FROM fp GROUP BY 1
+"""
+
+
+def dd02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.shingle_pairs_jaccard(load_table(spark, sf, "documents"), threshold=0.5)
+
+
+_SHINGLE_CTE = f"""
+WITH t AS (SELECT doc_id, string_split({core.sql_normalized_text("text")}, ' ') AS toks FROM documents),
+     s AS (SELECT doc_id, {core.sql_shingles("toks")} AS sh FROM t)
+"""
+
+DD02_SQL = (
+    _SHINGLE_CTE
+    + """,
+e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS shared
+  FROM e a JOIN e b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(shared / (n_a + n_b - shared), 6) AS jaccard
+FROM p WHERE shared / (n_a + n_b - shared) >= 0.5
+"""
+)
+
+
+def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), threshold=0.5)
+
+
+DD03_SQL = (
+    _SHINGLE_CTE
+    + """,
+hx AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+hh AS (SELECT doc_id, md5(shingle) AS h, substring(md5(shingle), 1, 1) AS band FROM hx),
+sig AS (SELECT doc_id, band, min(h) AS minhash FROM hh GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS shared, len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(shared / (na + nb - shared), 6) AS jaccard
+FROM ver WHERE shared / (na + nb - shared) >= 0.5
+"""
+)
+
+
+def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (Pandas-UDF fingerprints; no SQL oracle —
+    golden-tested in pytest instead)."""
+    return dedup.simhash_pairs(load_table(spark, sf, "documents"), max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# ANN: embedding similarity search
+# --------------------------------------------------------------------------
+
+def ann01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("match_rank"), "cosine")
+
+
+ANN01_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+     scored AS (
+       SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+              list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos
+       FROM q, embeddings e WHERE e.vec_id <> q.qid
+     )
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS match_rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY match_rank <= 5
+"""
+
+
+def ann02_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("match_rank"), "cosine")
+
+
+def _ann02_sql() -> str:
+    planes = _hyperplanes(64, 4)
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+    bucket = "(" + " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(planes)
+    ) + ")"
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id % 100 = 0),
+     scored AS (
+       SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+              list_cosine_similarity(qv, b.v) AS cos
+       FROM q JOIN bucketed b USING (bucket) WHERE b.vec_id <> q.qid
+     )
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS match_rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY match_rank <= 5
+"""
+
+
+ANN02_SQL = _ann02_sql()
+
+
+def nd01_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.25, exact=True)
+
+
+ND01_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.25
+"""
+
+
+# --------------------------------------------------------------------------
+# TX: text analysis
+# --------------------------------------------------------------------------
+
+def tx01_quality_features(spark: SparkSession, sf: str) -> DataFrame:
+    return textan.quality_features(load_table(spark, sf, "documents"))
+
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+_STOPS = "[" + ", ".join(f"'{s}'" for s in textan.ENGLISH_STOPWORDS) + "]"
+TX01_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    round(CASE WHEN length(text) = 0 THEN 0.0
+          ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text) END, 6) AS punct_ratio,
+    round(CASE WHEN len({_TOKS}) = 0 THEN 0.0
+          ELSE len(list_filter(list_transform({_TOKS}, w -> lower(w)), w -> list_contains({_STOPS}, w))) / len({_TOKS}) END, 6) AS stopword_ratio,
+    round(CASE WHEN len({_TOKS}) = 0 THEN 0.0
+          ELSE list_sum(list_transform({_TOKS}, w -> length(w))) / len({_TOKS}) END, 6) AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+  round(
+    (CASE WHEN n_tokens >= 20 THEN CAST(0.4 AS DOUBLE) ELSE n_tokens / CAST(50.0 AS DOUBLE) END)
+    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+    + least(stopword_ratio * 3.0, 1.0) * 0.3, 6) AS quality_score
+FROM feats
+"""
+
+
+def tx02_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textan.token_count("text").cast("long").alias("n_ws_tokens"),
+        textan.bpeish_token_count("text").cast("long").alias("n_bpeish_tokens"),
+    )
+
+
+TX02_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{textan.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpeish_tokens
+FROM documents
+"""
+
+
+def tx03_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    return textan.language_scores(load_table(spark, sf, "documents"))
+
+
+def _tx03_sql() -> str:
+    toks_lower = f"list_transform({_TOKS}, w -> lower(w))"
+    hits = []
+    for lang, markers in textan.LANGUAGE_MARKERS.items():
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        hits.append(f"CAST(len(list_filter({toks_lower}, w -> list_contains({arr}, w))) AS INTEGER) AS hits_{lang}")
+    langs = list(textan.LANGUAGE_MARKERS)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    guess = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)}, {guess} AS lang_guess FROM h
+"""
+
+
+TX03_SQL = _tx03_sql()
+
+
+def tx04_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return textan.document_fingerprints(load_table(spark, sf, "documents"))
+
+
+TX04_SQL = f"""
+WITH n AS (SELECT doc_id, string_split({core.sql_normalized_text("text")}, ' ') AS toks,
+                  {core.sql_normalized_text("text")} AS nt
+           FROM documents)
+SELECT doc_id, md5(nt) AS content_fp, md5(array_to_string(toks[1:5], ' ')) AS prefix_fp
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# ST: structured streaming (batch-equivalent oracle)
+# --------------------------------------------------------------------------
+
+def st01_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming tumbling agg driven to completion over the static events
+    parquet; one batch -> identical to the batch tumbling query."""
+    from pyp_etl_pipeline_spark.streaming.events import read_events_stream, streaming_tumbling_agg  # noqa: PLC0415
+
+    name = "st01_out_" + uuid.uuid4().hex[:8]
+    stream = read_events_stream(spark, sf)
+    agg = streaming_tumbling_agg(stream)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+ST01_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # core / TPC-H-ish
+    "flagship_band_rollup": (core.flagship_band_rollup, core.FLAGSHIP_SQL),
+    "q01_pricing_summary": (core.q01_pricing_summary, core.Q01_SQL),
+    "q02_top_revenue_orders": (core.q02_top_revenue_orders, core.Q02_SQL),
+    "q03_region_revenue": (core.q03_region_revenue, core.Q03_SQL),
+    "q04_mktsegment_summary": (core.q04_mktsegment_summary, core.Q04_SQL),
+    # F/T
+    "f01_sentinel_nulls": (core.f01_sentinel_nulls, core.F01_SQL),
+    "f02_row_validation": (core.f02_row_validation, core.F02_SQL),
+    "t01_sanitize_collapse": (core.t01_sanitize_collapse, core.T01_SQL),
+    "t02_variant_normalize": (core.t02_variant_normalize, core.T02_SQL),
+    "t05_capital_case": (core.t05_capital_case, None),
+    # E/U
+    "e01_explode_multivalue": (core.e01_explode_multivalue, core.E01_SQL),
+    "e02_explode_dedup": (core.e02_explode_dedup, core.E02_SQL),
+    "u01_union_kinds": (core.u01_union_kinds, core.U01_SQL),
+    # J
+    "j01_exact_resolution": (core.j01_exact_resolution, core.J01_SQL),
+    "j02_fuzzy_topk": (j02_fuzzy_topk, J02_SQL),
+    "j04_penalty_bands": (j04_penalty_bands, J04_SQL),
+    "j07_alternatives": (j07_alternatives, J07_SQL),
+    "j08_semantic_guard": (core.j08_semantic_guard, core.J08_SQL),
+    "j09_merge_actions": (core.j09_merge_actions, core.J09_SQL),
+    "j10_dim_lookup_or_create": (core.j10_dim_lookup_or_create, core.J10_SQL),
+    "j11_offerings_derivation": (core.j11_offerings_derivation, core.J11_SQL),
+    "j12_canonical_backfill": (core.j12_canonical_backfill, core.J12_SQL),
+    # A/O
+    "a01_band_summary": (a01_band_summary, A01_SQL),
+    "a02_member_rollup": (core.a02_member_rollup, core.A02_SQL),
+    "o01_topk_orders_per_customer": (o01_topk_orders_per_customer, O01_SQL),
+    "o04_latest_order_per_customer": (o04_latest_order_per_customer, O04_SQL),
+    # W
+    "w01_tumbling_hourly": (w01_tumbling_hourly, W01_SQL),
+    "w02_sliding_1h_15m": (w02_sliding_1h_15m, W02_SQL),
+    "w03_sessionize_30m": (w03_sessionize_30m, W03_SQL),
+    # DD
+    "dd01_exact_dup_histogram": (dd01_exact_dup_histogram, DD01_SQL),
+    "dd02_ngram_jaccard_pairs": (dd02_ngram_jaccard_pairs, DD02_SQL),
+    "dd03_minhash_lsh_pairs": (dd03_minhash_lsh_pairs, DD03_SQL),
+    "sh01_simhash_pairs": (sh01_simhash_pairs, None),
+    # ANN
+    "ann01_cosine_topk": (ann01_cosine_topk, ANN01_SQL),
+    "ann02_lsh_topk": (ann02_lsh_topk, ANN02_SQL),
+    "nd01_embed_neardup": (nd01_embed_neardup, ND01_SQL),
+    # TX
+    "tx01_quality_features": (tx01_quality_features, TX01_SQL),
+    "tx02_token_counts": (tx02_token_counts, TX02_SQL),
+    "tx03_language_id": (tx03_language_id, TX03_SQL),
+    "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
+    # ST
+    "st01_streaming_tumbling": (st01_streaming_tumbling, ST01_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

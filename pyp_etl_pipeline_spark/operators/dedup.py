@@ -1,0 +1,209 @@
+"""Corpus-level deduplication operators (scale extension of E2/J2).
+
+Five strategies over a document corpus:
+- exact: hash-groupBy on a normalized fingerprint (md5)
+- n-gram Jaccard: word-shingle blocking join + exact Jaccard on shingle sets
+- MinHash-LSH: banded min-hash signatures (md5-derived, engine-portable),
+  band-bucket self-join, Jaccard verification
+- SimHash: 64-bit majority-vote fingerprint via a vectorized Pandas UDF,
+  near-dup = small Hamming distance within blocking buckets
+- embedding cosine near-dup: see ``operators/similarity.py``
+
+Scale notes: every strategy is blocking-based — candidate pairs come from
+equi-joins on derived keys (fingerprint / shingle / band-minhash / simhash
+prefix), never from a cross join. Pair outputs are canonicalized
+(id_a < id_b) to halve the shuffle. md5 is used as the portable hash so the
+DuckDB oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.functions.text import collapse_whitespace
+
+
+def normalized_text(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(collapse_whitespace(F.lower(c)))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(normalized_text(c))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups with >1 identical normalized text. Returns
+    (fp, dup_count, min_id) — one row per duplicate cluster."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per identical normalized text."""
+    w_min = (
+        df.select(F.col(id_col).alias("__id"), fingerprint(text_col).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("__id").alias("__keep"))
+    )
+    return df.join(
+        w_min, (fingerprint(text_col) == F.col("__fp")) & (F.col(id_col) == F.col("__keep")), "inner"
+    ).drop("__fp", "__keep")
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.split(normalized_text(c), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via shingle-blocking join.
+
+    jaccard = shared / (n_a + n_b - shared) computed exactly from distinct
+    shingle counts; only pairs sharing >= 1 shingle are ever materialized.
+    """
+    docs = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded min-hash: shingle -> md5 hex; band = first hex nibble of the
+    shingle hash (16 portable buckets); signature per band = min(md5).
+
+    Engine-portable (md5 everywhere) so the DuckDB oracle reproduces it.
+    Docs sharing any (band, min-hash) become candidate pairs — standard
+    LSH banding with b=16, r=1.
+    """
+    if bands != 16:
+        raise ValueError("portable md5-nibble banding supports bands=16")
+    docs = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    hashed = docs.withColumn("h", F.md5("shingle")).withColumn("band", F.substring("h", 1, 1))
+    return hashed.groupBy("id", "band").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact shingle Jaccard."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    a = sig.select(F.col("id").alias("id_a"), "band", "minhash")
+    b = sig.select(F.col("id").alias("id_b"), "band", "minhash")
+    cands = a.join(b, ["band", "minhash"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+
+    docs = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+    verified = (
+        cands.join(docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("shared") / (F.size("sh_a") + F.size("sh_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash via a vectorized Pandas UDF (Arrow-batched).
+
+    Per document: token -> 64-bit hash (md5 low bits); bitwise majority
+    vote weighted by term frequency -> fingerprint. Near-dups share a small
+    Hamming distance. Python is unavoidable for the bit-vote; it runs
+    vectorized per batch, not per row.
+    """
+    from pyspark.sql.types import LongType  # noqa: PLC0415
+
+    # No type hints on the inner function: under ``from __future__ import
+    # annotations`` they stringify and Spark can't infer the eval type.
+    # useArrow=False pins the classic pandas Series->Series scalar UDF.
+    def _simhash64(texts):
+        import hashlib  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(32)
+            for tok in toks:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                # split into 32-bit halves: a >=2^63 Python int overflows int64 ops
+                lo, hi = h & 0xFFFFFFFF, h >> 32
+                bits = np.concatenate([(lo >> shifts) & 1, (hi >> shifts) & 1])
+                votes += np.where(bits == 1, 1, -1)
+            fp = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # wrap to signed
+        return pd.Series(out, dtype="int64")
+
+    import pandas as pd  # noqa: PLC0415
+
+    _simhash64.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    simhash64 = F.pandas_udf(_simhash64, LongType())
+    return df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs. Blocking: 4 x 16-bit key chunks — two docs
+    within Hamming distance 3 of each other must agree on >= 1 chunk
+    (pigeonhole), so the self-join runs per chunk, never all-pairs."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("chunk"), F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key")) for i in range(4)])
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "key")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "key")
+    cands = a.join(b, ["chunk", "key"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "h_a", "id_b", "h_b").distinct()
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,201 @@
+"""Entity resolution: exact join + blocked similarity join + band routing.
+
+This is the analytical core (reference J1-J7):
+- J1 exact equi-join on lowercased title -> score 100, resolved
+  (``app/etl.py:1262-1268``)
+- J2 fuzzy top-k candidate generation (``app/etl.py:1270-1272``)
+- J3 cross-algorithm validation penalty (``app/etl.py:1280-1294``)
+- J4 penalty-adjusted rescoring (``app/etl.py:713-755``)
+- J5 best-after-penalty selection (``app/etl.py:1295-1316``)
+- J6 three-band threshold routing (``app/etl.py:1318-1374``)
+- J7 top-3 alternatives (``app/etl.py:1342-1351``)
+
+Scale design (the part the reference, being row-at-a-time, never had):
+- the similarity join runs ONLY over exact-miss rows (anti-join gate);
+- candidate generation is a token-blocking join (explode distinct tokens,
+  equi-join on token, pair-dedup) instead of an O(items x dim) cross join;
+- very frequent blocking tokens can be dropped (``max_token_df``) so a
+  stop-word token never fans out into dim-size candidate lists (skew guard);
+- the dimension side is broadcast when small; scoring is pure column
+  arithmetic (whole-stage codegen), top-k is a bounded window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.functions import scoring
+from pyp_etl_pipeline_spark.functions.text import lower_key
+
+
+def exact_resolve(
+    items: DataFrame,
+    dim: DataFrame,
+    item_col: str = "item",
+    title_col: str = "title",
+    id_col: str = "ext_id",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1: broadcast hash join on the lowercase key. Adds
+    ``matched_id``, ``matched_title``, ``score``, ``resolved``."""
+    d = dim.select(
+        lower_key(title_col).alias("__key"),
+        F.col(id_col).alias("matched_id"),
+        F.col(title_col).alias("matched_title"),
+    )
+    if broadcast_dim:
+        d = F.broadcast(d)
+    out = items.join(d, lower_key(item_col) == F.col("__key"), "left").drop("__key")
+    return out.withColumn("resolved", F.col("matched_id").isNotNull()).withColumn(
+        "score", F.when(F.col("resolved"), F.lit(100.0)).otherwise(F.lit(None).cast("double"))
+    )
+
+
+def fuzzy_candidates(
+    items: DataFrame,
+    dim: DataFrame,
+    item_col: str = "item",
+    title_col: str = "title",
+    id_col: str = "ext_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """J2 candidate generation via token blocking.
+
+    Returns one row per (item, candidate) pair that shares >= 1 blocking
+    token, carrying both token arrays for downstream scoring. At scale the
+    blocking join shuffles on ``token``; ``max_token_df`` drops tokens whose
+    dimension document-frequency exceeds the cap (skew/stop-word guard) —
+    scoring still uses the FULL token sets, so the cap only affects recall
+    of candidates sharing nothing but ultra-common tokens.
+    """
+    q = items.select(F.col(item_col).alias("__item"), scoring.tokens(item_col).alias("__q_tokens")).distinct()
+    d = dim.select(
+        F.col(title_col).alias("__title"),
+        F.col(id_col).alias("__cand_id"),
+        scoring.tokens(title_col).alias("__d_tokens"),
+    )
+
+    dx = d.select("__title", "__cand_id", "__d_tokens", F.explode("__d_tokens").alias("__tok"))
+    if max_token_df is not None:
+        df_counts = dx.groupBy("__tok").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_token_df)
+        dx = dx.join(F.broadcast(df_counts.select("__tok")), "__tok")
+    qx = q.select("__item", "__q_tokens", F.explode("__q_tokens").alias("__tok"))
+
+    pairs = (
+        qx.join(dx, "__tok")
+        .select("__item", "__q_tokens", "__title", "__cand_id", "__d_tokens")
+        .dropDuplicates(["__item", "__title", "__cand_id"])
+    )
+    return pairs
+
+
+def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:
+    """J2-J4: raw score + cross-algorithm check + penalties -> adjusted score."""
+    if scorer == "dice":
+        raw = scoring.dice_token_score("__item", "__title")
+    elif scorer == "token_set":
+        raw = scoring.token_set_ratio("__item", "__title")
+    else:
+        raise ValueError(f"unknown scorer: {scorer}")
+
+    scored = pairs.withColumn("raw_score", raw)
+    r_plain = scoring.ratio(F.lower(F.trim(F.col("__item"))), F.lower(F.trim(F.col("__title"))))
+    r_part = scoring.containment_ratio("__item", "__title")
+    scored = scored.withColumn(
+        "disagreement_penalty",
+        scoring.algorithm_disagreement_penalty(F.col("raw_score"), r_plain, r_part),
+    )
+    adjusted = scoring.apply_match_penalties(
+        F.col("raw_score") - F.col("disagreement_penalty"), F.col("__item"), F.col("__title")
+    )
+    return scored.withColumn("adjusted_score", adjusted)
+
+
+def similarity_resolve(
+    items: DataFrame,
+    dim: DataFrame,
+    item_col: str = "item",
+    title_col: str = "title",
+    id_col: str = "ext_id",
+    k: int = 10,
+    n_alternatives: int = 3,
+    scorer: str = "token_set",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Full J1-J7 pipeline.
+
+    Output: one row per distinct input item with
+    ``matched_id, matched_title, score, band, resolved, alternatives``.
+    Exact hits short-circuit the similarity stage entirely (the reference's
+    single most important optimization, kept as an anti-join gate).
+    """
+    base = items.select(F.col(item_col).alias("__item")).distinct()
+    exact = exact_resolve(base, dim, "__item", title_col, id_col)
+    hits = exact.filter(F.col("resolved"))
+    misses = exact.filter(~F.col("resolved")).select("__item")
+
+    pairs = fuzzy_candidates(misses, dim, "__item", title_col, id_col, max_token_df=max_token_df)
+    scored = score_candidates(pairs, scorer=scorer)
+
+    w = Window.partitionBy("__item").orderBy(
+        F.desc("adjusted_score"), F.asc("__title"), F.asc("__cand_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= max(k, n_alternatives + 1))
+
+    best = ranked.filter(F.col("rank") == 1)
+    alts = (
+        ranked.filter((F.col("rank") >= 2) & (F.col("rank") <= 1 + n_alternatives) & (F.col("adjusted_score") >= 50.0))
+        .groupBy("__item")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("rank").alias("rank"),
+                        F.col("__title").alias("name"),
+                        F.round("adjusted_score", 4).alias("score"),
+                        F.col("__cand_id").alias("ext_id"),
+                    )
+                )
+            ).alias("alternatives")
+        )
+    )
+
+    fuzzy_out = (
+        best.join(alts, "__item", "left")
+        .withColumn("band", scoring.band("adjusted_score"))
+        .select(
+            F.col("__item"),
+            F.when(F.col("band") == "auto_resolve", F.col("__cand_id")).alias("matched_id"),
+            F.when(F.col("band") != "reject", F.col("__title")).alias("matched_title"),
+            F.col("adjusted_score").alias("score"),
+            F.col("band"),
+            (F.col("band") == "auto_resolve").alias("resolved"),
+            F.col("alternatives"),
+        )
+    )
+    # items whose blocking produced no candidate at all -> reject band
+    no_cand = (
+        misses.join(fuzzy_out.select("__item"), "__item", "left_anti")
+        .select(
+            "__item",
+            F.lit(None).cast("string").alias("matched_id"),
+            F.lit(None).cast("string").alias("matched_title"),
+            F.lit(0.0).alias("score"),
+            F.lit("reject").alias("band"),
+            F.lit(False).alias("resolved"),
+            F.lit(None).cast("array<struct<rank:int,name:string,score:double,ext_id:string>>").alias("alternatives"),
+        )
+    )
+
+    hits_out = hits.select(
+        "__item",
+        "matched_id",
+        "matched_title",
+        "score",
+        F.lit("auto_resolve").alias("band"),
+        F.lit(True).alias("resolved"),
+        F.lit(None).cast("array<struct<rank:int,name:string,score:double,ext_id:string>>").alias("alternatives"),
+    )
+
+    return hits_out.unionByName(fuzzy_out).unionByName(no_cand).withColumnRenamed("__item", item_col)

@@ -1,0 +1,158 @@
+"""Embedding similarity search (scale extension of J2; sink precedent:
+``Product.embedding @search(by:["hnsw"])``, reference ``memberSchema (2).gql:86``).
+
+- brute-force cosine top-k: exact baseline. Queries are broadcast; the
+  dot product runs JVM-side via ``zip_with`` + ``aggregate`` higher-order
+  functions (no Python, no per-element shuffle). O(Q x N) compute but
+  embarrassingly parallel over N's partitions — the right baseline shape
+  for a 1000-executor scan.
+- LSH-bucketed top-k (random-hyperplane signs): the scale path. Vectors
+  land in 2^n_planes buckets; candidates = same-bucket (+ optional
+  multi-probe neighbors), then exact cosine re-rank. Hyperplanes are
+  deterministic (seeded md5 stream) so results are reproducible.
+- cosine near-dup pairs for the dedup suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries broadcast against the corpus;
+    ties broken by neighbor id for determinism. Self-matches excluded when
+    ids collide."""
+    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(query_vec_col).alias("__q"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "pyp-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from an md5 counter stream
+    (no RNG state, reproducible across runs and engines)."""
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()
+            for off in range(0, 16, 4):
+                if len(vals) >= dim:
+                    break
+                u = int.from_bytes(h[off : off + 4], "big") / 2**32  # [0,1)
+                vals.append(2.0 * u - 1.0)
+            i += 1
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket id: bit p set iff dot(vec, plane_p) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(dot(vec, pl) >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the sign bucket, exact re-rank inside.
+    Recall < 1.0 by construction; raise n_planes for smaller buckets or
+    probe neighbor buckets for higher recall."""
+    planes = _hyperplanes(dim, n_planes)
+    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")).withColumn(
+        "bucket", lsh_bucket(F.col("__v"), planes)
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(query_vec_col).alias("__q")).withColumn(
+        "bucket", lsh_bucket(F.col("__q"), planes)
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    exact=False buckets by LSH sign first (the 100 TB path — near-dups at
+    high thresholds almost always share a bucket); exact=True does the full
+    self-join (oracle-checkable baseline)."""
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
+    if exact:
+        a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+        b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, n_planes)
+        vb = v.withColumn("bucket", lsh_bucket(F.col("__v"), planes))
+        a = vb.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "bucket")
+        b = vb.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

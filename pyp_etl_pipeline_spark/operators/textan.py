@@ -1,0 +1,118 @@
+"""Text analysis operators (scale generalization of T1-T5) over a corpus.
+
+- token counting: whitespace tokens + a BPE-ish subword regex count
+- quality scoring: length / punctuation ratio / stopword ratio /
+  mean word length — the standard cheap quality heuristics
+- language ID: marker-word n-gram heuristic returning per-language hit
+  counts and an argmax guess
+- document fingerprinting: md5 content fingerprint (rolling-hash analog,
+  portable across engines)
+
+All pure column expressions (codegen; zero Python in the scan path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.operators.dedup import fingerprint, normalized_text
+
+ENGLISH_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "at", "for", "with", "by", "is", "are", "was",
+)
+
+# tiny marker lexicons for the n-gram language heuristic
+LANGUAGE_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def whitespace_tokens(c: Column | str) -> Column:
+    return F.filter(F.split(F.trim(_col(c)), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(whitespace_tokens(c))
+
+
+def bpeish_token_count(c: Column | str) -> Column:
+    """Count of BPE-ish subword pieces via regexp extraction."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    c = _col(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(n_punct / F.length(c))
+
+
+def stopword_ratio(c: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    toks = F.transform(whitespace_tokens(c), lambda x: F.lower(x))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(n_stop / F.size(toks))
+
+
+def mean_word_length(c: Column | str) -> Column:
+    toks = whitespace_tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks))
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality feature vector + a composite score in [0,1]."""
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+    )
+    # cheap composite: long enough, low punct noise, some stopword signal
+    score = (
+        F.when(F.col("n_tokens") >= 20, F.lit(0.4)).otherwise(F.col("n_tokens") / 50.0)
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def language_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word hit counts per language + argmax guess ('und' on tie-0)."""
+    toks = F.transform(whitespace_tokens(text_col), lambda x: F.lower(x))
+    out = df.select(F.col(id_col), toks.alias("__toks"))
+    for lang, markers in LANGUAGE_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        out = out.withColumn(f"hits_{lang}", F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(marr, x))))
+    langs = list(LANGUAGE_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        guess = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    return out.withColumn("lang_guess", guess).drop("__toks")
+
+
+def document_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint per document (md5 of normalized text) plus a
+    coarse locality fingerprint (md5 of the first 5 normalized tokens)."""
+    toks = F.split(normalized_text(text_col), " ")
+    prefix_fp = F.md5(F.array_join(F.slice(toks, 1, 5), " "))
+    return df.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("content_fp"),
+        prefix_fp.alias("prefix_fp"),
+    )

@@ -1,0 +1,92 @@
+"""Event-time window operators over the events table (stage-5 extension).
+
+Batch implementations chosen to have exact ANSI-SQL twins (DuckDB oracle):
+- tumbling windows: date_trunc bucketing
+- sliding windows: explode each event into the ceil(size/slide) windows
+  containing it (epoch arithmetic; engine-portable, unlike F.window's
+  struct output)
+- sessionization: gaps-and-islands via lag + running sum — the classic
+  formulation, identical semantics in any SQL engine. Streaming variants
+  live in ``pyp_etl_pipeline_spark/streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Tumbling window aggregate: count + sum + avg per (bucket, key)."""
+    return (
+        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("window_start"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    size_s: int = 3600,
+    slide_s: int = 900,
+) -> DataFrame:
+    """Sliding window aggregate (size/slide in seconds, epoch-aligned).
+
+    Each event belongs to size/slide windows; we explode into those
+    window starts then aggregate — identical to F.window(ts, size, slide)
+    but with a portable BIGINT epoch window_start."""
+    n = size_s // slide_s
+    epoch = F.unix_timestamp(F.col(ts_col))
+    anchor = F.floor(epoch / slide_s) * slide_s
+    starts = F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda i: anchor - i * slide_s)
+    return (
+        df.select(F.explode(starts).alias("window_start"), F.col(key_col), F.col(value_col))
+        .groupBy("window_start", key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks when the gap to the
+    previous event of the same user exceeds ``gap_s`` seconds.
+
+    Output: one row per session with start/end epoch, event count.
+    Scale note: one shuffle on user_id; the window sort is per-user and
+    AQE handles skewed users; for power-law users add a salt prefix split.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    epoch = F.unix_timestamp(F.col(ts_col))
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    sess = df.withColumn("__new", is_new).withColumn(
+        "session_seq", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(epoch).alias("session_start"),
+            F.max(epoch).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("duration_s", F.col("session_end") - F.col("session_start"))
+    )

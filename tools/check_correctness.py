@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, compares row count + order-insensitive value
+multiset (columns sorted by name, values normalized to strings).
+
+Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb
+
+from pyp_etl_pipeline_spark.driver_queries_ext import REGISTRY
+from pyp_etl_pipeline_spark.session import get_spark
+from pyp_etl_pipeline_spark.tables import TABLES
+
+
+def norm_value(v) -> str:
+    import decimal
+
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    return str(v)
+
+
+def row_multiset(rows, colnames) -> Counter:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter("|".join(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_weak = 0
+    failures: list[str] = []
+    for name, (fn, sql) in REGISTRY.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if sql is None:
+            print(f"weak {name}: rows-only, {len(s_rows)} rows ({time.time() - t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(name)
+            continue
+
+        ok = True
+        msgs = []
+        if sorted(s_cols) != sorted(d_cols):
+            ok = False
+            msgs.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            ok = False
+            msgs.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if ok:
+            ms, md = row_multiset(s_rows, s_cols), row_multiset(d_rows, d_cols)
+            if ms != md:
+                ok = False
+                only_s = list((ms - md).items())[:3]
+                only_d = list((md - ms).items())[:3]
+                msgs.append(f"values: only-spark={only_s} only-duck={only_d}")
+        if ok:
+            print(f"PASS {name}: {len(s_rows)} rows ({time.time() - t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: " + "; ".join(msgs))
+            n_fail += 1
+            failures.append(name)
+
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    if failures:
+        print("failures:", ", ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
