@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with a noop-style full materialization
+(count via agg over all columns is avoided; we use the noop datasource so
+results are produced but never collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyp_etl_pipeline_spark.driver_queries_ext import REGISTRY  # noqa: E402
+from pyp_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: covers scan/agg, join+band rollup, window fns, the blocked
+# fuzzy similarity join, event-time windows, dedup (LSH), ANN top-k, and
+# text analysis. nd01 (exact all-pairs cosine) is excluded by design: it is
+# O(n^2) and exists as the brute-force oracle baseline, not a scale path.
+HEADLINE = [
+    "flagship_band_rollup",
+    "q01_pricing_summary",
+    "q03_region_revenue",
+    "j01_exact_resolution",
+    "j02_fuzzy_topk",
+    "a01_band_summary",
+    "o01_topk_orders_per_customer",
+    "w01_tumbling_hourly",
+    "w03_sessionize_30m",
+    "dd03_minhash_lsh_pairs",
+    "ann01_cosine_topk",
+    "tx01_quality_features",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn, _ = REGISTRY[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # warm the JVM + parquet footers with a cheap query, not counted
+    run_one(spark, "q03_region_revenue", sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,13 +46,17 @@ def apply_batch_approve_high_confidence(reviews: DataFrame) -> DataFrame:
         & F.col("suggested_ext_id").isNotNull()
         & semantically_valid_match(F.col("item"), F.col("suggested_name"))
     )
+    # pin eligibility BEFORE mutating approved: the predicate reads
+    # approved, so updating it first would flip eligibility mid-chain
     return (
-        reviews.withColumn("approved", F.when(eligible, F.lit(True)).otherwise(F.col("approved")))
-        .withColumn("resolved", F.when(eligible, F.lit(True)).otherwise(F.col("resolved")))
+        reviews.withColumn("__eligible", eligible)
+        .withColumn("approved", F.when(F.col("__eligible"), F.lit(True)).otherwise(F.col("approved")))
+        .withColumn("resolved", F.when(F.col("__eligible"), F.lit(True)).otherwise(F.col("resolved")))
         .withColumn(
             "matched_canonical_id",
-            F.when(eligible, F.col("suggested_ext_id")).otherwise(F.col("matched_canonical_id")),
+            F.when(F.col("__eligible"), F.col("suggested_ext_id")).otherwise(F.col("matched_canonical_id")),
         )
+        .drop("__eligible")
     )
 
 

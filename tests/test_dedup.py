@@ -1,0 +1,72 @@
+"""Deduplication operator tests: exact, n-gram Jaccard, MinHash-LSH,
+SimHash — tiny corpora with hand-checkable expected pairs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyp_etl_pipeline_spark.operators import dedup
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),     # exact dup of 1
+    (3, "The  Quick   Brown Fox jumps over the lazy dog"),  # whitespace/case dup of 1
+    (4, "the quick brown fox jumps over a lazy cat"),       # near dup
+    (5, "completely unrelated text about spark engines"),
+    (6, "spark engines are completely unrelated text about"),  # same tokens, reordered
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized(docs):
+    clusters = dedup.exact_duplicates(docs).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["dup_count"] == 3 and clusters[0]["keep_id"] == 1
+
+
+def test_dedup_exact_keeps_lowest_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_shingle_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.shingle_pairs_jaccard(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] < 1.0
+    # rotation preserves some 3-grams: (5,6) share 2 of 7 distinct shingles
+    assert pairs[(5, 6)] == round(2 / 7, 6)
+    # fox-docs never pair with the spark-docs (no shared shingle)
+    assert all(not (a <= 4 < b) for a, b in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    # LSH is a candidate filter + exact verify: no false positives above threshold
+    assert all(a in (1, 2, 3, 4) and b in (1, 2, 3, 4) or (a, b) == (5, 6) for a, b in pairs)
+
+
+def test_simhash_identical_fingerprints(spark, docs):
+    fps = {r["id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] == fps[3]   # identical normalized text
+    # token-order-insensitive: same multiset of tokens -> same fingerprint
+    reordered = spark.createDataFrame(
+        [(7, "dog lazy the over jumps fox brown quick the")], "doc_id long, text string"
+    )
+    fp7 = dedup.simhash_fingerprints(reordered).collect()[0]["simhash"]
+    assert fp7 == fps[1]
+    # near-identical token sets -> small hamming distance
+    assert bin(fps[5] ^ fps[6]).count("1") <= 16
+
+
+def test_simhash_pairs_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert all((a, b) not in pairs for a in (1, 2, 3, 4) for b in (5, 6))

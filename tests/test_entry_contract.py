@@ -1,0 +1,51 @@
+"""Driver-contract tests: entry() smoke, queries()/oracle_sql() registry
+consistency, and column-name alignment between Spark and oracle results.
+
+The driver's compare sorts columns BY NAME before hashing, so a Spark
+result and its oracle twin must expose identical column-name sets — this
+test enforces that for every oracle pair cheaply (DuckDB describe-only,
+Spark schema-only; no execution of the full queries).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from pyp_etl_pipeline_spark.tables import TABLES
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
+
+
+def test_registry_shapes():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 40
+    assert set(o) <= set(q)
+    # only genuinely non-SQL ops may omit the oracle
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "select" in s.lower() for s in o.values())
+
+
+@pytest.mark.slow
+def test_spark_oracle_column_names_align(spark, sf_dir):
+    """Schema-only pass: Spark .columns vs DuckDB described columns."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    mismatches = {}
+    for name, sql in o.items():
+        spark_cols = sorted(q[name](spark, sf_dir).columns)
+        oracle_cols = sorted(d[0] for d in con.execute(f"DESCRIBE {sql}").fetchall())
+        if spark_cols != oracle_cols:
+            mismatches[name] = (spark_cols, oracle_cols)
+    assert not mismatches, f"column-name drift: {mismatches}"

@@ -1,0 +1,52 @@
+"""Property-based tests (hypothesis): normalization idempotence and
+band-partition totality, per SURVEY.md §5(d)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.functions import nulls, scoring, text
+
+# Latin ranges only: JVM upper/lower on exotic scripts (e.g. Greek U+1F80)
+# can expand one char into two, which is out of domain for the reference's
+# business/product-name normalization.
+TEXTISH = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+        whitelist_characters="-.,;()",
+        max_codepoint=0x02FF,
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def run_fn(spark, values, fn):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r[0] for r in df.select(fn(F.col("v")).alias("o")).collect()]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXTISH, min_size=1, max_size=8))
+def test_normalize_offering_idempotent(spark, vals):
+    once = run_fn(spark, vals, text.normalize_offering_text)
+    twice = run_fn(spark, once, text.normalize_offering_text)
+    assert once == twice
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXTISH, min_size=1, max_size=8))
+def test_null_normalize_idempotent(spark, vals):
+    once = run_fn(spark, vals, nulls.null_normalize)
+    twice = run_fn(spark, [v if v is not None else None for v in once], nulls.null_normalize)
+    assert once == twice
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.floats(min_value=-10.0, max_value=110.0, allow_nan=False), min_size=1, max_size=16))
+def test_band_totality(spark, scores):
+    df = spark.createDataFrame([(s,) for s in scores], "s double")
+    out = [r[0] for r in df.select(scoring.band("s").alias("b")).collect()]
+    assert all(b in ("auto_resolve", "review", "reject") for b in out)

@@ -1,0 +1,66 @@
+"""Embedding similarity search: brute-force cosine top-k (exact baseline)
+vs LSH-bucketed top-k (scale path), and near-dup pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyp_etl_pipeline_spark.operators import similarity
+
+
+def unit(angle_deg: float, dim: int = 4) -> list[float]:
+    a = math.radians(angle_deg)
+    v = [math.cos(a), math.sin(a)] + [0.0] * (dim - 2)
+    return v
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, unit(0.0)),
+        (2, unit(5.0)),     # ~cos 0.996 vs v1
+        (3, unit(45.0)),
+        (4, unit(90.0)),    # orthogonal to v1
+        (5, unit(180.0)),   # opposite of v1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_exact_order(spark, vectors):
+    queries = spark.createDataFrame([(100, unit(0.0))], "query_id long, query_vec array<double>")
+    out = similarity.brute_force_topk(vectors, queries, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert out[1]["cosine"] == pytest.approx(math.cos(math.radians(5.0)), abs=1e-5)
+
+
+def test_brute_force_excludes_self(spark, vectors):
+    queries = spark.createDataFrame([(1, unit(0.0))], "query_id long, query_vec array<double>")
+    out = similarity.brute_force_topk(vectors, queries, k=5).collect()
+    assert all(r["neighbor_id"] != 1 for r in out)
+
+
+def test_lsh_topk_finds_close_neighbors(spark, vectors):
+    queries = spark.createDataFrame([(100, unit(1.0))], "query_id long, query_vec array<double>")
+    out = similarity.lsh_topk(vectors, queries, k=3, n_planes=2, dim=4).collect()
+    got = [r["neighbor_id"] for r in out]
+    # near-identical vectors land in the query's sign bucket
+    assert 1 in got and 2 in got
+    # LSH ranks within-bucket candidates by exact cosine
+    assert got == sorted(got, key=lambda i: dict((r["neighbor_id"], -r["cosine"]) for r in out)[i])
+
+
+def test_cosine_neardup_exact_vs_lsh(spark, vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs(vectors, threshold=0.99, exact=True).collect()
+    }
+    assert exact == {(1, 2)}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs(vectors, threshold=0.99, n_planes=2, dim=4).collect()
+    }
+    # LSH candidates are a subset of exact pairs with no false positives
+    assert approx <= exact

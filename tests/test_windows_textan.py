@@ -1,0 +1,101 @@
+"""Event-window operators (tumbling/sliding/sessionize) and text-analysis
+operators (quality features, language scores, token counts)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.operators import textan, windows
+
+
+def ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, "u1", "click", 1.0, ts(10, 0)),
+        (2, "u1", "click", 2.0, ts(10, 20)),
+        (3, "u1", "click", 3.0, ts(11, 5)),    # >30m gap -> new session
+        (4, "u2", "view", 10.0, ts(10, 59)),
+        (5, "u2", "view", 20.0, ts(11, 1)),    # 2m gap -> same session, crosses hour
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id string, event_type string, value double, ts timestamp")
+
+
+def test_tumbling_hourly(events):
+    out = {(r["window_start"].hour, r["event_type"]): r for r in windows.tumbling_agg(events).collect()}
+    assert out[(10, "click")]["n_events"] == 2 and out[(10, "click")]["sum_value"] == 3.0
+    assert out[(11, "click")]["n_events"] == 1
+    assert out[(10, "view")]["n_events"] == 1 and out[(11, "view")]["n_events"] == 1
+
+
+def test_sliding_window_membership(events):
+    # size 1h, slide 15m -> each event appears in exactly 4 windows
+    out = windows.sliding_agg(events, size_s=3600, slide_s=900)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 5 * 4
+
+
+def test_sessionize_gap_30m(events):
+    sess = windows.sessionize(events, gap_s=1800).collect()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user["u1"]) == 2      # 45m gap splits
+    assert len(by_user["u2"]) == 1      # 2m gap does not
+    u2 = by_user["u2"][0]
+    assert u2["n_events"] == 2 and u2["duration_s"] == 120
+
+
+# ------------------------------------------------------------------ textan
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog today."),
+            (2, "el rapido zorro marron salta sobre el perro perezoso"),
+            (3, "!!! ??? ... ;;;"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_quality_features_shape(docs):
+    out = {r["doc_id"]: r for r in textan.quality_features(docs).collect()}
+    en = out[1]
+    assert en["n_tokens"] == 10
+    assert 0.0 < en["stopword_ratio"] < 1.0   # the/over/the are stopwords
+    assert en["punct_ratio"] < 0.1
+    junk = out[3]
+    assert junk["punct_ratio"] > 0.5
+    assert out[4]["n_tokens"] == 0
+
+
+def test_language_scores_pick_english(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog are in the house with them")], "doc_id long, text string"
+    )
+    row = textan.language_scores(df).collect()[0]
+    assert row["lang_guess"] == "en"
+    assert row["hits_en"] > row["hits_es"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("don't stop-me now, it's 2024!",)], "t string")
+    ws = df.select(textan.token_count("t").alias("n")).collect()[0]["n"]
+    bpe = df.select(textan.bpeish_token_count("t").alias("n")).collect()[0]["n"]
+    assert ws == 5
+    assert bpe >= ws  # sub-word regex splits punctuation/contractions apart
+
+
+def test_document_fingerprints_deterministic(docs):
+    a = {r["doc_id"]: r for r in textan.document_fingerprints(docs).collect()}
+    b = {r["doc_id"]: r for r in textan.document_fingerprints(docs).collect()}
+    assert all(a[k] == b[k] for k in a)
