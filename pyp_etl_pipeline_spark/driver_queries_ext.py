@@ -16,6 +16,21 @@ from pyp_etl_pipeline_spark.operators import dedup, similarity, textan, windows
 from pyp_etl_pipeline_spark.operators.similarity import _hyperplanes
 from pyp_etl_pipeline_spark.tables import load_table
 
+
+def _load_corpus(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    """Corpus tables (documents/embeddings) arrive as one small parquet file
+    -> one scan partition, which serializes the heavy per-row compute
+    (shingles, md5, simhash, dot products) onto a single core in local
+    bench runs. Round-robin repartition to the session's parallelism; at
+    cluster scale the input already has many splits and the extra shuffle
+    of (id, payload) is negligible next to the per-row compute it feeds."""
+    df = load_table(spark, sf, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # J2-J7: the blocked similarity join chain (token_set scorer + penalties)
 # --------------------------------------------------------------------------
@@ -45,10 +60,24 @@ def _fuzzy_ranked(spark: SparkSession, sf: str) -> DataFrame:
     pr = qx.join(dx, "tok").select("qk", "ck").distinct()
     pairs = pr.join(qt, "qk").join(dt, "ck")
 
-    raw = scoring.token_set_ratio("qname", "cname")
-    r_plain = scoring.ratio(F.lower(F.trim(F.col("qname"))), F.lower(F.trim(F.col("cname"))))
-    r_part = scoring.containment_ratio("qname", "cname")
-    scored = pairs.withColumn("raw_score", raw).withColumn(
+    # materialize scoring inputs ONCE as columns: Catalyst won't CSE
+    # subtrees referenced from multiple when() branches
+    inter, rest_a, rest_b = scoring.token_set_parts("qname", "cname")
+    pairs = (
+        pairs.withColumn("__int", inter)
+        .withColumn("__ra", rest_a)
+        .withColumn("__rb", rest_b)
+        .withColumn("__lq", F.lower(F.trim(F.col("qname"))))
+        .withColumn("__lc", F.lower(F.trim(F.col("cname"))))
+    )
+    raw = scoring.token_set_ratio_from_parts(F.col("__int"), F.col("__ra"), F.col("__rb"))
+    lq, lc = F.col("__lq"), F.col("__lc")
+    scored = pairs.withColumn("raw_score", raw).withColumn("__rplain", scoring.ratio(lq, lc))
+    # containment_ratio = 100 on substring containment else plain ratio —
+    # reuse the materialized plain ratio instead of a second levenshtein
+    r_plain = F.col("__rplain")
+    r_part = F.when(lq.contains(lc) | lc.contains(lq), F.lit(100.0)).otherwise(r_plain)
+    scored = scored.withColumn(
         "disg", scoring.algorithm_disagreement_penalty(F.col("raw_score"), r_plain, r_part)
     )
     adj = scored.withColumn(
@@ -282,7 +311,7 @@ FROM s GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def dd01_exact_dup_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _load_corpus(spark, sf, "documents")
     fps = d.select(dedup.fingerprint("text").alias("fp"))
     return (
         fps.groupBy("fp")
@@ -299,7 +328,7 @@ SELECT c AS dup_count, count(*) AS n_fingerprints FROM fp GROUP BY 1
 
 
 def dd02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.shingle_pairs_jaccard(load_table(spark, sf, "documents"), threshold=0.5)
+    return dedup.shingle_pairs_jaccard(_load_corpus(spark, sf, "documents"), threshold=0.5)
 
 
 _SHINGLE_CTE = f"""
@@ -324,7 +353,7 @@ FROM p WHERE shared / (n_a + n_b - shared) >= 0.5
 
 
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), threshold=0.5)
+    return dedup.minhash_lsh_pairs(_load_corpus(spark, sf, "documents"), threshold=0.5)
 
 
 DD03_SQL = (
@@ -350,7 +379,7 @@ FROM ver WHERE shared / (na + nb - shared) >= 0.5
 def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Pandas-UDF fingerprints; no SQL oracle —
     golden-tested in pytest instead)."""
-    return dedup.simhash_pairs(load_table(spark, sf, "documents"), max_hamming=6)
+    return dedup.simhash_pairs(_load_corpus(spark, sf, "documents"), max_hamming=6)
 
 
 # --------------------------------------------------------------------------
@@ -358,7 +387,7 @@ def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def ann01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = _load_corpus(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -382,7 +411,7 @@ QUALIFY match_rank <= 5
 
 
 def ann02_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = _load_corpus(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -418,7 +447,7 @@ ANN02_SQL = _ann02_sql()
 
 
 def nd01_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = _load_corpus(spark, sf, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=0.25, exact=True)
 
 
@@ -436,7 +465,7 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.25
 # --------------------------------------------------------------------------
 
 def tx01_quality_features(spark: SparkSession, sf: str) -> DataFrame:
-    return textan.quality_features(load_table(spark, sf, "documents"))
+    return textan.quality_features(_load_corpus(spark, sf, "documents"))
 
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
@@ -464,7 +493,7 @@ FROM feats
 
 
 def tx02_token_counts(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _load_corpus(spark, sf, "documents")
     return d.select(
         "doc_id",
         textan.token_count("text").cast("long").alias("n_ws_tokens"),
@@ -481,7 +510,7 @@ FROM documents
 
 
 def tx03_language_id(spark: SparkSession, sf: str) -> DataFrame:
-    return textan.language_scores(load_table(spark, sf, "documents"))
+    return textan.language_scores(_load_corpus(spark, sf, "documents"))
 
 
 def _tx03_sql() -> str:
@@ -505,7 +534,7 @@ TX03_SQL = _tx03_sql()
 
 
 def tx04_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    return textan.document_fingerprints(load_table(spark, sf, "documents"))
+    return textan.document_fingerprints(_load_corpus(spark, sf, "documents"))
 
 
 TX04_SQL = f"""

@@ -59,26 +59,66 @@ def containment_ratio(a: Column | str, b: Column | str) -> Column:
     return F.when(contains, F.lit(100.0)).otherwise(ratio(a, b))
 
 
-def token_set_ratio(a: Column | str, b: Column | str) -> Column:
-    """token_set_ratio analog over sorted distinct token sets.
-
-    s0 = join(sorted(A & B)), s1 = s0 + ' ' + join(sorted(A - B)),
-    s2 = s0 + ' ' + join(sorted(B - A)); score = max pairwise ``ratio``.
-    """
+def token_set_parts(a: Column | str, b: Column | str) -> tuple[Column, Column, Column]:
+    """The three building-block strings of token_set_ratio:
+    (join(sorted(A&B)), join(sorted(A-B)), join(sorted(B-A))).
+    Materialize these as real projected columns in hot paths — Catalyst
+    does NOT eliminate common subexpressions inside when() branches, so
+    passing raw expression trees to ``token_set_ratio_from_parts`` would
+    re-evaluate tokenize/intersect/join once per reference."""
     ta, tb = tokens(a), tokens(b)
-    inter = F.array_join(F.array_intersect(ta, tb), " ")
-    rest_a = F.array_join(F.array_except(ta, tb), " ")
-    rest_b = F.array_join(F.array_except(tb, ta), " ")
+    return (
+        F.array_join(F.array_intersect(ta, tb), " "),
+        F.array_join(F.array_except(ta, tb), " "),
+        F.array_join(F.array_except(tb, ta), " "),
+    )
 
-    def _glue(base: Column, rest: Column) -> Column:
-        return F.when(F.length(rest) == 0, base).otherwise(
-            F.when(F.length(base) == 0, rest).otherwise(F.concat(base, F.lit(" "), rest))
+
+def token_set_ratio_from_parts(inter: Column, rest_a: Column, rest_b: Column) -> Column:
+    """token_set_ratio from materialized part strings.
+
+    Exactly equivalent to max pairwise ``ratio`` over s0 = inter,
+    s1 = glue(inter, rest_a), s2 = glue(inter, rest_b), using that s0 is a
+    prefix of both s1 and s2:
+      lev(s0, s1) = len(s1) - len(s0)       (insertions only)
+      lev(s1, s2) = lev(rest_a, rest_b)     (common prefix cancels;
+                    pure length diff when either rest = '')
+    -> 3 full Levenshteins over long strings become 1 Levenshtein over just
+    the symmetric-difference strings (short for blocked candidates, which
+    share tokens by construction)."""
+
+    def _glue_len(base: Column, rest: Column) -> Column:
+        # len(glue(base, rest)) without building the string
+        return F.when(F.length(rest) == 0, F.length(base)).otherwise(
+            F.when(F.length(base) == 0, F.length(rest)).otherwise(
+                F.length(base) + 1 + F.length(rest)
+            )
         )
 
-    s0 = inter
-    s1 = _glue(inter, rest_a)
-    s2 = _glue(inter, rest_b)
-    return F.greatest(ratio(s0, s1), ratio(s0, s2), ratio(s1, s2))
+    l0 = F.length(inter)
+    l1 = _glue_len(inter, rest_a)
+    l2 = _glue_len(inter, rest_b)
+
+    def _prefix_ratio(lp: Column, lf: Column) -> Column:
+        # ratio(prefix, full) given lengths only: lev = lf - lp
+        return F.when(lf == 0, F.lit(100.0)).otherwise(100.0 * lp / lf)
+
+    lev_rest = (
+        F.when((F.length(rest_a) == 0) | (F.length(rest_b) == 0), F.abs(l1 - l2))
+        .otherwise(F.levenshtein(rest_a, rest_b))
+    )
+    r12 = F.when((l1 == 0) & (l2 == 0), F.lit(100.0)).otherwise(
+        100.0 * (1.0 - lev_rest / F.greatest(l1, l2))
+    )
+    return F.greatest(_prefix_ratio(l0, l1), _prefix_ratio(l0, l2), r12)
+
+
+def token_set_ratio(a: Column | str, b: Column | str) -> Column:
+    """token_set_ratio analog over sorted distinct token sets (convenience
+    single-expression form; hot paths should materialize
+    ``token_set_parts`` as columns and use ``token_set_ratio_from_parts``)."""
+    inter, rest_a, rest_b = token_set_parts(a, b)
+    return token_set_ratio_from_parts(inter, rest_a, rest_b)
 
 
 def dice_token_score(a: Column | str, b: Column | str) -> Column:

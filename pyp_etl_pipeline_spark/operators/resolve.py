@@ -93,19 +93,36 @@ def fuzzy_candidates(
 def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:
     """J2-J4: raw score + cross-algorithm check + penalties -> adjusted score."""
     if scorer == "dice":
-        raw = scoring.dice_token_score("__item", "__title")
+        scored = pairs.withColumn("raw_score", scoring.dice_token_score("__item", "__title"))
     elif scorer == "token_set":
-        raw = scoring.token_set_ratio("__item", "__title")
+        # materialize scoring inputs ONCE as columns: Catalyst won't CSE
+        # subtrees referenced from multiple when() branches
+        inter, rest_a, rest_b = scoring.token_set_parts("__item", "__title")
+        scored = (
+            pairs.withColumn("__int", inter)
+            .withColumn("__ra", rest_a)
+            .withColumn("__rb", rest_b)
+            .withColumn(
+                "raw_score",
+                scoring.token_set_ratio_from_parts(F.col("__int"), F.col("__ra"), F.col("__rb")),
+            )
+            .drop("__int", "__ra", "__rb")
+        )
     else:
         raise ValueError(f"unknown scorer: {scorer}")
 
-    scored = pairs.withColumn("raw_score", raw)
-    r_plain = scoring.ratio(F.lower(F.trim(F.col("__item"))), F.lower(F.trim(F.col("__title"))))
-    r_part = scoring.containment_ratio("__item", "__title")
+    scored = scored.withColumn("__li", F.lower(F.trim(F.col("__item")))).withColumn(
+        "__lt", F.lower(F.trim(F.col("__title")))
+    )
+    li, lt = F.col("__li"), F.col("__lt")
+    scored = scored.withColumn("__rplain", scoring.ratio(li, lt))
+    # containment_ratio = 100 on substring containment else plain ratio —
+    # reuse the materialized plain ratio instead of a second levenshtein
+    r_part = F.when(li.contains(lt) | lt.contains(li), F.lit(100.0)).otherwise(F.col("__rplain"))
     scored = scored.withColumn(
         "disagreement_penalty",
-        scoring.algorithm_disagreement_penalty(F.col("raw_score"), r_plain, r_part),
-    )
+        scoring.algorithm_disagreement_penalty(F.col("raw_score"), F.col("__rplain"), r_part),
+    ).drop("__li", "__lt", "__rplain")
     adjusted = scoring.apply_match_penalties(
         F.col("raw_score") - F.col("disagreement_penalty"), F.col("__item"), F.col("__title")
     )
