@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark import driver_queries as core
 from pyp_etl_pipeline_spark.functions import scoring
-from pyp_etl_pipeline_spark.operators import dedup, similarity, textan, windows
+from pyp_etl_pipeline_spark.operators import dedup, resolve, similarity, textan, windows
 from pyp_etl_pipeline_spark.operators.similarity import _hyperplanes
 from pyp_etl_pipeline_spark.tables import load_table
 
@@ -35,11 +35,11 @@ def _load_corpus(spark: SparkSession, sf: str, name: str) -> DataFrame:
 # J2-J7: the blocked similarity join chain (token_set scorer + penalties)
 # --------------------------------------------------------------------------
 
-def _fuzzy_ranked(spark: SparkSession, sf: str) -> DataFrame:
+def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
     """Shared chain: queries = part names minus first token (every 10th part,
     every 4th of those prefixed 'organic ' to fire the dietary penalty);
     candidates = token-blocked part names; token_set scoring + disagreement
-    + penalties; deterministic rank."""
+    + penalties -> one row per candidate pair with ``adjusted``."""
     part = load_table(spark, sf, "part")
     q0 = part.filter(F.col("p_partkey") % 10 == 0).select(
         F.col("p_partkey").alias("qk"),
@@ -55,10 +55,14 @@ def _fuzzy_ranked(spark: SparkSession, sf: str) -> DataFrame:
     dt = part.select(F.col("p_partkey").alias("ck"), F.col("p_name").alias("cname")).withColumn(
         "ctok", scoring.tokens("cname")
     )
+    # candidate generation: broadcast the small query-token index and
+    # stream the (repartitioned) dimension side through it — no shuffle of
+    # the big side; the k-shared-tokens fan-out collapses in the map-side
+    # partial aggregate of the pair-distinct.
     qx = qt.select("qk", F.explode("qtok").alias("tok"))
-    dx = dt.select("ck", F.explode("ctok").alias("tok"))
-    pr = qx.join(dx, "tok").select("qk", "ck").distinct()
-    pairs = pr.join(qt, "qk").join(dt, "ck")
+    dx = resolve.ensure_parallelism(dt).select("ck", F.explode("ctok").alias("tok"))
+    pr = dx.join(F.broadcast(qx), "tok").select("qk", "ck").distinct()
+    pairs = pr.join(F.broadcast(qt), "qk").join(F.broadcast(dt), "ck")
 
     # materialize scoring inputs ONCE as columns: Catalyst won't CSE
     # subtrees referenced from multiple when() branches
@@ -84,6 +88,13 @@ def _fuzzy_ranked(spark: SparkSession, sf: str) -> DataFrame:
         "adjusted",
         scoring.apply_match_penalties(F.col("raw_score") - F.col("disg"), F.col("qname"), F.col("cname")),
     )
+    return adj
+
+
+def _fuzzy_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """_fuzzy_adjusted + deterministic per-query rank (window top-k; the
+    rank<=N consumers trigger Spark's WindowGroupLimit pushdown)."""
+    adj = _fuzzy_adjusted(spark, sf)
     w = Window.partitionBy("qk").orderBy(F.desc("adjusted"), F.asc("cname"), F.asc("ck"))
     return adj.withColumn("rnk", F.row_number().over(w))
 
@@ -203,10 +214,21 @@ FROM ranked WHERE rnk BETWEEN 2 AND 4 AND adjusted >= 50.0
 
 
 def a01_band_summary(spark: SparkSession, sf: str) -> DataFrame:
-    r = _fuzzy_ranked(spark, sf)
+    """Band histogram of each query's best candidate.
+
+    Needs only the rank-1 row per query, so instead of the sort-based
+    window it takes ``min(struct(-adjusted, cname, ck))`` per qk — the
+    lexicographic struct order equals the window's (adjusted DESC, cname
+    ASC, ck ASC), but a hash aggregate combines map-side: the shuffle
+    carries one partial row per (partition, qk) instead of sorting all
+    candidate pairs. Same result as filter(rnk = 1), checked by the oracle.
+    """
+    adj = _fuzzy_adjusted(spark, sf)
+    best = adj.groupBy("qk").agg(
+        F.min(F.struct((-F.col("adjusted")).alias("na"), "cname", "ck")).alias("b")
+    )
     return (
-        r.filter(F.col("rnk") == 1)
-        .select(scoring.band("adjusted").alias("band"))
+        best.select(scoring.band(-F.col("b.na")).alias("band"))
         .groupBy("band")
         .agg(F.count("*").alias("n_items"))
     )
@@ -356,15 +378,39 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_load_corpus(spark, sf, "documents"), threshold=0.5)
 
 
-DD03_SQL = (
-    _SHINGLE_CTE
-    + """,
+def _dd03_sql() -> str:
+    """DuckDB twin of the b x r banded MinHash-LSH (dedup.LSH_BANDS x
+    dedup.LSH_ROWS Kirsch-Mitzenmacher hash family derived from one md5
+    per shingle — signatures bit-identical to Spark)."""
+    b, r, p = dedup.LSH_BANDS, dedup.LSH_ROWS, dedup.LSH_PRIME
+    mins = ",\n  ".join(f"min((x1 + {i + 1} * (x2 + 1)) % {p}) AS h{i}" for i in range(b * r))
+    band_structs = ", ".join(
+        "struct_pack(band := {b}, sig := {sig})".format(
+            b=bi,
+            sig=" || ':' || ".join(f"h{bi * r + ri}" for ri in range(r)),
+        )
+        for bi in range(b)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
 hx AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-hh AS (SELECT doc_id, md5(shingle) AS h, substring(md5(shingle), 1, 1) AS band FROM hx),
-sig AS (SELECT doc_id, band, min(h) AS minhash FROM hh GROUP BY 1, 2),
+hxi AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS x1,
+         ('0x' || substring(md5(shingle), 8, 7))::BIGINT AS x2
+  FROM hx
+),
+sigw AS (SELECT doc_id,
+  {mins}
+  FROM hxi GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, u.band AS band, u.sig AS sig
+  FROM sigw, unnest([{band_structs}]) AS t(u)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 ver AS (
   SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS shared, len(sa.sh) AS na, len(sb.sh) AS nb
@@ -373,7 +419,10 @@ ver AS (
 SELECT id_a, id_b, round(shared / (na + nb - shared), 6) AS jaccard
 FROM ver WHERE shared / (na + nb - shared) >= 0.5
 """
-)
+    )
+
+
+DD03_SQL = _dd03_sql()
 
 
 def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:

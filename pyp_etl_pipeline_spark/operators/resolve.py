@@ -22,7 +22,7 @@ Scale design (the part the reference, being row-at-a-time, never had):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark.functions import scoring
@@ -52,6 +52,16 @@ def exact_resolve(
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    session's parallelism (small single-file scans otherwise serialize all
+    downstream per-row compute onto one core). No-op at cluster scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def fuzzy_candidates(
     items: DataFrame,
     dim: DataFrame,
@@ -60,12 +70,17 @@ def fuzzy_candidates(
     id_col: str = "ext_id",
     max_token_df: int | None = None,
 ) -> DataFrame:
-    """J2 candidate generation via token blocking.
+    """J2 candidate generation via token blocking: all (item, candidate)
+    pairs sharing >= 1 blocking token, carrying both token arrays for
+    downstream scoring.
 
-    Returns one row per (item, candidate) pair that shares >= 1 blocking
-    token, carrying both token arrays for downstream scoring. At scale the
-    blocking join shuffles on ``token``; ``max_token_df`` drops tokens whose
-    dimension document-frequency exceeds the cap (skew/stop-word guard) —
+    Physical shape (the 100 TB-aware choice): the *dimension* side is the
+    small canonical dictionary, so its exploded token index is BROADCAST —
+    the corpus-sized items side streams through the join with no shuffle at
+    all. Pair dedup (a pair shares k tokens -> k join hits) is a map-side
+    partial aggregate before the only shuffle, whose input is already
+    collapsed to distinct pairs. ``max_token_df`` drops tokens whose
+    dimension document frequency exceeds the cap (skew/stop-word guard) —
     scoring still uses the FULL token sets, so the cap only affects recall
     of candidates sharing nothing but ultra-common tokens.
     """
@@ -80,10 +95,10 @@ def fuzzy_candidates(
     if max_token_df is not None:
         df_counts = dx.groupBy("__tok").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_token_df)
         dx = dx.join(F.broadcast(df_counts.select("__tok")), "__tok")
-    qx = q.select("__item", "__q_tokens", F.explode("__q_tokens").alias("__tok"))
+    qx = ensure_parallelism(q).select("__item", "__q_tokens", F.explode("__q_tokens").alias("__tok"))
 
     pairs = (
-        qx.join(dx, "__tok")
+        qx.join(F.broadcast(dx), "__tok")
         .select("__item", "__q_tokens", "__title", "__cand_id", "__d_tokens")
         .dropDuplicates(["__item", "__title", "__cand_id"])
     )
