@@ -680,6 +680,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st01_streaming_tumbling": (st01_streaming_tumbling, ST01_SQL),
 }
 
+# part 3: validators, text T4/T6, limits, summaries, set ops, date funcs,
+# streaming sliding, multimodal plumbing
+from pyp_etl_pipeline_spark.driver_queries_ext3 import QUERIES3  # noqa: E402
+
+REGISTRY.update(QUERIES3)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

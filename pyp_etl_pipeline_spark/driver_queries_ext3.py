@@ -1,0 +1,308 @@
+"""Driver-contract queries, part 3: validators (F3/F4), text T4/T6,
+ordering/limits (O7), summaries (A3/A5), set ops (U2/E3), date functions,
+streaming sliding windows, multimodal plumbing.
+
+Each query has a DuckDB oracle twin unless the operator is genuinely not
+SQL-expressible (mapInPandas multimodal stub — rows-only check, golden
+tests in pytest cover the values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.functions import text, validation
+from pyp_etl_pipeline_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# F3/F4 name + email validation
+# --------------------------------------------------------------------------
+
+_EMAIL_DOMAINS = ["acme.example", "bad domain", "mail.example", ""]
+
+
+def f03_name_email_validation(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 business-name + F4 email validation over synthesized contact rows
+    (reference app/etl.py:885-902). Emails cycle through valid/invalid
+    shapes; every 5th customer has no email (NULL passes F4)."""
+    c = load_table(spark, sf, "customer")
+    email = F.when(
+        F.col("c_custkey") % 5 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("user"),
+            F.col("c_custkey"),
+            F.lit("@"),
+            F.element_at(F.array(*[F.lit(d) for d in _EMAIL_DOMAINS]), (F.col("c_custkey") % 4 + 1).cast("int")),
+        )
+    )
+    df = c.select("c_custkey", F.col("c_name").alias("businessName"), email.alias("contactEmail"))
+    return df.select(
+        "c_custkey",
+        "businessName",
+        "contactEmail",
+        validation.valid_business_name("businessName").alias("name_valid"),
+        validation.valid_email("contactEmail").alias("email_valid"),
+    )
+
+
+F03_SQL = f"""
+WITH rows_ AS (
+  SELECT c_custkey, c_name AS businessName,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE 'user' || c_custkey || '@' ||
+                   (['{_EMAIL_DOMAINS[0]}', '{_EMAIL_DOMAINS[1]}', '{_EMAIL_DOMAINS[2]}', '{_EMAIL_DOMAINS[3]}'])[(c_custkey % 4 + 1)::INT]
+         END AS contactEmail
+  FROM customer
+)
+SELECT c_custkey, businessName, contactEmail,
+       businessName IS NOT NULL AND length(trim(businessName)) BETWEEN 2 AND 200
+         AND NOT regexp_matches(businessName, '[<>"'']') AS name_valid,
+       contactEmail IS NULL OR regexp_matches(contactEmail, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}$') AS email_valid
+FROM rows_
+"""
+
+
+# --------------------------------------------------------------------------
+# T4 punctuation strip + T6 lowercase key
+# --------------------------------------------------------------------------
+
+def t03_punct_lower_key(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 punctuation strip (keep - . () digits) + T6 lowercase join key on
+    a punctuated derivative of part names."""
+    p = load_table(spark, sf, "part")
+    raw = F.concat(F.col("p_name"), F.lit("; ["), F.col("p_brand"), F.lit("]!? (v1.0)"))
+    return p.select(
+        "p_partkey",
+        raw.alias("raw"),
+        text.strip_punctuation(raw).alias("stripped"),
+        text.lower_key(text.strip_punctuation(raw)).alias("join_key"),
+    )
+
+
+T03_SQL = """
+WITH r AS (SELECT p_partkey, p_name || '; [' || p_brand || ']!? (v1.0)' AS raw FROM part)
+SELECT p_partkey, raw,
+       regexp_replace(raw, '[,;!?''"\\[\\]{}]', '', 'g') AS stripped,
+       lower(trim(regexp_replace(raw, '[,;!?''"\\[\\]{}]', '', 'g'))) AS join_key
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# O7 distinct + sort (template filters)
+# --------------------------------------------------------------------------
+
+def o07_distinct_sorted_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """O7: distinct sorted filter values (reference reviews.html:193-203)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    segs = c.select(F.lit("segment").alias("kind"), F.col("c_mktsegment").alias("value")).distinct()
+    nats = n.select(F.lit("nation").alias("kind"), F.col("n_name").alias("value")).distinct()
+    return segs.unionByName(nats).orderBy("kind", "value")
+
+
+O07_SQL = """
+SELECT * FROM (
+  SELECT DISTINCT 'segment' AS kind, c_mktsegment AS value FROM customer
+  UNION SELECT DISTINCT 'nation', n_name FROM nation
+) ORDER BY kind, value
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 push summary (action counts) + A5 error summary w/ 24h cutoff
+# --------------------------------------------------------------------------
+
+def a03_push_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: members created/updated/skipped counts from the merge
+    classification (reference app/routes.py:2019-2028)."""
+    from pyp_etl_pipeline_spark.driver_queries import j09_merge_actions  # noqa: PLC0415
+
+    return j09_merge_actions(spark, sf).groupBy("action").agg(F.count("*").alias("n_members"))
+
+
+def a05_error_summary_24h(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: last-24h event counts per category relative to the corpus max
+    timestamp (reference app/error_utils.py:224-244), with day bucketing
+    (``:54-56``) — exercises the date/time function surface of §2.10."""
+    e = load_table(spark, sf, "events")
+    cutoff = e.agg(F.max("ts").alias("mx")).select(F.col("mx") - F.expr("INTERVAL 24 HOURS"))
+    cut = cutoff.collect()[0][0]
+    return (
+        e.filter(F.col("ts") >= F.lit(cut))
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type").alias("category"),
+        )
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+A05_SQL = """
+WITH cut AS (SELECT max(ts) - INTERVAL 24 HOURS AS c FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type AS category,
+       count(*) AS n_errors, round(avg(value), 4) AS avg_value
+FROM events, cut WHERE ts >= cut.c
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# U2/E3: ID-array union + cross-link dedup
+# --------------------------------------------------------------------------
+
+def u02_idarray_union(spark: SparkSession, sf: str) -> DataFrame:
+    """U2: per-nation union of distinct customer segments and supplier
+    account-balance signs — existing ∪ resolved ID-set union shape
+    (reference app/routes.py:1584-1586) as sorted joined strings."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    cseg = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.collect_set("c_mktsegment").alias("a")
+    )
+    sseg = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.collect_set(F.when(F.col("s_acctbal") >= 0, "POS").otherwise("NEG")).alias("b")
+    )
+    return (
+        cseg.join(sseg, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.array_join(
+                F.array_sort(F.array_union(F.coalesce("a", F.array()), F.coalesce("b", F.array()))), ","
+            ).alias("all_tags"),
+        )
+    )
+
+
+U02_SQL = """
+WITH cseg AS (SELECT c_nationkey AS nationkey, array_agg(DISTINCT c_mktsegment) AS a FROM customer GROUP BY 1),
+     sseg AS (SELECT s_nationkey AS nationkey, array_agg(DISTINCT CASE WHEN s_acctbal >= 0 THEN 'POS' ELSE 'NEG' END) AS b FROM supplier GROUP BY 1)
+SELECT coalesce(cseg.nationkey, sseg.nationkey) AS nationkey,
+       array_to_string(list_sort(list_distinct(coalesce(a, []) || coalesce(b, []))), ',') AS all_tags
+FROM cseg FULL OUTER JOIN sseg ON cseg.nationkey = sseg.nationkey
+"""
+
+
+def e03_crosslink_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """E3: don't re-link IDs already attached (reference
+    app/routes.py:1440-1447): per order, the lineitem part keys NOT in the
+    order's already-linked set (even lineitem numbers)."""
+    li = load_table(spark, sf, "lineitem")
+    linked = li.filter(F.col("l_linenumber") % 2 == 0).groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("linked")
+    )
+    allp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("all_parts"))
+    return allp.join(linked, "l_orderkey", "left").select(
+        "l_orderkey",
+        F.array_join(
+            F.array_sort(F.array_except("all_parts", F.coalesce("linked", F.array()))), ","
+        ).alias("new_links"),
+    )
+
+
+E03_SQL = """
+WITH linked AS (
+  SELECT l_orderkey, array_agg(DISTINCT l_partkey) AS linked
+  FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY 1
+),
+allp AS (SELECT l_orderkey, array_agg(DISTINCT l_partkey) AS all_parts FROM lineitem GROUP BY 1)
+SELECT a.l_orderkey,
+       coalesce(array_to_string(list_sort(list_filter(all_parts, x -> NOT list_contains(coalesce(linked, []), x))), ','), '') AS new_links
+FROM allp a LEFT JOIN linked l ON a.l_orderkey = l.l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming sliding window (st02) — batch-equivalent oracle via epoch starts
+# --------------------------------------------------------------------------
+
+def st02_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming sliding-window counts, drained with
+    availableNow semantics and emitted as epoch window starts so the
+    DuckDB twin (same arithmetic as w02) verifies the stream output."""
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        run_to_memory,
+        streaming_sliding_agg,
+    )
+
+    import uuid  # noqa: PLC0415
+
+    name = "st02_" + uuid.uuid4().hex[:8]
+    stream = read_events_stream(spark, sf)
+    agg = streaming_sliding_agg(stream, watermark="0 seconds")
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+ST02_SQL = """
+WITH ex AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - 900 * u.i AS window_start
+  FROM events, unnest([0, 1, 2, 3]) AS u(i)
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM ex GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (mm01) — mapInPandas over binary payloads
+# --------------------------------------------------------------------------
+
+def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal extract-features over binary payloads synthesized from
+    the documents table (payload = utf-8 bytes of text; kind cycles
+    image/audio/video). Arrow-batched mapInPandas with the deterministic
+    stub decoder — rows-only driver check; values are golden-tested in
+    tests/test_multimodal.py."""
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import extract_features  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media)
+
+
+QUERIES3 = {
+    "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
+    "t03_punct_lower_key": (t03_punct_lower_key, T03_SQL),
+    "o07_distinct_sorted_filters": (o07_distinct_sorted_filters, O07_SQL),
+    "a03_push_summary": (a03_push_summary, None),  # oracle composed below
+    "a05_error_summary_24h": (a05_error_summary_24h, A05_SQL),
+    "u02_idarray_union": (u02_idarray_union, U02_SQL),
+    "e03_crosslink_dedup": (e03_crosslink_dedup, E03_SQL),
+    "st02_streaming_sliding": (st02_streaming_sliding, ST02_SQL),
+    "mm01_media_features": (mm01_media_features, None),  # mapInPandas stub
+}
+
+
+def _finalize() -> None:
+    from pyp_etl_pipeline_spark.driver_queries import J09_SQL  # noqa: PLC0415
+
+    QUERIES3["a03_push_summary"] = (
+        a03_push_summary,
+        f"SELECT action, count(*) AS n_members FROM ({J09_SQL}) GROUP BY 1",
+    )
+
+
+_finalize()

@@ -42,7 +42,9 @@ def validate_upload_path(path: str) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext not in ALLOWED_EXTENSIONS:
         raise ValueError(f"unsupported extension: {ext}")
-    if ".." in os.path.normpath(path).split(os.sep):
+    # check the RAW path segments: normpath would resolve '..' away and
+    # let a traversal through
+    if ".." in path.split(os.sep):
         raise ValueError("path traversal detected")
 
 

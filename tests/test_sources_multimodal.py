@@ -1,0 +1,116 @@
+"""Ingest sources (S1-S4, encoding detection, validation), report sinks
+(S10-S12), and multimodal binary plumbing (mapInPandas feature extraction,
+resize metadata, frame-sample plan)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.multimodal import binary_ops
+from pyp_etl_pipeline_spark.sources import ingest, reports
+
+
+# ------------------------------------------------------------------ ingest
+
+def test_detect_encoding_utf8(tmp_path):
+    p = tmp_path / "a.csv"
+    p.write_text("name,city\nCafé,Köln\n", encoding="utf-8")
+    assert ingest.detect_encoding(str(p)) == "utf-8"
+
+
+def test_detect_encoding_latin1(tmp_path):
+    p = tmp_path / "b.csv"
+    p.write_bytes("name\nCaf\xe9\n".encode("latin-1"))
+    # 0xE9 alone is invalid utf-8 -> falls through to latin-1
+    assert ingest.detect_encoding(str(p)) == "latin-1"
+
+
+def test_validate_upload_path_rejects():
+    with pytest.raises(ValueError):
+        ingest.validate_upload_path("/tmp/evil.exe")
+    with pytest.raises(ValueError):
+        ingest.validate_upload_path("/tmp/../etc/passwd.csv")
+    ingest.validate_upload_path("/tmp/ok.csv")  # no raise
+
+
+def test_read_csv_upload_all_strings(spark, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("Business Name,Products\nAcme,\"a;b\"\nBeta,\n", encoding="utf-8")
+    df = ingest.read_csv_upload(spark, str(p))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    rows = {r["Business Name"]: r["Products"] for r in df.collect()}
+    assert rows == {"Acme": "a;b", "Beta": None}
+
+
+def test_validate_excel_file_rejects_nonzip(tmp_path):
+    p = tmp_path / "fake.xlsx"
+    p.write_text("not a zip")
+    with pytest.raises(ValueError):
+        ingest.validate_excel_file(str(p))
+
+
+# ------------------------------------------------------------------ reports
+
+def test_write_report_csv_single_file(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "name string, n int")
+    out = str(tmp_path / "report")
+    reports.write_report_csv(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1  # coalesced to one part like the reference's CSV
+    content = open(os.path.join(out, files[0])).read()
+    assert content.startswith("name,n")
+
+
+def test_truncate_dir(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x int")
+    out = str(tmp_path / "t")
+    reports.write_report_csv(df, out)
+    reports.truncate_dir(out)
+    assert not os.path.exists(out)
+
+
+# --------------------------------------------------------------- multimodal
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", ("image/png", 640, 480, None)),
+        (2, "audio", b"RIFF fake wav", ("audio/wav", None, None, 2500)),
+        (3, "video", b"\x00\x00ftyp fake mp4", ("video/mp4", 1920, 1080, 3500)),
+        (4, "image", None, ("image/png", 1, 1, None)),
+    ]
+    return spark.createDataFrame(rows, binary_ops.MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(media):
+    out = {r["media_id"]: r for r in binary_ops.extract_features(media).collect()}
+    assert len(out) == 4
+    payload = b"\x89PNG fake bytes"
+    assert out[1]["n_bytes"] == len(payload)
+    assert out[1]["checksum"] == hashlib.md5(payload).hexdigest()
+    assert out[1]["feat0"] == (sum(payload) % 997) / 997.0
+    assert out[4]["n_bytes"] == 0 and out[4]["feat0"] == 0.0  # NULL payload safe
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        binary_ops.decode_real(b"x", "image")
+
+
+def test_resize_images_updates_meta(media):
+    out = binary_ops.resize_images(media, 100, 50).collect()
+    assert all(r["meta"]["width"] == 100 and r["meta"]["height"] == 50 for r in out)
+    # payload plumbing survives the batch round-trip
+    by_id = {r["media_id"]: r["payload"] for r in out}
+    assert bytes(by_id[1]) == b"\x89PNG fake bytes"
+
+
+def test_frame_sample_plan(media):
+    frames = binary_ops.frame_sample_plan(media, every_ms=1000).collect()
+    # only the video row; 3500ms -> frames at 0,1000,2000
+    assert {r["media_id"] for r in frames} == {3}
+    assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000]
