@@ -1,0 +1,65 @@
+"""Plan-quality invariants: column pruning, predicate pushdown, broadcast
+joins. These are the scale properties SCALE.md documents — pinned here so
+a refactor that silently loses a pushdown or broadcasts stops CI."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyp_etl_pipeline_spark.driver_queries_ext import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    fn, _ = REGISTRY[name]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_q03_prunes_columns_and_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_region_revenue")
+    # 5-table star join: every scan column-pruned to the referenced few
+    for schema in read_schemas(plan):
+        assert len(schema.split(",")) <= 3, f"unpruned scan: {schema}"
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_flagship_broadcast_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "flagship_band_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scans = read_schemas(plan)
+    assert all(len(s.split(",")) <= 4 for s in scans), scans
+
+
+def test_j01_dimension_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j01_exact_resolution")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No query may plan a CartesianProduct; nested-loop joins are allowed
+    only as broadcast NLJ (and none are expected today)."""
+    offenders = {}
+    for name in ["q01_pricing_summary", "j02_fuzzy_topk", "dd03_minhash_lsh_pairs",
+                 "ann01_cosine_topk", "w03_sessionize_30m", "a01_band_summary"]:
+        plan = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders
+
+
+def test_scoring_pipeline_is_python_free(spark, sf_dir):
+    """The similarity scoring pipeline must stay JVM-side: no Python
+    evaluation nodes (row-wise or Arrow) may appear in the plan. (The
+    pre-execution AQE plan hides WholeStageCodegen markers, so codegen
+    presence itself isn't assertable here.)"""
+    for name in ["j02_fuzzy_topk", "a01_band_summary", "tx01_quality_features", "dd03_minhash_lsh_pairs"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
