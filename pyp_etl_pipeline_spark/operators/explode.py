@@ -40,6 +40,11 @@ def explode_items(
     case-insensitive per (keys, kind).
     """
     kind_columns = kind_columns or ITEM_KIND_COLUMNS
+    # absent kind columns behave as all-empty (the reference iterates a
+    # fixed kind list but missing spreadsheet columns simply yield nothing)
+    kind_columns = {k: c for k, c in kind_columns.items() if c in df.columns}
+    if not kind_columns:
+        raise ValueError("no item-kind columns present in the input")
     key_cols = list(key_cols)
     parts = []
     for kind, col_name in kind_columns.items():

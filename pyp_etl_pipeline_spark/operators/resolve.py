@@ -200,6 +200,9 @@ def similarity_resolve(
             F.col("__item"),
             F.when(F.col("band") == "auto_resolve", F.col("__cand_id")).alias("matched_id"),
             F.when(F.col("band") != "reject", F.col("__title")).alias("matched_title"),
+            # review queue needs the best candidate's ID even though the
+            # match is not auto-resolved (reference MatchReview.suggested_ext_id)
+            F.when(F.col("band") != "reject", F.col("__cand_id")).alias("suggested_id"),
             F.col("adjusted_score").alias("score"),
             F.col("band"),
             (F.col("band") == "auto_resolve").alias("resolved"),
@@ -213,6 +216,7 @@ def similarity_resolve(
             "__item",
             F.lit(None).cast("string").alias("matched_id"),
             F.lit(None).cast("string").alias("matched_title"),
+            F.lit(None).cast("string").alias("suggested_id"),
             F.lit(0.0).alias("score"),
             F.lit("reject").alias("band"),
             F.lit(False).alias("resolved"),
@@ -224,6 +228,7 @@ def similarity_resolve(
         "__item",
         "matched_id",
         "matched_title",
+        F.col("matched_id").alias("suggested_id"),
         "score",
         F.lit("auto_resolve").alias("band"),
         F.lit(True).alias("resolved"),
