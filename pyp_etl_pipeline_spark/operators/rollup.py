@@ -55,7 +55,14 @@ def error_summary_by_category(
     return errors.filter(F.col(ts_col) >= cutoff).groupBy(category_col).agg(F.count("*").alias("n_errors"))
 
 
-def observe_quota(df: DataFrame, bytes_col: str, name: str = "quota") -> DataFrame:
-    """A6 analog: attach an observation aggregating processed bytes —
-    Spark's ``observe`` replaces the reference's daily-quota accumulator."""
-    return df.observe(name, F.sum(F.col(bytes_col)).alias("bytes_processed"), F.count(F.lit(1)).alias("rows"))
+def observe_quota(df: DataFrame, bytes_col: str, name: str = "quota"):
+    """A6 analog: attach an Observation aggregating processed bytes —
+    Spark's ``observe`` replaces the reference's daily-quota accumulator
+    (zero extra passes; metrics materialize with the first action).
+    Returns (df_with_observation, observation); read ``observation.get``
+    after an action and feed it to ``operators.quota.DailyQuota``."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    obs = Observation(name)
+    out = df.observe(obs, F.sum(F.col(bytes_col)).alias("bytes_processed"), F.count(F.lit(1)).alias("rows"))
+    return out, obs
