@@ -91,6 +91,43 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# F5 country whitelist semi/anti join
+# --------------------------------------------------------------------------
+
+def f05_country_whitelist(spark: SparkSession, sf: str) -> DataFrame:
+    """F5: members kept/skipped by whitelist membership (reference
+    app/routes.py:1229-1250) — customers whose nation appears in the
+    AMERICA/ASIA regions pass; the rest are routed to the skip report.
+    Broadcast semi/anti joins, flagged in one pass."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    whitelist = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .select(F.col("n_nationkey").alias("wl_key"))
+    )
+    return (
+        c.join(F.broadcast(whitelist), c["c_nationkey"] == F.col("wl_key"), "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("wl_key").isNotNull().alias("allowed"),
+        )
+    )
+
+
+F05_SQL = """
+WITH wl AS (
+  SELECT n_nationkey AS wl_key FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name IN ('AMERICA', 'ASIA')
+)
+SELECT c_custkey, c_nationkey, wl_key IS NOT NULL AS allowed
+FROM customer LEFT JOIN wl ON c_nationkey = wl_key
+"""
+
+
+# --------------------------------------------------------------------------
 # O7 distinct + sort (template filters)
 # --------------------------------------------------------------------------
 
@@ -285,6 +322,7 @@ def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES3 = {
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
+    "f05_country_whitelist": (f05_country_whitelist, F05_SQL),
     "t03_punct_lower_key": (t03_punct_lower_key, T03_SQL),
     "o07_distinct_sorted_filters": (o07_distinct_sorted_filters, O07_SQL),
     "a03_push_summary": (a03_push_summary, None),  # oracle composed below
