@@ -29,6 +29,19 @@ from pyp_etl_pipeline_spark.functions import scoring
 from pyp_etl_pipeline_spark.functions.text import lower_key
 
 
+def _dedupe_dim(dim: DataFrame, title_col: str, id_col: str) -> DataFrame:
+    """One dimension row per lowercase title (the reference's canonical
+    dict is keyed on ``title.lower()``, app/etl.py:1090-1093 — duplicate
+    titles must not fan out the join). Deterministic pick: min (title,
+    id) pair per key; the reference's dict keeps the arbitrary last fetch
+    row, a documented deviation."""
+    return (
+        dim.groupBy(lower_key(title_col).alias("__key"))
+        .agg(F.min(F.struct(F.col(title_col).alias("t"), F.col(id_col).alias("i"))).alias("__m"))
+        .select("__key", F.col("__m.t").alias("__dim_title"), F.col("__m.i").alias("__dim_id"))
+    )
+
+
 def exact_resolve(
     items: DataFrame,
     dim: DataFrame,
@@ -39,10 +52,10 @@ def exact_resolve(
 ) -> DataFrame:
     """J1: broadcast hash join on the lowercase key. Adds
     ``matched_id``, ``matched_title``, ``score``, ``resolved``."""
-    d = dim.select(
-        lower_key(title_col).alias("__key"),
-        F.col(id_col).alias("matched_id"),
-        F.col(title_col).alias("matched_title"),
+    d = _dedupe_dim(dim, title_col, id_col).select(
+        "__key",
+        F.col("__dim_id").alias("matched_id"),
+        F.col("__dim_title").alias("matched_title"),
     )
     if broadcast_dim:
         d = F.broadcast(d)
@@ -85,11 +98,10 @@ def fuzzy_candidates(
     of candidates sharing nothing but ultra-common tokens.
     """
     q = items.select(F.col(item_col).alias("__item"), scoring.tokens(item_col).alias("__q_tokens")).distinct()
-    d = dim.select(
-        F.col(title_col).alias("__title"),
-        F.col(id_col).alias("__cand_id"),
-        scoring.tokens(title_col).alias("__d_tokens"),
-    )
+    d = _dedupe_dim(dim, title_col, id_col).select(
+        F.col("__dim_title").alias("__title"),
+        F.col("__dim_id").alias("__cand_id"),
+    ).withColumn("__d_tokens", scoring.tokens("__title"))
 
     dx = d.select("__title", "__cand_id", "__d_tokens", F.explode("__d_tokens").alias("__tok"))
     if max_token_df is not None:

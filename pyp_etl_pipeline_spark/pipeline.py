@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyp_etl_pipeline_spark import schema as S
 from pyp_etl_pipeline_spark.functions import validation
 from pyp_etl_pipeline_spark.functions.nulls import is_valid_value, null_normalize
-from pyp_etl_pipeline_spark.functions.text import sanitize_string
+from pyp_etl_pipeline_spark.functions.text import normalize_offering_text, sanitize_string
 from pyp_etl_pipeline_spark.operators.explode import explode_items
 from pyp_etl_pipeline_spark.operators.offerings import derive_offerings
 from pyp_etl_pipeline_spark.operators.resolve import similarity_resolve
@@ -127,8 +127,17 @@ def etl_phase(
     # J11 offerings
     members = derive_offerings(members)
 
-    # E1/E2 explode the four item kinds
-    items = explode_items(members, [key_col])
+    # E1 explode the four item kinds, then normalize each item through the
+    # reference's T2-T5 + T1 chain BEFORE dedup/resolution (the reference
+    # normalizes-then-dedups per row, app/etl.py:1228-1238, so variant
+    # spellings collapse to one item)
+    items = explode_items(members, [key_col], dedup=False)
+    items = items.withColumn("item", sanitize_string(normalize_offering_text("item")))
+    items = (
+        items.withColumn("_k", F.lower(F.col("item")))
+        .dropDuplicates([key_col, "kind", "_k"])
+        .drop("_k")
+    )
 
     # J1-J7: exact + blocked fuzzy resolution per kind, banded
     parts = []

@@ -81,7 +81,8 @@ def test_phase2_explode_and_bands(raw, dims):
 
     res = {r["item"]: r for r in etl.resolution.collect()}
     assert res["Vitamin C"]["band"] == "auto_resolve" and res["Vitamin C"]["score"] == 100.0
-    assert res["totally unknown compound xyz"]["band"] == "reject"
+    # items are normalized (T2-T5) before resolution, so Capital-Case key
+    assert res["Totally Unknown Compound Xyz"]["band"] == "reject"
     assert res["Sea Salt"]["band"] == "auto_resolve"
     # near-match lands in review with a suggestion
     assert res["Vitamin D3 Capsules"]["band"] == "review"

@@ -10,13 +10,15 @@ from pyspark.sql import functions as F
 from pyp_etl_pipeline_spark.functions import nulls, scoring, text
 
 # Latin ranges only: JVM upper/lower on exotic scripts (e.g. Greek U+1F80)
-# can expand one char into two, which is out of domain for the reference's
-# business/product-name normalization.
+# or one-to-many case mappings (ß -> SS, ŉ, ǰ) expand one char into two,
+# which is out of domain for the reference's business/product-name
+# normalization.
 TEXTISH = st.text(
     alphabet=st.characters(
         whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
         whitelist_characters="-.,;()",
         max_codepoint=0x02FF,
+        blacklist_characters="ßŉǰ",
     ),
     min_size=0,
     max_size=40,
