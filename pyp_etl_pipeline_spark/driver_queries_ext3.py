@@ -255,6 +255,55 @@ FROM allp a LEFT JOIN linked l ON a.l_orderkey = l.l_orderkey
 
 
 # --------------------------------------------------------------------------
+# ANN: IVF-flat approximate top-k (ann03)
+# --------------------------------------------------------------------------
+
+def ann03_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN: corpus bucketed by nearest of 16 deterministic
+    centroids; queries probe their 2 nearest lists and exact-rerank."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity  # noqa: PLC0415
+
+    emb = _load_corpus(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=2)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("match_rank"), "cosine")
+
+
+ANN03_SQL = """
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 16)
+),
+corpus_assign AS (
+  SELECT vec_id, v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id ASC) AS pr
+  FROM vecs, cents
+  QUALIFY pr <= 1
+),
+q_assign AS (
+  SELECT vec_id AS qid, v AS qv, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id ASC) AS pr
+  FROM vecs, cents WHERE vec_id % 100 = 0
+  QUALIFY pr <= 2
+),
+scored AS (
+  SELECT qid AS query_id, c.vec_id AS neighbor_id, list_cosine_similarity(qv, c.v) AS cos
+  FROM q_assign q JOIN corpus_assign c USING (centroid_id)
+  WHERE c.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS match_rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY match_rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Streaming sliding window (st02) — batch-equivalent oracle via epoch starts
 # --------------------------------------------------------------------------
 
@@ -289,6 +338,45 @@ WITH ex AS (
 )
 SELECT window_start, event_type, count(*) AS n_events
 FROM ex GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Custom stateful streaming (st03) — applyInPandasWithState running totals
+# --------------------------------------------------------------------------
+
+def st03_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user running totals via the custom GroupState operator, drained
+    over all available input; the FINAL state per user (max n_events row)
+    must equal the batch aggregate — which is the DuckDB oracle."""
+    import uuid  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.streaming import stateful  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        run_to_memory,
+    )
+
+    name = "st03_" + uuid.uuid4().hex[:8]
+    stream = read_events_stream(spark, sf).select("user_id", "value")
+    out = stateful.running_user_totals(stream)
+    run_to_memory(out, name, output_mode="update")
+    t = spark.table(name)
+    final = t.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "sum_value", "max_value")).alias("f")
+    )
+    return final.select(
+        "user_id",
+        F.col("f.n_events").alias("n_events"),
+        F.col("f.sum_value").alias("sum_value"),
+        F.round(F.col("f.max_value"), 6).alias("max_value"),
+    )
+
+
+ST03_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1
 """
 
 
@@ -329,7 +417,9 @@ QUERIES3 = {
     "a05_error_summary_24h": (a05_error_summary_24h, A05_SQL),
     "u02_idarray_union": (u02_idarray_union, U02_SQL),
     "e03_crosslink_dedup": (e03_crosslink_dedup, E03_SQL),
+    "ann03_ivf_topk": (ann03_ivf_topk, ANN03_SQL),
     "st02_streaming_sliding": (st02_streaming_sliding, ST02_SQL),
+    "st03_stateful_running_totals": (st03_stateful_running_totals, ST03_SQL),
     "mm01_media_features": (mm01_media_features, None),  # mapInPandas stub
 }
 

@@ -126,6 +126,83 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``nprobe``
+    nearest centroids by cosine (broadcast centroid list — the classic
+    inverted-file structure). Output: (id, __v, centroid_id, probe_rank).
+    """
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
+    c = centroids.select(F.col("centroid_id"), _as_double("centroid_vec").alias("__c"))
+    scored = v.join(F.broadcast(c), F.lit(True)).withColumn("__sim", cosine(F.col("__v"), F.col("__c")))
+    w = Window.partitionBy("id").orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("id", "__v", "centroid_id", "probe_rank")
+    )
+
+
+def deterministic_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids without k-means: the vectors of the
+    ``k`` smallest ids serve as seeds (reproducible across engines, no
+    iterative training — the IVF *structure* is the scale-relevant part;
+    swap in k-means centroids on a real corpus). ``orderBy + limit``
+    compiles to TakeOrdered (no full sort); the window runs over k rows.
+    """
+    seeds = vectors.select(F.col(id_col), _as_double(vec_col).alias("centroid_vec")).orderBy(id_col).limit(k)
+    w = Window.orderBy(F.col(id_col).asc())
+    return seeds.withColumn("__rn", F.row_number().over(w)).select(
+        (F.col("__rn") - 1).alias("centroid_id"), "centroid_vec"
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are bucketed by nearest
+    centroid (nprobe=1); each query probes its ``nprobe`` nearest
+    centroid lists and exact-reranks inside them. At scale the corpus
+    assignment is one broadcast pass and the search join touches
+    nprobe/n_centroids of the corpus per query."""
+    cents = deterministic_centroids(vectors, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    corpus = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"), F.col("__v"), "centroid_id"
+    )
+    q = ivf_assign(queries, cents, id_col=query_id_col, vec_col=query_vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), F.col("__v").alias("__q"), "centroid_id"
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
