@@ -229,3 +229,31 @@ def push_phase(
         )
     )
     return PushResult(merged_sink=merged, new_dim_rows=new_dims, skipped_members=skipped, summary=summary)
+
+
+def preview_push(
+    etl: EtlResult,
+    countries: DataFrame,
+    sink: DataFrame,
+    n: int = 5,
+    key_col: str = "businessName",
+) -> DataFrame:
+    """Dry-run mutation preview (reference ``/reviews/preview_mutations``,
+    app/routes.py:871-1040): the first ``n`` members' would-be MERGE
+    actions, with nothing written — the EXPLAIN of the push. Bounded
+    collect-side output (limit n), everything else stays lazy."""
+    from pyp_etl_pipeline_spark.operators.upsert import merge_classify  # noqa: PLC0415
+
+    m = etl.members
+    allowed = m.join(
+        F.broadcast(countries.select(F.lower(F.trim("title")).alias("__ct"))),
+        F.lower(F.trim(m["country1"])) == F.col("__ct"),
+        "left_semi",
+    )
+    actions = merge_classify(allowed, sink, key=key_col)
+    return (
+        actions.filter(F.col("action") != "sink_only")
+        .orderBy("merge_key")
+        .limit(n)
+        .select(F.col("name").alias(key_col), "action")
+    )

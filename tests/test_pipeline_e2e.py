@@ -120,6 +120,16 @@ def test_phase3_push(spark, raw, dims):
     assert summary["reviews_pending"] == 0  # the single review item was decided
 
 
+def test_preview_push_dry_run(spark, raw, dims):
+    etl = run_etl(raw, dims)
+    countries = spark.createDataFrame(COUNTRIES, "title string, countryID string")
+    sink = spark.createDataFrame(SINK, "businessName string, contactEmail string")
+    preview = {r["businessName"]: r["action"] for r in pipeline.preview_push(etl, countries, sink).collect()}
+    assert preview["Acme Foods"] == "update"
+    assert preview["Beta Supplements"] == "insert"
+    assert "Delta Co" not in preview  # country-gated out of the dry run too
+
+
 def test_idempotent_reingest(spark, raw, dims):
     plan = pipeline.ingest_phase(raw)
     ledger = spark.createDataFrame([("upload1.csv",)], "source_file string")
