@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # many distinct whole-stage-codegen classes compile across a query
+        # suite; the JDK default 240m code cache fills and silently disables
+        # the JIT (queries then run interpreted, 3-5x slower). Spark's own
+        # tuning guide recommends raising it for SQL-heavy workloads.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
