@@ -342,6 +342,70 @@ FROM ex GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# A7 hierarchical rollup (grouping sets)
+# --------------------------------------------------------------------------
+
+def a07_status_priority_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (status, priority): per-combination, per-status, and
+    grand-total rows in one pass (SURVEY §2.7 notes grouping sets come
+    free from Spark SQL — pinned here with an oracle)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+A07_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join (aj01) — purchases matched to latest prior view per user
+# --------------------------------------------------------------------------
+
+def aj01_asof_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join on the events table: each purchase matched to the
+    user's most recent view at or before it. Timestamps truncated to
+    whole seconds (portable across the engines' nanos/micros precision)
+    and the view side pre-aggregated to one row per (user, second) so
+    the 'latest prior' pick is deterministic."""
+    from pyp_etl_pipeline_spark.operators.asof import asof_join  # noqa: PLC0415
+
+    e = load_table(spark, sf, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts_sec").alias("ts"), F.round("value", 2).alias("purchase_value")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_sec").alias("ts"))
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    out = asof_join(purchases, views, key="user_id", ts="ts", right_value_cols=["view_value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("purchase_ts_sec"),
+        "purchase_value",
+        F.col("ts_right").alias("view_ts_sec"),
+        "view_value_right",
+    )
+
+
+AJ01_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+p AS (SELECT user_id, event_id, ts_sec, round(value, 2) AS purchase_value FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts_sec, round(max(value), 2) AS view_value FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT p.user_id, p.event_id, p.ts_sec AS purchase_ts_sec, p.purchase_value,
+       v.ts_sec AS view_ts_sec, v.view_value AS view_value_right
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_sec >= v.ts_sec
+"""
+
+
+# --------------------------------------------------------------------------
 # Custom stateful streaming (st03) — applyInPandasWithState running totals
 # --------------------------------------------------------------------------
 
@@ -418,6 +482,8 @@ QUERIES3 = {
     "u02_idarray_union": (u02_idarray_union, U02_SQL),
     "e03_crosslink_dedup": (e03_crosslink_dedup, E03_SQL),
     "ann03_ivf_topk": (ann03_ivf_topk, ANN03_SQL),
+    "aj01_asof_purchase_view": (aj01_asof_purchase_view, AJ01_SQL),
+    "a07_status_priority_rollup": (a07_status_priority_rollup, A07_SQL),
     "st02_streaming_sliding": (st02_streaming_sliding, ST02_SQL),
     "st03_stateful_running_totals": (st03_stateful_running_totals, ST03_SQL),
     "mm01_media_features": (mm01_media_features, None),  # mapInPandas stub
