@@ -33,11 +33,15 @@ HEADLINE = [
     "j01_exact_resolution",
     "j02_fuzzy_topk",
     "a01_band_summary",
+    "a07_status_priority_rollup",
     "o01_topk_orders_per_customer",
     "w01_tumbling_hourly",
     "w03_sessionize_30m",
+    "aj01_asof_purchase_view",
+    "dd02_ngram_jaccard_pairs",
     "dd03_minhash_lsh_pairs",
     "ann01_cosine_topk",
+    "ann03_ivf_topk",
     "tx01_quality_features",
 ]
 

@@ -1,0 +1,41 @@
+"""Atomic sink discipline: dynamic partition overwrite idempotency and
+versioned snapshot publish."""
+
+from __future__ import annotations
+
+from pyp_etl_pipeline_spark.sources import sinks
+
+
+def test_partitioned_overwrite_touches_only_own_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    day1 = spark.createDataFrame([("2024-01-01", 1), ("2024-01-02", 2)], "day string, v int")
+    sinks.write_partitioned_overwrite(day1, path, ["day"])
+
+    # re-publish ONLY day 2 with corrected data: day 1 must survive
+    day2_fixed = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    sinks.write_partitioned_overwrite(day2_fixed, path, ["day"])
+
+    # partition values read back type-inferred (date) — compare as strings
+    out = {str(r["day"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {"2024-01-01": 1, "2024-01-02": 99}
+
+
+def test_partitioned_overwrite_retry_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    sinks.write_partitioned_overwrite(batch, path, ["k"])
+    sinks.write_partitioned_overwrite(batch, path, ["k"])  # retry same batch
+    assert spark.read.parquet(path).count() == 2  # no duplication
+
+
+def test_versioned_snapshot_pointer_flip(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    v1 = spark.createDataFrame([(1,)], "x int")
+    sinks.write_versioned_snapshot(v1, root, version="001")
+    assert [r["x"] for r in sinks.read_current_snapshot(spark, root).collect()] == [1]
+
+    v2 = spark.createDataFrame([(2,)], "x int")
+    sinks.write_versioned_snapshot(v2, root, version="002")
+    assert [r["x"] for r in sinks.read_current_snapshot(spark, root).collect()] == [2]
+    # the old snapshot remains readable for time-travel/debugging
+    assert spark.read.parquet(f"{root}/v=001").count() == 1
