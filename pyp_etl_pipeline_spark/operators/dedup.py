@@ -76,6 +76,12 @@ def shingle_pairs_jaccard(
 
     jaccard = shared / (n_a + n_b - shared) computed exactly from distinct
     shingle counts; only pairs sharing >= 1 shingle are ever materialized.
+
+    Size-band prefilter (provably lossless): jaccard >= t implies
+    min(n_a, n_b) / max(n_a, n_b) >= t, since shared <= min and
+    j = s/(n_a+n_b-s) is increasing in s — so the size-ratio predicate
+    rides the join condition and prunes pairs before the aggregate
+    without changing the result set.
     """
     docs = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")).withColumn(
         "n_sh", F.size("sh")
@@ -83,9 +89,12 @@ def shingle_pairs_jaccard(
     ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
     a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    size_band = (
+        F.least(F.col("n_a"), F.col("n_b")) / F.greatest(F.col("n_a"), F.col("n_b")) >= threshold
+    )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["shingle"])
+        .filter((F.col("id_a") < F.col("id_b")) & size_band)
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("shared"))
         .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
