@@ -65,8 +65,10 @@ def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
     pairs = pr.join(F.broadcast(qt), "qk").join(F.broadcast(dt), "ck")
 
     # materialize scoring inputs ONCE as columns: Catalyst won't CSE
-    # subtrees referenced from multiple when() branches
-    inter, rest_a, rest_b = scoring.token_set_parts("qname", "cname")
+    # subtrees referenced from multiple when() branches. Token arrays
+    # (qtok/ctok) were computed per distinct name BEFORE the pair fan-out
+    # — reuse them instead of re-tokenizing 5M pair strings.
+    inter, rest_a, rest_b = scoring.token_set_parts_from_tokens(F.col("qtok"), F.col("ctok"))
     pairs = (
         pairs.withColumn("__int", inter)
         .withColumn("__ra", rest_a)

@@ -66,7 +66,13 @@ def token_set_parts(a: Column | str, b: Column | str) -> tuple[Column, Column, C
     does NOT eliminate common subexpressions inside when() branches, so
     passing raw expression trees to ``token_set_ratio_from_parts`` would
     re-evaluate tokenize/intersect/join once per reference."""
-    ta, tb = tokens(a), tokens(b)
+    return token_set_parts_from_tokens(tokens(a), tokens(b))
+
+
+def token_set_parts_from_tokens(ta: Column, tb: Column) -> tuple[Column, Column, Column]:
+    """Same, from pre-tokenized sorted-distinct arrays — use this when the
+    token arrays were already materialized before a join fan-out, so 5M
+    candidate pairs don't re-tokenize the same 20k strings."""
     return (
         F.array_join(F.array_intersect(ta, tb), " "),
         F.array_join(F.array_except(ta, tb), " "),

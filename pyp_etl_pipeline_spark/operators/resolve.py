@@ -123,8 +123,12 @@ def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:
         scored = pairs.withColumn("raw_score", scoring.dice_token_score("__item", "__title"))
     elif scorer == "token_set":
         # materialize scoring inputs ONCE as columns: Catalyst won't CSE
-        # subtrees referenced from multiple when() branches
-        inter, rest_a, rest_b = scoring.token_set_parts("__item", "__title")
+        # subtrees referenced from multiple when() branches. The token
+        # arrays were computed per distinct item/title before the pair
+        # fan-out — reuse them instead of re-tokenizing per pair.
+        inter, rest_a, rest_b = scoring.token_set_parts_from_tokens(
+            F.col("__q_tokens"), F.col("__d_tokens")
+        )
         scored = (
             pairs.withColumn("__int", inter)
             .withColumn("__ra", rest_a)
