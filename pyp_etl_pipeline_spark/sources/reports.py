@@ -29,3 +29,80 @@ def write_error_report(errors: DataFrame, out_dir: str, row_col: str = "row_id",
 def truncate_dir(path: str) -> None:
     """S12: clear a staging directory (overwrite-style reset)."""
     shutil.rmtree(path, ignore_errors=True)
+
+
+def build_audit_reports(
+    submission_name: str,
+    resolution: DataFrame,
+    invalid_rows: DataFrame,
+    new_dim_rows: dict[str, DataFrame],
+    member_key: str = "businessName",
+):
+    """The reference's three audit reports (``app/report_utils.py:29-44``
+    processed rows, ``:126-136`` errors, ``:200-211`` created nodes) as
+    DataFrames with the same column headers, built from pipeline outputs.
+    Write each with ``write_report_csv`` and bundle with ``zip_reports``.
+    """
+    sub = F.lit(submission_name)
+    ts = F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+
+    processed = resolution.select(
+        sub.alias("Submission Name"),
+        F.lit(None).cast("string").alias("Business Name"),
+        F.col("kind").alias("Item Type") if "kind" in resolution.columns else F.lit("item").alias("Item Type"),
+        F.col("item").alias("Original Item Name"),
+        F.col("item").alias("Normalized Item Name"),
+        F.col("band").alias("Decision Status"),
+        F.col("matched_id").alias("Matched Canonical ID"),
+        F.col("matched_title").alias("Canonical Name"),
+        F.round("score", 2).alias("Confidence Score"),
+        F.when(F.col("band") == "review", F.lit("pending")).otherwise(F.lit("n/a")).alias("Review Status"),
+        (F.col("band") == "reject").alias("Ignored"),
+        ts.alias("Created At"),
+        F.lit(None).cast("string").alias("Review Timestamp"),
+        F.lit(None).cast("string").alias("Reviewer Action"),
+    )
+
+    errors = invalid_rows.select(
+        sub.alias("Submission Name"),
+        F.col(member_key).alias("Business Name"),
+        F.lit("validation").alias("Error Type"),
+        F.lit("row_validation").alias("Error Category"),
+        F.col("error").alias("Error Message"),
+        F.lit(None).cast("string").alias("Item Type"),
+        F.lit(None).cast("string").alias("Item Name"),
+        F.lit(None).cast("long").alias("Row Number"),
+        ts.alias("Timestamp"),
+    )
+
+    created_parts = []
+    for kind, nd in new_dim_rows.items():
+        created_parts.append(
+            nd.select(
+                sub.alias("Submission Name"),
+                F.lit(kind).alias("Node Type"),
+                F.col("ext_id").alias("Node ID"),
+                F.col("title").alias("Title"),
+                ts.alias("Created At"),
+                F.lit(None).cast("string").alias("Associated Business"),
+                F.lit("pipeline").alias("Source"),
+                F.lit(None).cast("string").alias("Notes"),
+            )
+        )
+    created = created_parts[0] if created_parts else None
+    for p in (created_parts[1:] if created_parts else []):
+        created = created.unionByName(p)
+    return processed, errors, created
+
+
+def zip_reports(out_zip: str, report_dirs: dict[str, str]) -> None:
+    """Bundle the single-file CSVs into one zip (reference
+    ``app/routes.py:2113-2145``)."""
+    import os  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, d in report_dirs.items():
+            for f_ in os.listdir(d):
+                if f_.endswith(".csv"):
+                    z.write(os.path.join(d, f_), arcname=f"{name}.csv")

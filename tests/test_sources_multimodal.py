@@ -114,3 +114,39 @@ def test_frame_sample_plan(media):
     # only the video row; 3500ms -> frames at 0,1000,2000
     assert {r["media_id"] for r in frames} == {3}
     assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000]
+
+
+# ------------------------------------------------------- audit report bundle
+
+def test_build_audit_reports_and_zip(spark, tmp_path):
+    import os
+    import zipfile
+
+    resolution = spark.createDataFrame(
+        [("product", "Vitamin C", "P1", "Vitamin C", 100.0, "auto_resolve"),
+         ("product", "Mystery", None, None, 20.0, "reject")],
+        "kind string, item string, matched_id string, matched_title string, score double, band string",
+    )
+    invalid = spark.createDataFrame([("BadCo", "invalid email")], "businessName string, error string")
+    new_dims = {"product": spark.createDataFrame([("New Thing", "gen:abc")], "title string, ext_id string")}
+
+    processed, errors, created = reports.build_audit_reports("upload1.csv", resolution, invalid, new_dims)
+    assert processed.columns[0] == "Submission Name" and len(processed.columns) == 14
+    assert errors.columns == [
+        "Submission Name", "Business Name", "Error Type", "Error Category",
+        "Error Message", "Item Type", "Item Name", "Row Number", "Timestamp",
+    ]
+    rows = {r["Original Item Name"]: r for r in processed.collect()}
+    assert rows["Vitamin C"]["Decision Status"] == "auto_resolve"
+    assert rows["Mystery"]["Ignored"] is True
+    assert created.collect()[0]["Node Type"] == "product"
+
+    dirs = {}
+    for name, df in [("processed_rows", processed), ("errors", errors), ("created_nodes", created)]:
+        d = str(tmp_path / name)
+        reports.write_report_csv(df, d)
+        dirs[name] = d
+    out_zip = str(tmp_path / "reports.zip")
+    reports.zip_reports(out_zip, dirs)
+    with zipfile.ZipFile(out_zip) as z:
+        assert sorted(z.namelist()) == ["created_nodes.csv", "errors.csv", "processed_rows.csv"]
