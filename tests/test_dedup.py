@@ -70,3 +70,11 @@ def test_simhash_pairs_hamming(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, max_hamming=6).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
     assert all((a, b) not in pairs for a in (1, 2, 3, 4) for b in (5, 6))
+
+
+def test_prefix_filter_variant_identical(docs):
+    base = sorted(tuple(r) for r in dedup.shingle_pairs_jaccard(docs, threshold=0.2).collect())
+    pref = sorted(
+        tuple(r) for r in dedup.shingle_pairs_jaccard(docs, threshold=0.2, prefix_filter=True).collect()
+    )
+    assert base == pref
