@@ -124,6 +124,30 @@ def sql_normalized_text(x: str) -> str:
     return f"trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
 
 
+def sql_capital_case(t: str) -> str:
+    """text.capital_case as DuckDB SQL: per-word Capital Case with
+    stopwords lowercased unless first, each '-'/'.' segment capitalized
+    (indexed list lambdas; DuckDB indexes are 1-based vs Spark's 0-based)."""
+    capseg = "(CASE WHEN length(s) = 0 THEN s ELSE upper(substring(s, 1, 1)) || lower(substring(s, 2)) END)"
+    capword = (
+        "array_to_string(list_transform(string_split(w, '-'), "
+        f"p -> array_to_string(list_transform(string_split(p, '.'), s -> {capseg}), '.')), '-')"
+    )
+    stop = "[" + ", ".join(f"'{s_}'" for s_ in S.CAPITAL_CASE_STOPWORDS) + "]"
+    word = f"CASE WHEN i > 1 AND list_contains({stop}, lower(w)) THEN lower(w) ELSE {capword} END"
+    return f"array_to_string(list_transform(string_split({t}, ' '), (w, i) -> {word}), ' ')"
+
+
+def sql_normalize_offering(x: str) -> str:
+    """text.normalize_offering_text: T2 collapse -> T3 variants -> T4
+    punctuation strip -> T5 Capital Case -> T2 again."""
+    out = f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+    out = sql_variant_normalize(out)
+    out = f"""regexp_replace({out}, '[,;!?''"\\[\\]{{}}]', '', 'g')"""
+    out = sql_capital_case(out)
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
 def sql_shingles(toks: str, n: int = 3) -> str:
     """dedup.word_shingles over a token-list expression."""
     gram = f"list_transform(generate_series(1, len({toks}) - {n - 1}), i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
@@ -404,8 +428,9 @@ _T05_CASES = [
 
 
 def t05_capital_case(spark: SparkSession, sf: str) -> DataFrame:
-    """Full normalize_offering_text chain (T2-T5). No SQL oracle (the
-    stopword/hyphen Capital-Case is pinned by golden tests instead)."""
+    """Full normalize_offering_text chain (T2-T5), oracle-checked: the
+    DuckDB twin reproduces the stopword/hyphen/dot Capital-Case with
+    indexed list lambdas (golden tests additionally pin edge cases)."""
     d = load_table(spark, sf, "documents")
     expr = None
     for i, case in enumerate(_T05_CASES):
@@ -413,6 +438,22 @@ def t05_capital_case(spark: SparkSession, sf: str) -> DataFrame:
         expr = F.when(cond, F.lit(case)) if expr is None else expr.when(cond, F.lit(case))
     raw = expr.otherwise(F.lit(""))
     return d.select("doc_id", raw.alias("raw"), text.normalize_offering_text(raw).alias("normalized"))
+
+
+def _t05_sql() -> str:
+    n = len(_T05_CASES)
+    case_expr = (
+        "(CASE "
+        + " ".join(f"WHEN doc_id % {n} = {i} THEN '{c}'" for i, c in enumerate(_T05_CASES))
+        + " ELSE '' END)"
+    )
+    return f"""
+WITH raws AS (SELECT doc_id, {case_expr} AS raw FROM documents)
+SELECT doc_id, raw, {sql_normalize_offering("raw")} AS normalized FROM raws
+"""
+
+
+T05_SQL = _t05_sql()
 
 
 # --------------------------------------------------------------------------

@@ -640,7 +640,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f02_row_validation": (core.f02_row_validation, core.F02_SQL),
     "t01_sanitize_collapse": (core.t01_sanitize_collapse, core.T01_SQL),
     "t02_variant_normalize": (core.t02_variant_normalize, core.T02_SQL),
-    "t05_capital_case": (core.t05_capital_case, None),
+    "t05_capital_case": (core.t05_capital_case, core.T05_SQL),
     # E/U
     "e01_explode_multivalue": (core.e01_explode_multivalue, core.E01_SQL),
     "e02_explode_dedup": (core.e02_explode_dedup, core.E02_SQL),
