@@ -428,9 +428,49 @@ DD03_SQL = _dd03_sql()
 
 
 def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (Pandas-UDF fingerprints; no SQL oracle —
-    golden-tested in pytest instead)."""
+    """SimHash near-dup pairs (Arrow pandas-UDF fingerprints). The DuckDB
+    twin reproduces the md5 bit-vote fingerprints exactly (verified
+    bit-for-bit) and applies the SAME 4x16-bit chunk-blocking condition,
+    so even hamming 4-6 pairs that blocking misses match across engines."""
     return dedup.simhash_pairs(_load_corpus(spark, sf, "documents"), max_hamming=6)
+
+
+def _sh01_sql() -> str:
+    votes_lo = ", ".join(
+        f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+    )
+    votes_hi = ", ".join(
+        f"sum(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b + 32}" for b in range(32)
+    )
+    fp_lo = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(32))
+    fp_hi = " + ".join(f"(CASE WHEN v{b + 32} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+),
+v AS (SELECT doc_id, {votes_lo}, {votes_hi} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_lo}) AS fl, ({fp_hi}) AS fh FROM v),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.fl, b.fl)) + bit_count(xor(a.fh, b.fh)) AS hamming,
+         ((a.fl & 65535) = (b.fl & 65535)
+          OR ((a.fl >> 16) & 65535) = ((b.fl >> 16) & 65535)
+          OR (a.fh & 65535) = (b.fh & 65535)
+          OR ((a.fh >> 16) & 65535) = ((b.fh >> 16) & 65535)) AS chunk_match
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 AND chunk_match
+"""
+
+
+SH01_SQL = _sh01_sql()
 
 
 # --------------------------------------------------------------------------
@@ -668,7 +708,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd01_exact_dup_histogram": (dd01_exact_dup_histogram, DD01_SQL),
     "dd02_ngram_jaccard_pairs": (dd02_ngram_jaccard_pairs, DD02_SQL),
     "dd03_minhash_lsh_pairs": (dd03_minhash_lsh_pairs, DD03_SQL),
-    "sh01_simhash_pairs": (sh01_simhash_pairs, None),
+    "sh01_simhash_pairs": (sh01_simhash_pairs, SH01_SQL),
     # ANN
     "ann01_cosine_topk": (ann01_cosine_topk, ANN01_SQL),
     "ann02_lsh_topk": (ann02_lsh_topk, ANN02_SQL),

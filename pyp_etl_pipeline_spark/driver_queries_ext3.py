@@ -452,8 +452,9 @@ def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal extract-features over binary payloads synthesized from
     the documents table (payload = utf-8 bytes of text; kind cycles
     image/audio/video). Arrow-batched mapInPandas with the deterministic
-    stub decoder — rows-only driver check; values are golden-tested in
-    tests/test_multimodal.py."""
+    stub decoder. The DuckDB twin reproduces every feature from the text
+    (the corpus is ASCII, so byte arithmetic equals char arithmetic);
+    plumbing values are additionally golden-tested in pytest."""
     from pyp_etl_pipeline_spark.multimodal.binary_ops import extract_features  # noqa: PLC0415
 
     d = load_table(spark, sf, "documents")
@@ -472,6 +473,19 @@ def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(media)
 
 
+MM01_SQL = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
+       length(text)::BIGINT AS n_bytes,
+       md5(text) AS checksum,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE (list_sum(list_transform(generate_series(1, length(text)), i -> ord(substring(text, i::INT, 1)))) % 997) / 997.0
+       END AS feat0,
+       (length(text) % 31) / 31.0 AS feat1
+FROM documents
+"""
+
+
 QUERIES3 = {
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
     "f05_country_whitelist": (f05_country_whitelist, F05_SQL),
@@ -486,7 +500,7 @@ QUERIES3 = {
     "a07_status_priority_rollup": (a07_status_priority_rollup, A07_SQL),
     "st02_streaming_sliding": (st02_streaming_sliding, ST02_SQL),
     "st03_stateful_running_totals": (st03_stateful_running_totals, ST03_SQL),
-    "mm01_media_features": (mm01_media_features, None),  # mapInPandas stub
+    "mm01_media_features": (mm01_media_features, MM01_SQL),
 }
 
 
