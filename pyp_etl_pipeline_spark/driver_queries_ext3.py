@@ -91,6 +91,41 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# q05: SQL-text interface (spark.sql over registered views)
+# --------------------------------------------------------------------------
+
+_Q05_TEXT = """
+SELECT n.n_name AS nation,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM {li} l
+JOIN {ord} o ON l.l_orderkey = o.o_orderkey
+JOIN {cust} c ON o.o_custkey = c.c_custkey
+JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY n.n_name
+"""
+
+
+def q05_sql_interface(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL-text entry point: tables registered as temp views,
+    query authored in SQL and planned by Catalyst exactly like the
+    DataFrame API (same optimizations, same physical strategies)."""
+    import uuid  # noqa: PLC0415
+
+    tag = uuid.uuid4().hex[:8]
+    names = {}
+    for alias, t in [("li", "lineitem"), ("ord", "orders"), ("cust", "customer"), ("nat", "nation")]:
+        v = f"{t}_{tag}"
+        load_table(spark, sf, t).createOrReplaceTempView(v)
+        names[alias] = v
+    return spark.sql(_Q05_TEXT.format(**names))
+
+
+Q05_SQL = _Q05_TEXT.format(li="lineitem", ord="orders", cust="customer", nat="nation")
+
+
+# --------------------------------------------------------------------------
 # F5 country whitelist semi/anti join
 # --------------------------------------------------------------------------
 
@@ -487,6 +522,7 @@ FROM documents
 
 
 QUERIES3 = {
+    "q05_sql_interface": (q05_sql_interface, Q05_SQL),
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
     "f05_country_whitelist": (f05_country_whitelist, F05_SQL),
     "t03_punct_lower_key": (t03_punct_lower_key, T03_SQL),
