@@ -95,3 +95,23 @@ def test_derive_offerings_title_once(spark):
     df = spark.createDataFrame([("a", "b")], "f1 string, f2 string")
     out = derive_offerings(df, rules=rules, manufacturing_from_products=False).collect()[0]["offerings"]
     assert len(out) == 1 and out[0]["source_field"] == "f1"
+
+
+def test_derive_offerings_full_rule_table(spark):
+    """All 18 reference rules on one full-width row: 13 distinct offering
+    titles, multi-source titles (Spaces x4, Packaging x2, Equipment x2)
+    emitted once via their first present source field."""
+    from pyp_etl_pipeline_spark.schema import OFFERING_RULES
+
+    fields = [f for f, _, _ in OFFERING_RULES]
+    df = spark.createDataFrame([tuple("x" for _ in fields)], ", ".join(f"{f} string" for f in fields))
+    out = derive_offerings(df).collect()[0]["offerings"]
+    titles = [o["title"] for o in out]
+    assert len(titles) == len(set(titles)) == 13
+    by_title = {o["title"]: o["source_field"] for o in out}
+    assert by_title["Spaces"] == "facilityDetails"       # first of 4 sources
+    assert by_title["Packaging"] == "deliveredIn"        # first of 2
+    assert by_title["Equipment"] == "suppliedEquipment"  # first of 2
+    # every emitted uid matches the rule table
+    uid_of = {t: u for _, t, u in OFFERING_RULES}
+    assert all(o["uid"] == uid_of[o["title"]] for o in out)
