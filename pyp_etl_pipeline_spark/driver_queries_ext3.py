@@ -399,6 +399,33 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 # --------------------------------------------------------------------------
+# A8 exact percentiles (order statistics)
+# --------------------------------------------------------------------------
+
+def a08_percentile_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per order status (Spark
+    ``percentile`` == DuckDB ``quantile_cont``; the approximate
+    ``percentile_approx`` sketch is the 100 TB path but is not
+    oracle-comparable by construction)."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+A08_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # As-of join (aj01) — purchases matched to latest prior view per user
 # --------------------------------------------------------------------------
 
@@ -534,6 +561,7 @@ QUERIES3 = {
     "ann03_ivf_topk": (ann03_ivf_topk, ANN03_SQL),
     "aj01_asof_purchase_view": (aj01_asof_purchase_view, AJ01_SQL),
     "a07_status_priority_rollup": (a07_status_priority_rollup, A07_SQL),
+    "a08_percentile_summary": (a08_percentile_summary, A08_SQL),
     "st02_streaming_sliding": (st02_streaming_sliding, ST02_SQL),
     "st03_stateful_running_totals": (st03_stateful_running_totals, ST03_SQL),
     "mm01_media_features": (mm01_media_features, MM01_SQL),

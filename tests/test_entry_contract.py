@@ -25,8 +25,8 @@ def test_entry_returns_rows(spark):
 def test_registry_shapes():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert len(q) >= 40
-    assert set(o) <= set(q)
+    assert len(q) >= 56
+    assert set(o) == set(q)  # every query oracle-verified — keep it that way
     # only genuinely non-SQL ops may omit the oracle
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "select" in s.lower() for s in o.values())
