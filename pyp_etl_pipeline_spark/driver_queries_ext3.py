@@ -399,6 +399,38 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 # --------------------------------------------------------------------------
+# W4 analytic window functions (lag / lead / running aggregates)
+# --------------------------------------------------------------------------
+
+def w04_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-over-event value delta plus a running sum — the
+    analytic-window surface (lag/lead/cumulative) the reference never had
+    but Spark SQL provides natively (SURVEY §2.10)."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    e = load_table(spark, sf, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts_sec").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.round("value", 2).alias("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_sum"),
+    )
+
+
+W04_SQL = """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       round(value, 2) AS value,
+       round(value - lag(value) OVER w, 2) AS delta_prev,
+       round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+"""
+
+
+# --------------------------------------------------------------------------
 # A8 exact percentiles (order statistics)
 # --------------------------------------------------------------------------
 
@@ -562,6 +594,7 @@ QUERIES3 = {
     "aj01_asof_purchase_view": (aj01_asof_purchase_view, AJ01_SQL),
     "a07_status_priority_rollup": (a07_status_priority_rollup, A07_SQL),
     "a08_percentile_summary": (a08_percentile_summary, A08_SQL),
+    "w04_lag_delta": (w04_lag_delta, W04_SQL),
     "st02_streaming_sliding": (st02_streaming_sliding, ST02_SQL),
     "st03_stateful_running_totals": (st03_stateful_running_totals, ST03_SQL),
     "mm01_media_features": (mm01_media_features, MM01_SQL),
