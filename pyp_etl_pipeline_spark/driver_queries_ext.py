@@ -146,11 +146,65 @@ scored1 AS (
 ),
 adj AS (SELECT *, {penalties} AS adjusted FROM scored1),
 ranked AS (
-  SELECT qk, ck, cname, raw_score, disg, adjusted,
+  SELECT qk, qname, ck, cname, raw_score, disg, adjusted,
          row_number() OVER (PARTITION BY qk ORDER BY adjusted DESC, cname ASC, ck ASC) AS rnk
   FROM adj
 )
 """
+
+
+def rv01_review_workflow(spark: SparkSession, sf: str) -> DataFrame:
+    """The review state machine as an oracle-checked query (F6/F7/F8 +
+    the J8-guarded batch approve): the fuzzy chain's review-band winners
+    become the pending queue; the high-confidence band (>= 90, < auto
+    resolve) auto-approves when the semantic guard passes; everything
+    else stays pending. Output: one row per review item with its final
+    state."""
+    from pyp_etl_pipeline_spark.operators.guard import semantically_valid_match  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.schema import AUTO_RESOLVE_THRESHOLD  # noqa: PLC0415
+
+    r = _fuzzy_ranked(spark, sf)
+    queue = r.filter(
+        (F.col("rnk") == 1)
+        & (F.col("adjusted") >= 50.0)
+        & (F.col("adjusted") < AUTO_RESOLVE_THRESHOLD)
+    ).select(
+        F.col("qk").alias("review_key"),
+        F.col("qname").alias("item"),
+        F.col("cname").alias("suggested_name"),
+        F.round("adjusted", 4).alias("score"),
+    )
+    eligible = (F.col("score") >= 90.0) & semantically_valid_match("item", "suggested_name")
+    return queue.select(
+        "review_key",
+        "item",
+        "suggested_name",
+        "score",
+        F.when(eligible, F.lit("approved")).otherwise(F.lit("pending")).alias("state"),
+        (F.col("score") >= 90.0).alias("high_confidence"),
+    )
+
+
+def _rv01_sql() -> str:
+    from pyp_etl_pipeline_spark.schema import AUTO_RESOLVE_THRESHOLD  # noqa: PLC0415
+
+    guard = core.sql_semantic_guard("lower(trim(item))", "lower(trim(suggested_name))")
+    return (
+        _fuzzy_cte()
+        + f""",
+queue AS (
+  SELECT qk AS review_key, qname AS item, cname AS suggested_name, round(adjusted, 4) AS score
+  FROM ranked WHERE rnk = 1 AND adjusted >= 50.0 AND adjusted < {AUTO_RESOLVE_THRESHOLD}
+)
+SELECT review_key, item, suggested_name, score,
+       CASE WHEN score >= 90.0 AND {guard} THEN 'approved' ELSE 'pending' END AS state,
+       score >= 90.0 AS high_confidence
+FROM queue
+"""
+    )
+
+
+RV01_SQL = _rv01_sql()
 
 
 def j02_fuzzy_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -688,6 +742,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # J
     "j01_exact_resolution": (core.j01_exact_resolution, core.J01_SQL),
     "j02_fuzzy_topk": (j02_fuzzy_topk, J02_SQL),
+    "rv01_review_workflow": (rv01_review_workflow, RV01_SQL),
     "j04_penalty_bands": (j04_penalty_bands, J04_SQL),
     "j07_alternatives": (j07_alternatives, J07_SQL),
     "j08_semantic_guard": (core.j08_semantic_guard, core.J08_SQL),
