@@ -66,15 +66,21 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_s: int = 1800,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks when the gap to the
     previous event of the same user exceeds ``gap_s`` seconds.
 
     Output: one row per session with start/end epoch, event count.
+    ``tiebreak_col`` makes the per-user ordering total when timestamps
+    collide (skipped automatically when the column is absent).
     Scale note: one shuffle on user_id; the window sort is per-user and
     AQE handles skewed users; for power-law users add a salt prefix split.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col and tiebreak_col in df.columns:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
     epoch = F.unix_timestamp(F.col(ts_col))
     gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)

@@ -99,3 +99,12 @@ def test_document_fingerprints_deterministic(docs):
     a = {r["doc_id"]: r for r in textan.document_fingerprints(docs).collect()}
     b = {r["doc_id"]: r for r in textan.document_fingerprints(docs).collect()}
     assert all(a[k] == b[k] for k in a)
+
+
+def test_sessionize_without_event_id(spark):
+    import datetime as dtm
+
+    rows = [("u1", dtm.datetime(2024, 1, 1, 10, 0)), ("u1", dtm.datetime(2024, 1, 1, 10, 10))]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = windows.sessionize(df, gap_s=1800).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
