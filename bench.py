@@ -58,6 +58,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # workers must be able to import the package regardless of cwd
+    import __spark_entry__ as entry_mod  # noqa: PLC0415
+
+    entry_mod._ensure_workers_can_import(spark)
     # JVM/codegen warmup: run every headline query once at the smallest sf
     # so whole-stage-codegen class compilation isn't billed to the first
     # heavy query; data at sf_dir is never touched before timing.
