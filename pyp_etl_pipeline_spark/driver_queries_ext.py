@@ -78,13 +78,26 @@ def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
     )
     raw = scoring.token_set_ratio_from_parts(F.col("__int"), F.col("__ra"), F.col("__rb"))
     lq, lc = F.col("__lq"), F.col("__lc")
-    scored = pairs.withColumn("raw_score", raw).withColumn("__rplain", scoring.ratio(lq, lc))
+    scored = pairs.withColumn("raw_score", raw)
+    # Reference fidelity (app/etl.py:1281-1294): the ratio/partial_ratio
+    # cross-check runs ONLY on the raw-best candidate per query; all other
+    # candidates get plain penalties. Rank by raw first, then compute the
+    # Levenshtein validators on rank-1 rows alone — the edit distance
+    # drops from every pair to one per query, and the window's qk
+    # partitioning is reused by the downstream top-k window.
+    raw_w = Window.partitionBy("qk").orderBy(F.desc("raw_score"), F.asc("cname"), F.asc("ck"))
+    scored = scored.withColumn("__raw_rnk", F.row_number().over(raw_w))
+    is_best = F.col("__raw_rnk") == 1
+    scored = scored.withColumn("__rplain", F.when(is_best, scoring.ratio(lq, lc)))
     # containment_ratio = 100 on substring containment else plain ratio —
     # reuse the materialized plain ratio instead of a second levenshtein
     r_plain = F.col("__rplain")
     r_part = F.when(lq.contains(lc) | lc.contains(lq), F.lit(100.0)).otherwise(r_plain)
     scored = scored.withColumn(
-        "disg", scoring.algorithm_disagreement_penalty(F.col("raw_score"), r_plain, r_part)
+        "disg",
+        F.when(
+            is_best, scoring.algorithm_disagreement_penalty(F.col("raw_score"), r_plain, r_part)
+        ).otherwise(F.lit(0.0)),
     )
     adj = scored.withColumn(
         "adjusted",
@@ -135,14 +148,22 @@ glued AS (
   FROM tsr
 ),
 scored0 AS (
-  SELECT *, greatest({ratio_s0s1}, {ratio_s0s2}, {ratio_s1s2}) AS raw_score,
-         {r_plain} AS r_plain, {r_part} AS r_part
+  SELECT *, greatest({ratio_s0s1}, {ratio_s0s2}, {ratio_s1s2}) AS raw_score
   FROM glued
 ),
-scored1 AS (
-  SELECT *, CASE WHEN greatest(raw_score, r_plain, r_part) - least(raw_score, r_plain, r_part) > {core.S.ALGORITHM_DISAGREEMENT_THRESHOLD}
-                 THEN CAST({core.S.ALGORITHM_DISAGREEMENT_PENALTY} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS disg
+rawrank AS (
+  SELECT *, row_number() OVER (PARTITION BY qk ORDER BY raw_score DESC, cname ASC, ck ASC) AS raw_rnk
   FROM scored0
+),
+validated AS (
+  SELECT *, CASE WHEN raw_rnk = 1 THEN {r_plain} END AS r_plain,
+            CASE WHEN raw_rnk = 1 THEN {r_part} END AS r_part
+  FROM rawrank
+),
+scored1 AS (
+  SELECT *, CASE WHEN raw_rnk = 1 AND greatest(abs(raw_score - r_plain), abs(raw_score - r_part)) > {core.S.ALGORITHM_DISAGREEMENT_THRESHOLD}
+                 THEN CAST({core.S.ALGORITHM_DISAGREEMENT_PENALTY} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS disg
+  FROM validated
 ),
 adj AS (SELECT *, {penalties} AS adjusted FROM scored1),
 ranked AS (
@@ -782,6 +803,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 from pyp_etl_pipeline_spark.driver_queries_ext3 import QUERIES3  # noqa: E402
 
 REGISTRY.update(QUERIES3)
+
+# The driver's correctness gate only covers the first N registry entries
+# (round 1 stopped at 50 of 59, leaving the QUERIES3 tail unchecked).
+# Rotate the registry so the queries with no driver-side CORRECTNESS row
+# yet come first; the already-green-in-r01 queries follow.
+_DRIVER_PRIORITY = [
+    "e03_crosslink_dedup",
+    "ann03_ivf_topk",
+    "aj01_asof_purchase_view",
+    "a07_status_priority_rollup",
+    "a08_percentile_summary",
+    "w04_lag_delta",
+    "st02_streaming_sliding",
+    "st03_stateful_running_totals",
+    "mm01_media_features",
+]
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},
+    **{k: v for k, v in REGISTRY.items() if k not in _DRIVER_PRIORITY},
+}
 
 
 def queries() -> dict[str, QueryFn]:

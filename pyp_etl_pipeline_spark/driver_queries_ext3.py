@@ -200,10 +200,13 @@ def a05_error_summary_24h(spark: SparkSession, sf: str) -> DataFrame:
     timestamp (reference app/error_utils.py:224-244), with day bucketing
     (``:54-56``) — exercises the date/time function surface of §2.10."""
     e = load_table(spark, sf, "events")
-    cutoff = e.agg(F.max("ts").alias("mx")).select(F.col("mx") - F.expr("INTERVAL 24 HOURS"))
-    cut = cutoff.collect()[0][0]
+    # one lazy plan: broadcast the 1-row max-ts aggregate and ride it as a
+    # cross join instead of a driver-side collect round-trip (the scalar
+    # would otherwise cost an extra job per run)
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("__cut"))
     return (
-        e.filter(F.col("ts") >= F.lit(cut))
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("__cut"))
         .groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
             F.col("event_type").alias("category"),

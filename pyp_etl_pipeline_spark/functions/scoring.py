@@ -7,12 +7,14 @@ Reference semantics:
   whole-stage codegen — no Python in the hot path. Documented deviation:
   ``ratio`` here is normalized Levenshtein similarity
   ``100 * (1 - lev / max(len))`` rather than rapidfuzz's indel-based ratio;
-  band decisions are pinned by golden tests in ``tests/test_scoring.py``.
+  band decisions are pinned by golden tests in ``tests/test_golden_bands.py``
+  and the reference-derived fixture sweep in ``tests/test_scorer_fidelity.py``.
 - penalty rescoring (``apply_match_penalties``, app/etl.py:713-755):
   length-diff, word-count (cap 25), dietary-term mismatch, special-char
   count mismatch, digit-presence mismatch; floor at 0.
-- cross-algorithm disagreement penalty (app/etl.py:1280-1294): if the
-  scorers deviate by more than 20 points, subtract 15.
+- cross-algorithm disagreement penalty (app/etl.py:1280-1294): applied ONLY
+  to the raw-score rank-1 candidate per item; penalty 15 when
+  ``max(|raw - ratio|, |raw - partial|)`` exceeds 20.
 - band routing (app/etl.py:1318-1374): >=97 auto_resolve, [50, 97) review,
   <50 reject.
 - confidence class (app/routes.py:31-39): >=90 high, >=70 medium, else low.
@@ -179,11 +181,17 @@ def apply_match_penalties(raw_score: Column | str, text: Column | str, match: Co
     return F.greatest(adjusted, F.lit(0.0))
 
 
-def algorithm_disagreement_penalty(*scores: Column) -> Column:
-    """J3: if max pairwise deviation across scorers > threshold, penalty 15."""
-    spread = F.greatest(*scores) - F.least(*scores)
+def algorithm_disagreement_penalty(primary: Column, *others: Column) -> Column:
+    """J3 cross-validation penalty, reference app/etl.py:1291-1294:
+    ``score_variance = max(|primary - other_i|)``; penalty 15 when the
+    variance exceeds 20. The variance is anchored on the primary
+    (token_set) score — NOT the greatest-least spread across all scorers,
+    which would over-penalize when the validators straddle the primary.
+    The reference computes this only for the raw-best candidate per item;
+    callers gate it on the raw rank (see ``resolve.score_candidates``)."""
+    variance = F.greatest(*[F.abs(primary - o) for o in others])
     return F.when(
-        spread > S.ALGORITHM_DISAGREEMENT_THRESHOLD, F.lit(S.ALGORITHM_DISAGREEMENT_PENALTY)
+        variance > S.ALGORITHM_DISAGREEMENT_THRESHOLD, F.lit(S.ALGORITHM_DISAGREEMENT_PENALTY)
     ).otherwise(F.lit(0.0))
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyp_etl_pipeline_spark import schema as S
 from pyp_etl_pipeline_spark.functions import scoring
 from pyp_etl_pipeline_spark.functions.text import lower_key
 
@@ -142,18 +143,35 @@ def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:
     else:
         raise ValueError(f"unknown scorer: {scorer}")
 
+    # The reference cross-validates ONLY the raw-best candidate per item
+    # (app/etl.py:1281-1294: ratio/partial_ratio are computed for
+    # all_matches[0] alone); alternatives get plain penalties. Rank by raw
+    # score first (deterministic tiebreak title,id — the reference breaks
+    # ties by pool insertion order, a documented deviation), then compute
+    # the Levenshtein-based validators only on the rank-1 row: the costly
+    # edit-distance drops from every pair to one pair per item. The window
+    # shuffle partitions by __item, which the downstream top-k window
+    # reuses (same exchange).
+    raw_w = Window.partitionBy("__item").orderBy(
+        F.desc("raw_score"), F.asc("__title"), F.asc("__cand_id")
+    )
+    scored = scored.withColumn("__raw_rnk", F.row_number().over(raw_w))
     scored = scored.withColumn("__li", F.lower(F.trim(F.col("__item")))).withColumn(
         "__lt", F.lower(F.trim(F.col("__title")))
     )
     li, lt = F.col("__li"), F.col("__lt")
-    scored = scored.withColumn("__rplain", scoring.ratio(li, lt))
+    is_best = F.col("__raw_rnk") == 1
+    scored = scored.withColumn("__rplain", F.when(is_best, scoring.ratio(li, lt)))
     # containment_ratio = 100 on substring containment else plain ratio —
     # reuse the materialized plain ratio instead of a second levenshtein
     r_part = F.when(li.contains(lt) | lt.contains(li), F.lit(100.0)).otherwise(F.col("__rplain"))
     scored = scored.withColumn(
         "disagreement_penalty",
-        scoring.algorithm_disagreement_penalty(F.col("raw_score"), F.col("__rplain"), r_part),
-    ).drop("__li", "__lt", "__rplain")
+        F.when(
+            is_best,
+            scoring.algorithm_disagreement_penalty(F.col("raw_score"), F.col("__rplain"), r_part),
+        ).otherwise(F.lit(0.0)),
+    ).drop("__li", "__lt", "__rplain", "__raw_rnk")
     adjusted = scoring.apply_match_penalties(
         F.col("raw_score") - F.col("disagreement_penalty"), F.col("__item"), F.col("__title")
     )
@@ -193,7 +211,13 @@ def similarity_resolve(
 
     best = ranked.filter(F.col("rank") == 1)
     alts = (
-        ranked.filter((F.col("rank") >= 2) & (F.col("rank") <= 1 + n_alternatives) & (F.col("adjusted_score") >= 50.0))
+        ranked.filter(
+            (F.col("rank") >= 2)
+            & (F.col("rank") <= 1 + n_alternatives)
+            # reference filters alternatives by the same configurable
+            # auto-reject threshold used for banding (app/etl.py:1348)
+            & (F.col("adjusted_score") >= S.AUTO_REJECT_THRESHOLD)
+        )
         .groupBy("__item")
         .agg(
             F.sort_array(

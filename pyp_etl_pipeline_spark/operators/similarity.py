@@ -161,9 +161,19 @@ def deterministic_centroids(
     compiles to TakeOrdered (no full sort); the window runs over k rows.
     """
     seeds = vectors.select(F.col(id_col), _as_double(vec_col).alias("centroid_vec")).orderBy(id_col).limit(k)
-    w = Window.orderBy(F.col(id_col).asc())
-    return seeds.withColumn("__rn", F.row_number().over(w)).select(
-        (F.col("__rn") - 1).alias("centroid_id"), "centroid_vec"
+    # centroid_id = rank of the seed id among the k seeds, computed as a
+    # count-of-smaller-ids self-join over the <= k rows. A global
+    # row_number window would need an empty partition spec, which makes
+    # WindowExec log a single-partition warning on every evaluation — the
+    # k x k broadcast join is equally trivial and warning-free.
+    rank = (
+        seeds.select(F.col(id_col).alias("__a"))
+        .join(F.broadcast(seeds.select(F.col(id_col).alias("__b"))), F.col("__a") > F.col("__b"), "left")
+        .groupBy("__a")
+        .agg(F.count("__b").alias("centroid_id"))
+    )
+    return seeds.join(F.broadcast(rank), F.col(id_col) == F.col("__a")).select(
+        "centroid_id", "centroid_vec"
     )
 
 

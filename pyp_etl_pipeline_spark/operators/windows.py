@@ -73,13 +73,20 @@ def sessionize(
 
     Output: one row per session with start/end epoch, event count.
     ``tiebreak_col`` makes the per-user ordering total when timestamps
-    collide (skipped automatically when the column is absent).
+    collide; when the column is absent, every remaining column joins the
+    ordering instead, so colliding timestamps still order deterministically
+    across runs (row order within a window partition is otherwise
+    unspecified and the lag-based session split would be nondeterministic).
     Scale note: one shuffle on user_id; the window sort is per-user and
     AQE handles skewed users; for power-law users add a salt prefix split.
     """
     order = [F.col(ts_col).asc()]
     if tiebreak_col and tiebreak_col in df.columns:
         order.append(F.col(tiebreak_col).asc())
+    else:
+        order.extend(
+            F.col(c).asc() for c in df.columns if c not in (ts_col, user_col)
+        )
     w = Window.partitionBy(user_col).orderBy(*order)
     epoch = F.unix_timestamp(F.col(ts_col))
     gap = epoch - F.lag(epoch).over(w)
