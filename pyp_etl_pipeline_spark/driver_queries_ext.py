@@ -248,6 +248,157 @@ FROM ranked WHERE rnk <= 5
 )
 
 
+def j02b_typo_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end ``similarity_resolve`` with the char-3-gram fallback:
+    dim = distinct first tokens of part names; items = those tokens with
+    their 2nd character dropped (token-disjoint typos that ONLY the
+    fallback blocking can reach — the reference's full-pool scan surfaces
+    them for review, app/etl.py:1270-1272) plus the a-m titles verbatim
+    (exact path). Unlike j02, which inlines its own chain, this
+    oracle-checks the real operator including exact short-circuit,
+    blocking fallback, and the no-candidate reject branch."""
+    part = load_table(spark, sf, "part")
+    dim = (
+        part.select(F.explode(F.split(F.lower("p_name"), " ")).alias("title"), "p_partkey")
+        .groupBy("title")
+        .agg(F.min("p_partkey").alias("ext_id"))
+    )
+    typos = dim.select(
+        F.concat(F.substring("title", 1, 1), F.expr("substring(title, 3)")).alias("item")
+    )
+    exacts = dim.filter(F.col("title").rlike("^[a-m]")).select(F.col("title").alias("item"))
+    items = typos.unionByName(exacts).distinct()
+    out = resolve.similarity_resolve(items, dim, item_col="item", title_col="title", id_col="ext_id")
+    return out.select(
+        "item",
+        "matched_title",
+        F.col("suggested_id").cast("long").alias("suggested_id"),
+        F.round("score", 4).alias("score"),
+        "band",
+        "resolved",
+    )
+
+
+def _j02b_sql() -> str:
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length({s}) - 2, 1) + 1),"
+        " i -> substring({s}, i, 3)))"
+    )
+    ratio_s0s1 = core.sql_ratio("s0", "s1")
+    ratio_s0s2 = core.sql_ratio("s0", "s2")
+    ratio_s1s2 = core.sql_ratio("s1", "s2")
+    r_plain = core.sql_ratio("lower(trim(item))", "lower(trim(title))")
+    r_part = core.sql_containment_ratio("item", "title")
+    penalties = core.sql_penalties("(raw_score - disg)", "item", "title")
+    band = core.sql_band("adjusted")
+    return f"""
+WITH dim AS (
+  SELECT title, min(p_partkey) AS ext_id
+  FROM (SELECT unnest(string_split(lower(p_name), ' ')) AS title, p_partkey FROM part)
+  GROUP BY 1
+),
+items AS (
+  SELECT DISTINCT item FROM (
+    SELECT substring(title, 1, 1) || substring(title, 3) AS item FROM dim
+    UNION ALL
+    SELECT title AS item FROM dim WHERE regexp_matches(title, '^[a-m]')
+  )
+),
+exact AS (
+  SELECT i.item, d.ext_id, d.title
+  FROM items i LEFT JOIN dim d ON lower(trim(i.item)) = d.title
+),
+hits AS (
+  SELECT item, title AS matched_title, ext_id AS suggested_id,
+         100.0 AS score, 'auto_resolve' AS band, TRUE AS resolved
+  FROM exact WHERE ext_id IS NOT NULL
+),
+misses AS (SELECT item FROM exact WHERE ext_id IS NULL),
+qt AS (SELECT item, {core.sql_tokens("item")} AS qtok FROM misses),
+dt AS (SELECT title, ext_id, {core.sql_tokens("title")} AS ctok FROM dim),
+tok_pairs AS (
+  SELECT DISTINCT q.item, d.title, d.ext_id
+  FROM (SELECT item, unnest(qtok) AS tok FROM qt) q
+  JOIN (SELECT title, ext_id, unnest(ctok) AS tok FROM dt) d USING (tok)
+),
+unc AS (
+  SELECT item FROM misses
+  WHERE item NOT IN (SELECT DISTINCT item FROM tok_pairs)
+),
+gram_pairs AS (
+  SELECT DISTINCT q.item, d.title, d.ext_id
+  FROM (SELECT item, unnest({grams.format(s="lower(trim(item))")}) AS g FROM unc) q
+  JOIN (SELECT title, ext_id, unnest({grams.format(s="lower(trim(title))")}) AS g FROM dim) d USING (g)
+),
+pairs AS (SELECT * FROM tok_pairs UNION SELECT * FROM gram_pairs),
+sp AS (
+  SELECT p.item, p.title, p.ext_id, qt.qtok, dt.ctok
+  FROM pairs p JOIN qt USING (item) JOIN dt ON p.title = dt.title AND p.ext_id = dt.ext_id
+),
+tsr AS (
+  SELECT *,
+    coalesce(array_to_string(list_sort(list_intersect(qtok, ctok)), ' '), '') AS s_int,
+    coalesce(array_to_string(list_filter(qtok, w -> NOT list_contains(ctok, w)), ' '), '') AS rest_a,
+    coalesce(array_to_string(list_filter(ctok, w -> NOT list_contains(qtok, w)), ' '), '') AS rest_b
+  FROM sp
+),
+glued AS (
+  SELECT *, s_int AS s0,
+    CASE WHEN length(rest_a) = 0 THEN s_int WHEN length(s_int) = 0 THEN rest_a ELSE s_int || ' ' || rest_a END AS s1,
+    CASE WHEN length(rest_b) = 0 THEN s_int WHEN length(s_int) = 0 THEN rest_b ELSE s_int || ' ' || rest_b END AS s2
+  FROM tsr
+),
+scored0 AS (
+  SELECT *, greatest({ratio_s0s1}, {ratio_s0s2}, {ratio_s1s2}) AS raw_score
+  FROM glued
+),
+rawrank AS (
+  SELECT *, row_number() OVER (PARTITION BY item ORDER BY raw_score DESC, title ASC, ext_id ASC) AS raw_rnk
+  FROM scored0
+),
+validated AS (
+  SELECT *, CASE WHEN raw_rnk = 1 THEN {r_plain} END AS r_plain,
+            CASE WHEN raw_rnk = 1 THEN {r_part} END AS r_part
+  FROM rawrank
+),
+scored1 AS (
+  SELECT *, CASE WHEN raw_rnk = 1 AND greatest(abs(raw_score - r_plain), abs(raw_score - r_part)) > {core.S.ALGORITHM_DISAGREEMENT_THRESHOLD}
+                 THEN CAST({core.S.ALGORITHM_DISAGREEMENT_PENALTY} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS disg
+  FROM validated
+),
+adj AS (SELECT *, {penalties} AS adjusted FROM scored1),
+best AS (
+  SELECT item, title, ext_id, adjusted,
+         row_number() OVER (PARTITION BY item ORDER BY adjusted DESC, title ASC, ext_id ASC) AS rnk
+  FROM adj
+),
+fuzzy_out AS (
+  SELECT item,
+         CASE WHEN {band} <> 'reject' THEN title END AS matched_title,
+         CASE WHEN {band} <> 'reject' THEN ext_id END AS suggested_id,
+         round(adjusted, 4) AS score,
+         {band} AS band,
+         ({band} = 'auto_resolve') AS resolved
+  FROM best WHERE rnk = 1
+),
+no_cand AS (
+  SELECT item, NULL AS matched_title, NULL AS suggested_id,
+         0.0 AS score, 'reject' AS band, FALSE AS resolved
+  FROM misses WHERE item NOT IN (SELECT item FROM fuzzy_out)
+)
+SELECT item, matched_title, CAST(suggested_id AS BIGINT) AS suggested_id,
+       CAST(score AS DOUBLE) AS score, band, resolved
+FROM (
+  SELECT * FROM hits
+  UNION ALL SELECT * FROM fuzzy_out
+  UNION ALL SELECT * FROM no_cand
+)
+"""
+
+
+J02B_SQL = _j02b_sql()
+
+
 def j04_penalty_bands(spark: SparkSession, sf: str) -> DataFrame:
     r = _fuzzy_ranked(spark, sf)
     return r.filter((F.col("qk") % 50 == 0) & (F.col("rnk") <= 10)).select(
@@ -763,6 +914,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # J
     "j01_exact_resolution": (core.j01_exact_resolution, core.J01_SQL),
     "j02_fuzzy_topk": (j02_fuzzy_topk, J02_SQL),
+    "j02b_typo_fallback": (j02b_typo_fallback, J02B_SQL),
     "rv01_review_workflow": (rv01_review_workflow, RV01_SQL),
     "j04_penalty_bands": (j04_penalty_bands, J04_SQL),
     "j07_alternatives": (j07_alternatives, J07_SQL),
@@ -809,6 +961,7 @@ REGISTRY.update(QUERIES3)
 # Rotate the registry so the queries with no driver-side CORRECTNESS row
 # yet come first; the already-green-in-r01 queries follow.
 _DRIVER_PRIORITY = [
+    "j02b_typo_fallback",
     "e03_crosslink_dedup",
     "ann03_ivf_topk",
     "aj01_asof_purchase_view",

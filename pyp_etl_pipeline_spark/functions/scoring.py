@@ -41,6 +41,17 @@ def tokens(c: Column | str) -> Column:
     return F.array_sort(F.array_distinct(F.filter(toks, lambda x: x != F.lit(""))))
 
 
+def char_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercase trimmed string (used as
+    fallback blocking keys when whole-token blocking yields no candidate —
+    a single-token typo shares no token with its target but shares most
+    n-grams). Strings shorter than ``n`` contribute themselves as one gram
+    so nothing blocks to an empty key set."""
+    c = F.lower(F.trim(_col(c)))
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: c.substr(i, F.lit(n))))
+
+
 # ------------------------------------------------------------------ scorers
 
 def ratio(a: Column | str, b: Column | str) -> Column:

@@ -83,6 +83,8 @@ def fuzzy_candidates(
     title_col: str = "title",
     id_col: str = "ext_id",
     max_token_df: int | None = None,
+    ngram_fallback: bool = True,
+    ngram_n: int = 3,
 ) -> DataFrame:
     """J2 candidate generation via token blocking: all (item, candidate)
     pairs sharing >= 1 blocking token, carrying both token arrays for
@@ -97,6 +99,15 @@ def fuzzy_candidates(
     dimension document frequency exceeds the cap (skew/stop-word guard) —
     scoring still uses the FULL token sets, so the cap only affects recall
     of candidates sharing nothing but ultra-common tokens.
+
+    ``ngram_fallback`` closes the recall gap vs the reference's full-pool
+    scan (app/etl.py:1270-1272): an item whose every token is typo'd
+    ("Gelatne" vs dim "Gelatin") shares no whole token, so token blocking
+    alone silently auto-rejects what the reference would surface for
+    review. Items with ZERO token-block candidates are re-blocked on
+    character ``ngram_n``-grams (broadcast dim-side gram index, same
+    shape as the token join). Only the uncovered remainder — typically a
+    tiny fraction of the corpus — pays the wider gram fan-out.
     """
     q = items.select(F.col(item_col).alias("__item"), scoring.tokens(item_col).alias("__q_tokens")).distinct()
     d = _dedupe_dim(dim, title_col, id_col).select(
@@ -115,7 +126,27 @@ def fuzzy_candidates(
         .select("__item", "__q_tokens", "__title", "__cand_id", "__d_tokens")
         .dropDuplicates(["__item", "__title", "__cand_id"])
     )
-    return pairs
+    if not ngram_fallback:
+        return pairs
+
+    # "has any token-block candidate" is just token-set membership — probe
+    # the broadcast distinct dim-token set instead of re-evaluating the
+    # full pair join a second time for the anti-join
+    dim_toks = dx.select("__tok").distinct()
+    covered = qx.join(F.broadcast(dim_toks), "__tok").select("__item").distinct()
+    uncovered = q.join(covered, "__item", "left_anti")
+    gq = uncovered.select(
+        "__item", "__q_tokens", F.explode(scoring.char_ngrams("__item", ngram_n)).alias("__g")
+    )
+    gd = d.select(
+        "__title", "__cand_id", "__d_tokens", F.explode(scoring.char_ngrams("__title", ngram_n)).alias("__g")
+    )
+    gram_pairs = (
+        gq.join(F.broadcast(gd), "__g")
+        .select("__item", "__q_tokens", "__title", "__cand_id", "__d_tokens")
+        .dropDuplicates(["__item", "__title", "__cand_id"])
+    )
+    return pairs.unionByName(gram_pairs)
 
 
 def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:

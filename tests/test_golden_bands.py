@@ -33,6 +33,11 @@ BAND_CASES = [
     ("extra_word", "Magnesium Citrate Capsules", "Magnesium Citrate", "review"),
     # digit on one side only: numbers penalty 15 (+ small length penalty)
     ("digit_mismatch", "Vitamin B", "Vitamin B6", "review"),
+    # single-token typo shares NO whole token with its target — the
+    # reference's full-pool scan still surfaces it (app/etl.py:1270-1272);
+    # engine reaches it via the char-3-gram fallback blocking
+    ("token_typo", "Gelatne", "Gelatin", "review"),
+    ("token_typo_multi", "Mangesium Citrte", "Magnesium Citrate", "review"),
     # --- reject band (< 50)
     ("no_overlap", "zzz qqq xxx", "Vitamin C", "reject"),
     # subset names score 100 raw, then disagreement 15 + length 15 +

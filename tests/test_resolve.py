@@ -95,10 +95,26 @@ def test_max_token_df_drops_frequent_tokens(spark):
         "title string, ext_id string",
     )
     items = spark.createDataFrame([("acme thing",), ("rare stone",)], "item string")
-    pairs = resolve.fuzzy_candidates(items, dim, max_token_df=5).collect()
+    pairs = resolve.fuzzy_candidates(items, dim, max_token_df=5, ngram_fallback=False).collect()
     # 'acme'/'widget' appear 20x in dim > cap -> dropped as blocking tokens
     assert all(r["__item"] != "acme thing" for r in pairs)
     assert any(r["__item"] == "rare stone" for r in pairs)
+    # with the fallback on, the df-capped item is rescued through char-gram
+    # blocking instead of silently losing all candidates
+    pairs_fb = resolve.fuzzy_candidates(items, dim, max_token_df=5).collect()
+    assert any(r["__item"] == "acme thing" for r in pairs_fb)
+
+
+def test_ngram_fallback_reaches_token_disjoint_typo(spark):
+    dim = spark.createDataFrame(
+        [("gelatin", "D1"), ("vitamin c", "D2")], "title string, ext_id string"
+    )
+    items = spark.createDataFrame([("gelatne",), ("zzz qqq",)], "item string")
+    pairs = resolve.fuzzy_candidates(items, dim).collect()
+    # typo shares no whole token but most 3-grams -> candidate surfaced
+    assert any(r["__item"] == "gelatne" and r["__title"] == "gelatin" for r in pairs)
+    # gram-disjoint garbage still gets nothing
+    assert all(r["__item"] != "zzz qqq" for r in pairs)
 
 
 # ------------------------------------------------------------- J4 penalties
