@@ -6,8 +6,9 @@ Reference semantics:
 - S2 CSV scan, header row = schema, every value a nullable string
   (``app/etl.py:942-944``)
 - S3/S4 Excel scan + validation (``app/etl.py:970-993``, ``:670-699``):
-  spark-excel isn't on this classpath, so Excel goes through a
-  pandas/openpyxl bridge when openpyxl is importable, else a clear error.
+  a self-contained stdlib zip+XML xlsx parser (``sources/xlsx.py``) —
+  no openpyxl/spark-excel dependency needed for the reference's primary
+  upload format.
 
 The encoding probe is a driver-side peek at one small head sample —
 the distributed read then uses the detected charset.
@@ -71,13 +72,28 @@ def read_csv_upload(spark: SparkSession, path: str, encoding: str | None = None)
 
 
 def read_excel_upload(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
-    """S3 via pandas/openpyxl bridge (small uploads; spark-excel would take
-    over for distributed reads on a real cluster)."""
+    """S3: all-string Excel read via the self-contained stdlib xlsx parser
+    (``sources/xlsx.py`` — zip + XML, no openpyxl dependency). Mirrors the
+    reference's openpyxl scan (``app/etl.py:970-993``): first row =
+    headers, values as-is; all columns nullable strings like the CSV path
+    so both feed the same normalization chain. Empty header cells become
+    ``col_<i>`` and duplicate headers get a ``_<i>`` suffix — a DataFrame
+    needs distinct non-empty column names where the reference's positional
+    row access did not."""
+    from pyp_etl_pipeline_spark.sources.xlsx import parse_xlsx  # noqa: PLC0415
+
     validate_upload_path(path)
     validate_excel_file(path)
-    try:
-        import pandas as pd  # noqa: PLC0415
-        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)
-    except ImportError as e:  # openpyxl not in this container
-        raise NotImplementedError("Excel ingest requires openpyxl/spark-excel") from e
-    return spark.createDataFrame(pdf.where(pdf.notna(), None))
+    headers, rows = parse_xlsx(path, sheet=sheet)
+    if not headers:
+        raise ValueError("xlsx sheet is empty (no header row)")
+    names: list[str] = []
+    seen: set[str] = set()
+    for i, h in enumerate(headers):
+        name = h.strip() or f"col_{i}"
+        if name in seen:
+            name = f"{name}_{i}"
+        seen.add(name)
+        names.append(name)
+    fields = ", ".join(f"`{n}` string" for n in names)
+    return spark.createDataFrame(rows, schema=fields)

@@ -1,0 +1,201 @@
+"""Self-contained xlsx reader (S3) — stdlib ``zipfile`` + ``xml.etree``.
+
+The reference's primary ingest format is xlsx via openpyxl
+(``app/etl.py:970-993``: active sheet, first row = headers, values as-is;
+header-only peek in ``app/routes.py:273-278``). openpyxl is not available
+in this container, and xlsx is just zip + XML — this module parses the
+OOXML SpreadsheetML parts directly:
+
+- ``xl/workbook.xml`` + ``xl/_rels/workbook.xml.rels``: sheet registry
+  (name -> worksheet part), first sheet = the reference's ``wb.active``
+- ``xl/sharedStrings.xml``: the shared-string table (plain ``<si><t>`` and
+  rich-text ``<si><r><t>`` runs)
+- ``xl/worksheets/sheetN.xml``: ``<row>``/``<c>`` cells with cell types
+  ``s`` (shared string), ``str`` (formula string), ``inlineStr``, ``b``
+  (boolean), ``e`` (error), and default numeric
+
+All values surface as nullable STRINGS, matching the all-string CSV scan
+(S2) so both ingest paths feed the same normalization chain. Numbers
+render without a spurious trailing ``.0`` when integral (Excel stores
+``42`` as the double ``42``). Date styling is not resolved — date cells
+surface as their raw serial number (documented limitation; the reference
+relies on openpyxl's style table for this).
+
+This is a driver-side reader for upload-sized files, like the reference's
+row-at-a-time openpyxl scan; the resulting rows become a distributed
+DataFrame immediately. A cluster-scale ingest of many xlsx files would
+wrap ``parse_xlsx`` in ``spark.read.format("binaryFile")`` +
+``mapInPandas`` — the parser is pure-python and picklable by design.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree
+
+_CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
+
+
+def _local(tag: str) -> str:
+    """Strip the XML namespace: '{ns}row' -> 'row'."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_index(ref: str | None) -> int | None:
+    """'C7' -> 2 (0-based column). None when the cell has no r attribute."""
+    if not ref:
+        return None
+    m = _CELL_REF.match(ref)
+    if not m:
+        return None
+    idx = 0
+    for ch in m.group(1):
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _text_of(elem: ElementTree.Element) -> str:
+    """Concatenated <t> runs under a shared-string item or inlineStr."""
+    parts = []
+    for node in elem.iter():
+        if _local(node.tag) == "t" and node.text is not None:
+            parts.append(node.text)
+    return "".join(parts)
+
+
+def _format_number(raw: str) -> str:
+    """Render Excel's doubles the way a user typed them: '42' not '42.0'."""
+    try:
+        v = float(raw)
+    except ValueError:
+        return raw
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _shared_strings(z: zipfile.ZipFile) -> list[str]:
+    try:
+        data = z.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ElementTree.fromstring(data)
+    return [_text_of(si) for si in root if _local(si.tag) == "si"]
+
+
+def _sheet_parts(z: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet_name, zip_member_path)] in workbook order (first = active
+    sheet for the reference's read path)."""
+    rels: dict[str, str] = {}
+    try:
+        rel_root = ElementTree.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        for rel in rel_root:
+            rid = rel.get("Id")
+            target = rel.get("Target", "")
+            if rid:
+                target = target.lstrip("/")
+                if not target.startswith("xl/"):
+                    target = "xl/" + target
+                rels[rid] = target
+    except KeyError:
+        pass
+
+    out: list[tuple[str, str]] = []
+    wb_root = ElementTree.fromstring(z.read("xl/workbook.xml"))
+    n = 0
+    for node in wb_root.iter():
+        if _local(node.tag) != "sheet":
+            continue
+        n += 1
+        name = node.get("name", f"Sheet{n}")
+        rid = next((v for k, v in node.attrib.items() if _local(k) == "id"), None)
+        part = rels.get(rid or "", f"xl/worksheets/sheet{n}.xml")
+        out.append((name, part))
+    if not out:  # degenerate workbook.xml: fall back to conventional part names
+        out = [
+            (m.rsplit("/", 1)[-1][:-4], m)
+            for m in sorted(z.namelist())
+            if m.startswith("xl/worksheets/sheet") and m.endswith(".xml")
+        ]
+    return out
+
+
+def _cell_value(cell: ElementTree.Element, shared: list[str]) -> str | None:
+    ctype = cell.get("t", "n")
+    v_text: str | None = None
+    is_elem: ElementTree.Element | None = None
+    for child in cell:
+        name = _local(child.tag)
+        if name == "v":
+            v_text = child.text or ""
+        elif name == "is":
+            is_elem = child
+    if ctype == "inlineStr":
+        return _text_of(is_elem) if is_elem is not None else None
+    if v_text is None:
+        return None
+    if ctype == "s":
+        try:
+            return shared[int(v_text)]
+        except (ValueError, IndexError):
+            return None
+    if ctype == "b":
+        return "True" if v_text.strip() == "1" else "False"
+    if ctype in ("str", "e"):
+        return v_text
+    return _format_number(v_text)
+
+
+def parse_xlsx(path: str, sheet: int | str = 0) -> tuple[list[str], list[list[str | None]]]:
+    """Parse one worksheet into (headers, data_rows).
+
+    ``sheet`` selects by 0-based index or by name; default 0 mirrors the
+    reference's ``wb.active``. Headers come from the first non-empty-index
+    row verbatim (empty header cells stay ''); data rows are padded /
+    truncated to the header width, missing cells -> None.
+    """
+    with zipfile.ZipFile(path) as z:
+        shared = _shared_strings(z)
+        sheets = _sheet_parts(z)
+        if not sheets:
+            raise ValueError("xlsx contains no worksheets")
+        if isinstance(sheet, str):
+            part = next((p for name, p in sheets if name == sheet), None)
+            if part is None:
+                raise ValueError(f"no sheet named {sheet!r}; have {[n for n, _ in sheets]}")
+        else:
+            if sheet >= len(sheets):
+                raise ValueError(f"sheet index {sheet} out of range ({len(sheets)} sheets)")
+            part = sheets[sheet][1]
+
+        rows: list[list[str | None]] = []
+        root = ElementTree.fromstring(z.read(part))
+        for row in root.iter():
+            if _local(row.tag) != "row":
+                continue
+            values: list[str | None] = []
+            next_idx = 0
+            for cell in row:
+                if _local(cell.tag) != "c":
+                    continue
+                idx = _col_index(cell.get("r"))
+                if idx is None:
+                    idx = next_idx
+                while len(values) < idx:
+                    values.append(None)
+                val = _cell_value(cell, shared)
+                if len(values) == idx:
+                    values.append(val)
+                else:
+                    values[idx] = val
+                next_idx = idx + 1
+            rows.append(values)
+
+    if not rows:
+        return [], []
+    header_cells = rows[0]
+    headers = [(h if h is not None else "") for h in header_cells]
+    width = len(headers)
+    data = [r[:width] + [None] * (width - len(r)) for r in rows[1:]]
+    return headers, data

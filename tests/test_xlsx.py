@@ -1,0 +1,164 @@
+"""S3 Excel ingest round-trip: build real xlsx files (zip + SpreadsheetML
+XML, the same parts openpyxl would write) and read them back through
+``read_excel_upload`` into all-string DataFrames.
+
+Covers: shared strings (plain + rich-text runs), inline strings, integral
+and fractional numbers, booleans, formula-string cells, sparse rows with
+gap cells, multi-sheet selection by index and name, empty-header and
+duplicate-header renaming, and the S4 validation errors.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from pyp_etl_pipeline_spark.sources import ingest
+from pyp_etl_pipeline_spark.sources.xlsx import parse_xlsx
+
+NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+NSR = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+
+
+def _write_xlsx(path, sheets, shared=()):
+    """sheets: list of (name, sheet_xml_body); shared: shared-string items
+    (each already wrapped in <si>...</si>)."""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        sheet_tags = "".join(
+            f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>' for i, (name, _) in enumerate(sheets)
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {NS} {NSR}><sheets>{sheet_tags}</sheets></workbook>',
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">{rels}</Relationships>',
+        )
+        if shared:
+            z.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst {NS} count="{len(shared)}" uniqueCount="{len(shared)}">'
+                + "".join(shared)
+                + "</sst>",
+            )
+        for i, (_, body) in enumerate(sheets):
+            z.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                f'<?xml version="1.0"?><worksheet {NS}><sheetData>{body}</sheetData></worksheet>',
+            )
+
+
+@pytest.fixture
+def basic_xlsx(tmp_path):
+    p = tmp_path / "upload.xlsx"
+    shared = [
+        "<si><t>name</t></si>",
+        "<si><t>qty</t></si>",
+        "<si><t>Fish Oil</t></si>",
+        # rich-text runs concatenate
+        "<si><r><t>Vitamin </t></r><r><t>C</t></r></si>",
+    ]
+    body = (
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>active</t></is></c>'
+        "</row>"
+        '<row r="2">'
+        '<c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c><c r="C2" t="b"><v>1</v></c>'
+        "</row>"
+        '<row r="3">'
+        # gap: B3 missing entirely; C3 fractional number
+        '<c r="A3" t="s"><v>3</v></c><c r="C3"><v>1.5</v></c>'
+        "</row>"
+        '<row r="4">'
+        # formula-string cell + empty <v> numeric cell with no value -> None
+        '<c r="A4" t="str"><v>computed</v></c><c r="B4"><v>0.25</v></c><c r="C4" t="b"><v>0</v></c>'
+        "</row>"
+    )
+    _write_xlsx(p, [("Sheet1", body)], shared)
+    return str(p)
+
+
+def test_parse_xlsx_values(basic_xlsx):
+    headers, rows = parse_xlsx(basic_xlsx)
+    assert headers == ["name", "qty", "active"]
+    assert rows == [
+        ["Fish Oil", "42", "True"],
+        ["Vitamin C", None, "1.5"],
+        ["computed", "0.25", "False"],
+    ]
+
+
+def test_read_excel_upload_roundtrip(spark, basic_xlsx):
+    df = ingest.read_excel_upload(spark, basic_xlsx)
+    assert df.columns == ["name", "qty", "active"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    got = [tuple(r) for r in df.collect()]
+    assert ("Fish Oil", "42", "True") in got
+    assert ("Vitamin C", None, "1.5") in got
+    assert len(got) == 3
+
+
+def test_multi_sheet_by_index_and_name(tmp_path):
+    p = tmp_path / "multi.xlsx"
+    s1 = '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c></row><row r="2"><c r="A2"><v>1</v></c></row>'
+    s2 = '<row r="1"><c r="A1" t="inlineStr"><is><t>b</t></is></c></row><row r="2"><c r="A2"><v>2</v></c></row>'
+    _write_xlsx(p, [("First", s1), ("Second", s2)])
+    h1, r1 = parse_xlsx(str(p), sheet=0)
+    h2, r2 = parse_xlsx(str(p), sheet="Second")
+    assert (h1, r1) == (["a"], [["1"]])
+    assert (h2, r2) == (["b"], [["2"]])
+    with pytest.raises(ValueError, match="no sheet named"):
+        parse_xlsx(str(p), sheet="Missing")
+    with pytest.raises(ValueError, match="out of range"):
+        parse_xlsx(str(p), sheet=5)
+
+
+def test_empty_and_duplicate_headers_renamed(spark, tmp_path):
+    p = tmp_path / "dup.xlsx"
+    body = (
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>x</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>x</t></is></c>'  # B1 header missing, duplicate name
+        "</row>"
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c><c r="C2"><v>3</v></c></row>'
+    )
+    _write_xlsx(p, [("S", body)])
+    df = ingest.read_excel_upload(spark, str(p))
+    assert df.columns == ["x", "col_1", "x_2"]
+    assert [tuple(r) for r in df.collect()] == [("1", "2", "3")]
+
+
+def test_integral_numbers_have_no_trailing_zero(tmp_path):
+    p = tmp_path / "num.xlsx"
+    body = (
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>n</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>42.0</v></c></row>'
+        '<row r="3"><c r="A3"><v>3.14</v></c></row>'
+        '<row r="4"><c r="A4"><v>1e3</v></c></row>'
+    )
+    _write_xlsx(p, [("S", body)])
+    _, rows = parse_xlsx(str(p))
+    assert rows == [["42"], ["3.14"], ["1000"]]
+
+
+def test_validation_still_rejects_garbage(tmp_path):
+    bad = tmp_path / "fake.xlsx"
+    bad.write_bytes(b"not a zip at all")
+    with pytest.raises(ValueError, match="zip magic"):
+        ingest.validate_excel_file(str(bad))
+    # zip without xl/ entries
+    weird = tmp_path / "weird.xlsx"
+    with zipfile.ZipFile(weird, "w") as z:
+        z.writestr("mimetype", "application/whatever")
+    with pytest.raises(ValueError, match="no xl/ entries"):
+        ingest.validate_excel_file(str(weird))
