@@ -87,17 +87,34 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Regression guard: ratio vs the committed anchor (round-1 driver
+    # numbers). >1 = slower than anchor, <1 = faster. Only meaningful at
+    # the anchor's sf; host CPU contention still swings single queries, so
+    # treat ratios > ~1.5 as signal, not noise (CLAUDE.md).
+    anchor_path = os.path.join(REPO, "BENCH_ANCHOR.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if str(anchor.get("sf")) == str(out["sf"]):
+            ref = anchor.get("queries", {})
+            out["vs_anchor"] = {
+                n: round(t / ref[n], 2) for n, t in timings.items() if t > 0 and ref.get(n, 0) > 0
             }
-        )
-    )
+            common = [n for n in timings if timings[n] > 0 and ref.get(n, 0) > 0]
+            if common:
+                out["vs_anchor_total"] = round(
+                    sum(timings[n] for n in common) / sum(ref[n] for n in common), 3
+                )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

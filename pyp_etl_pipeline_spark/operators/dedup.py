@@ -238,22 +238,29 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        out = []
-        for t in texts:
+        # md5 is pinned by the oracle twin (one 64-bit prefix per token),
+        # but each distinct token needs hashing only once per batch —
+        # corpora repeat vocabulary heavily, so the cache removes most of
+        # the per-token Python work; the bit-vote is one matrix op per doc
+        # instead of a per-token loop.
+        shifts = np.arange(64, dtype=np.uint64)
+        cache: dict = {}
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             toks = (t or "").lower().split()
             if not toks:
-                out.append(0)
                 continue
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(32)
-            for tok in toks:
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                # split into 32-bit halves: a >=2^63 Python int overflows int64 ops
-                lo, hi = h & 0xFFFFFFFF, h >> 32
-                bits = np.concatenate([(lo >> shifts) & 1, (hi >> shifts) & 1])
-                votes += np.where(bits == 1, 1, -1)
-            fp = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # wrap to signed
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for j, tok in enumerate(toks):
+                h = cache.get(tok)
+                if h is None:
+                    h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                    cache[tok] = h
+                hs[j] = h
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = int(((votes > 0).astype(np.uint64) << shifts).sum())
+            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp  # wrap to signed
         return pd.Series(out, dtype="int64")
 
     import pandas as pd  # noqa: PLC0415

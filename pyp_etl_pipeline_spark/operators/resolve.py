@@ -149,8 +149,25 @@ def fuzzy_candidates(
     return pairs.unionByName(gram_pairs)
 
 
-def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:
-    """J2-J4: raw score + cross-algorithm check + penalties -> adjusted score."""
+def score_candidates(pairs: DataFrame, scorer: str = "token_set", k: int = 10) -> DataFrame:
+    """J2-J4 with the reference's extract-limit shape (app/etl.py:1272):
+    raw-score every candidate pair, keep only the top ``k`` per item BY
+    RAW SCORE (``process.extract(..., limit=10)`` — the reference never
+    sees candidates beyond the raw top-10), cross-validate ONLY the
+    raw-best row (``all_matches[0]``, app/etl.py:1281-1294), then apply
+    penalties to every retained row.
+
+    This ordering is also the 100 TB-correct physical plan: the raw
+    top-k is a row_number window whose ``raw_rnk <= k`` filter triggers
+    WindowGroupLimit pushdown (per-map-partition top-k BEFORE the
+    shuffle), and the Levenshtein cross-validators run on <= k rows per
+    item instead of every candidate pair. Tiebreak (title, id) is
+    deterministic; the reference breaks ties by pool insertion order, a
+    documented deviation.
+
+    Output adds ``raw_rnk`` (1 = raw-best), ``raw_score``,
+    ``disagreement_penalty``, ``adjusted_score``.
+    """
     if scorer == "dice":
         scored = pairs.withColumn("raw_score", scoring.dice_token_score("__item", "__title"))
     elif scorer == "token_set":
@@ -174,24 +191,16 @@ def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:
     else:
         raise ValueError(f"unknown scorer: {scorer}")
 
-    # The reference cross-validates ONLY the raw-best candidate per item
-    # (app/etl.py:1281-1294: ratio/partial_ratio are computed for
-    # all_matches[0] alone); alternatives get plain penalties. Rank by raw
-    # score first (deterministic tiebreak title,id — the reference breaks
-    # ties by pool insertion order, a documented deviation), then compute
-    # the Levenshtein-based validators only on the rank-1 row: the costly
-    # edit-distance drops from every pair to one pair per item. The window
-    # shuffle partitions by __item, which the downstream top-k window
-    # reuses (same exchange).
     raw_w = Window.partitionBy("__item").orderBy(
         F.desc("raw_score"), F.asc("__title"), F.asc("__cand_id")
     )
-    scored = scored.withColumn("__raw_rnk", F.row_number().over(raw_w))
+    scored = scored.withColumn("raw_rnk", F.row_number().over(raw_w)).filter(F.col("raw_rnk") <= k)
+
+    is_best = F.col("raw_rnk") == 1
     scored = scored.withColumn("__li", F.lower(F.trim(F.col("__item")))).withColumn(
         "__lt", F.lower(F.trim(F.col("__title")))
     )
     li, lt = F.col("__li"), F.col("__lt")
-    is_best = F.col("__raw_rnk") == 1
     scored = scored.withColumn("__rplain", F.when(is_best, scoring.ratio(li, lt)))
     # containment_ratio = 100 on substring containment else plain ratio —
     # reuse the materialized plain ratio instead of a second levenshtein
@@ -202,7 +211,7 @@ def score_candidates(pairs: DataFrame, scorer: str = "token_set") -> DataFrame:
             is_best,
             scoring.algorithm_disagreement_penalty(F.col("raw_score"), F.col("__rplain"), r_part),
         ).otherwise(F.lit(0.0)),
-    ).drop("__li", "__lt", "__rplain", "__raw_rnk")
+    ).drop("__li", "__lt", "__rplain")
     adjusted = scoring.apply_match_penalties(
         F.col("raw_score") - F.col("disagreement_penalty"), F.col("__item"), F.col("__title")
     )
@@ -233,28 +242,29 @@ def similarity_resolve(
     misses = exact.filter(~F.col("resolved")).select("__item")
 
     pairs = fuzzy_candidates(misses, dim, "__item", title_col, id_col, max_token_df=max_token_df)
-    scored = score_candidates(pairs, scorer=scorer)
+    scored = score_candidates(pairs, scorer=scorer, k=k)
 
-    w = Window.partitionBy("__item").orderBy(
-        F.desc("adjusted_score"), F.asc("__title"), F.asc("__cand_id")
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= max(k, n_alternatives + 1))
+    # Best-after-penalty among the raw top-k (reference app/etl.py:1304-1316:
+    # strictly-greater comparison walking the extract order, so ties go to
+    # the earlier = lower raw rank row).
+    w = Window.partitionBy("__item").orderBy(F.desc("adjusted_score"), F.asc("raw_rnk"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
 
     best = ranked.filter(F.col("rank") == 1)
+    # Alternatives, reference app/etl.py:1342-1351: walk the extract (raw)
+    # order, skip the chosen best, keep adjusted >= the auto-reject
+    # threshold, stop at n; only the review branch materializes them.
+    alt_w = Window.partitionBy("__item").orderBy(F.asc("raw_rnk"))
     alts = (
-        ranked.filter(
-            (F.col("rank") >= 2)
-            & (F.col("rank") <= 1 + n_alternatives)
-            # reference filters alternatives by the same configurable
-            # auto-reject threshold used for banding (app/etl.py:1348)
-            & (F.col("adjusted_score") >= S.AUTO_REJECT_THRESHOLD)
-        )
+        ranked.filter((F.col("rank") >= 2) & (F.col("adjusted_score") >= S.AUTO_REJECT_THRESHOLD))
+        .withColumn("alt_rank", F.row_number().over(alt_w))
+        .filter(F.col("alt_rank") <= n_alternatives)
         .groupBy("__item")
         .agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        F.col("rank").alias("rank"),
+                        F.col("alt_rank").alias("rank"),
                         F.col("__title").alias("name"),
                         F.round("adjusted_score", 4).alias("score"),
                         F.col("__cand_id").alias("ext_id"),
@@ -277,7 +287,9 @@ def similarity_resolve(
             F.col("adjusted_score").alias("score"),
             F.col("band"),
             (F.col("band") == "auto_resolve").alias("resolved"),
-            F.col("alternatives"),
+            # reference creates alternatives only for the review branch
+            # (auto_resolve skips MatchReview, reject stores alts=[])
+            F.when(F.col("band") == "review", F.col("alternatives")).alias("alternatives"),
         )
     )
     # items whose blocking produced no candidate at all -> reject band

@@ -160,21 +160,13 @@ def deterministic_centroids(
     swap in k-means centroids on a real corpus). ``orderBy + limit``
     compiles to TakeOrdered (no full sort); the window runs over k rows.
     """
-    seeds = vectors.select(F.col(id_col), _as_double(vec_col).alias("centroid_vec")).orderBy(id_col).limit(k)
-    # centroid_id = rank of the seed id among the k seeds, computed as a
-    # count-of-smaller-ids self-join over the <= k rows. A global
-    # row_number window would need an empty partition spec, which makes
-    # WindowExec log a single-partition warning on every evaluation — the
-    # k x k broadcast join is equally trivial and warning-free.
-    rank = (
-        seeds.select(F.col(id_col).alias("__a"))
-        .join(F.broadcast(seeds.select(F.col(id_col).alias("__b"))), F.col("__a") > F.col("__b"), "left")
-        .groupBy("__a")
-        .agg(F.count("__b").alias("centroid_id"))
-    )
-    return seeds.join(F.broadcast(rank), F.col(id_col) == F.col("__a")).select(
-        "centroid_id", "centroid_vec"
-    )
+    # The seed's own id IS the centroid id: bucketing only needs distinct
+    # ids, not a dense 0..k-1 numbering — so no global row_number window
+    # (which would log WindowExec's single-partition warning every run)
+    # and no extra pass over the seeds.
+    return vectors.select(
+        F.col(id_col).alias("centroid_id"), _as_double(vec_col).alias("centroid_vec")
+    ).orderBy("centroid_id").limit(k)
 
 
 def ivf_topk(

@@ -64,3 +64,18 @@ def test_cosine_neardup_exact_vs_lsh(spark, vectors):
     }
     # LSH candidates are a subset of exact pairs with no false positives
     assert approx <= exact
+
+
+def test_cosine_neardup_lsh_full_recall_on_exact_dups(spark):
+    """Identical vectors always share a sign bucket — the bucketed path
+    has recall 1.0 on true duplicates, the case that matters for a
+    dedup pipeline (pinned so nd01's registered plan stays honest)."""
+    base = [(i, unit(i * 17.0)) for i in range(1, 9)]
+    dups = [(i + 100, v) for i, v in base]  # exact copies under new ids
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs(df, threshold=0.999, n_planes=2, dim=4).collect()
+    }
+    expected = {(i, i + 100) for i, _ in base}
+    assert expected <= got
