@@ -1000,6 +1000,7 @@ REGISTRY.update(QUERIES3)
 # Rotate the registry so the queries with no driver-side CORRECTNESS row
 # yet come first; the already-green-in-r01 queries follow.
 _DRIVER_PRIORITY = [
+    "mm02_media_decode",
     "j02b_typo_fallback",
     "e03_crosslink_dedup",
     "ann03_ivf_topk",

@@ -583,7 +583,69 @@ FROM documents
 """
 
 
+def mm02_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode (no metadata trust, no stub): PNG and WAV
+    payloads are synthesized per doc_id with the pure-python encoders
+    (solid gray8 image / PCM16 ramp clip), then ``decode_features``
+    parses the actual bytes back — zlib inflate + scanline unfilter for
+    dimensions and mean pixel, RIFF walk for duration and RMS. The DuckDB
+    twin computes every feature analytically from doc_id, so a decoder
+    bug (wrong stride, wrong endianness, off-by-one scanline) breaks the
+    hash match."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import decode_features  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        from pyp_etl_pipeline_spark.multimodal.codecs import (  # noqa: PLC0415
+            png_encode_gray,
+            wav_encode_pcm16,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(png_encode_gray(1 + i % 16, 1 + i % 8, i % 256))
+                else:
+                    k = 1 + i % 7
+                    n = 100 + i % 50
+                    samples = [(((j * k) % 256) - 128) * 64 for j in range(n)]
+                    payloads.append(wav_encode_pcm16(samples, 8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    out = decode_features(media)
+    return out.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        F.round("mean_val", 4).alias("mean_val"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
+MM02_SQL = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+  CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 16)::INT END AS width,
+  CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 8)::INT END AS height,
+  CASE WHEN doc_id % 2 = 1 THEN round((100 + doc_id % 50) * 1000.0 / 8000.0, 4) END AS duration_ms,
+  CASE WHEN doc_id % 2 = 0 THEN round((doc_id % 256)::DOUBLE, 4) END AS mean_val,
+  CASE WHEN doc_id % 2 = 1 THEN round(sqrt(list_avg(list_transform(
+         range(0, (100 + doc_id % 50)::BIGINT),
+         j -> power((((j * (1 + doc_id % 7)) % 256 - 128) * 64)::DOUBLE, 2)))), 4) END AS rms
+FROM documents
+"""
+
+
 QUERIES3 = {
+    "mm02_media_decode": (mm02_media_decode, MM02_SQL),
     "q05_sql_interface": (q05_sql_interface, Q05_SQL),
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
     "f05_country_whitelist": (f05_country_whitelist, F05_SQL),

@@ -1,0 +1,119 @@
+"""Pure-python PNG/WAV codec tests: round-trips through the minimal
+encoders, hand-built PNGs exercising every scanline filter type and the
+RGB path, WAV chunk-walk edge cases, and the decode_features operator."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pyp_etl_pipeline_spark.multimodal import codecs
+from pyp_etl_pipeline_spark.multimodal.binary_ops import decode_features, decode_real
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+
+def _png_from_scanlines(width, height, color_type, scanlines: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return codecs.PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(scanlines)) + _chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_gray():
+    p = codecs.png_encode_gray(5, 3, 200)
+    d = codecs.png_decode(p)
+    assert (d["width"], d["height"], d["mean_val"]) == (5, 3, 200.0)
+    assert codecs.sniff_kind(p) == "png"
+
+
+def test_png_sub_filter():
+    # filter 1 (Sub): raw deltas [10, 5, 5] -> pixels [10, 15, 20]
+    p = _png_from_scanlines(3, 1, 0, b"\x01" + bytes([10, 5, 5]))
+    assert codecs.png_decode(p)["mean_val"] == pytest.approx(15.0)
+
+
+def test_png_up_filter():
+    # row0 none [10, 20]; row1 Up deltas [1, 2] -> [11, 22]
+    p = _png_from_scanlines(2, 2, 0, b"\x00" + bytes([10, 20]) + b"\x02" + bytes([1, 2]))
+    assert codecs.png_decode(p)["mean_val"] == pytest.approx((10 + 20 + 11 + 22) / 4)
+
+
+def test_png_average_filter():
+    # row0 none [100, 100]; row1 Average: x0 = 10 + (0+100)//2 = 60,
+    # x1 = 0 + (60+100)//2 = 80
+    p = _png_from_scanlines(2, 2, 0, b"\x00" + bytes([100, 100]) + b"\x03" + bytes([10, 0]))
+    assert codecs.png_decode(p)["mean_val"] == pytest.approx((100 + 100 + 60 + 80) / 4)
+
+
+def test_png_paeth_filter():
+    # row0 none [50, 60]; row1 Paeth: x0 pred=b=50 -> 55; x1 a=55,b=60,c=50
+    # p=65 -> pa=10,pb=5,pc=15 -> pred=b=60 -> 62
+    p = _png_from_scanlines(2, 2, 0, b"\x00" + bytes([50, 60]) + b"\x04" + bytes([5, 2]))
+    assert codecs.png_decode(p)["mean_val"] == pytest.approx((50 + 60 + 55 + 62) / 4)
+
+
+def test_png_rgb():
+    # 2x1 RGB, filter 0: pixels (255,0,0), (0,0,255)
+    p = _png_from_scanlines(2, 1, 2, b"\x00" + bytes([255, 0, 0, 0, 0, 255]))
+    d = codecs.png_decode(p)
+    assert d["color_type"] == 2
+    assert d["mean_val"] == pytest.approx(510 / 6)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        codecs.png_decode(b"JFIF not a png")
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    p16 = codecs.PNG_MAGIC + _chunk(b"IHDR", ihdr16)
+    with pytest.raises(ValueError, match="bit depth"):
+        codecs.png_decode(p16)
+
+
+def test_wav_roundtrip_rms():
+    samples = [0, 100, -100, 100, -100, 0, 0, 0]
+    p = codecs.wav_encode_pcm16(samples, rate=8000)
+    d = codecs.wav_decode(p)
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_samples"] == 8
+    assert d["duration_ms"] == pytest.approx(1.0)
+    assert d["rms"] == pytest.approx(np.sqrt(np.mean(np.array(samples, dtype=np.float64) ** 2)))
+    assert codecs.sniff_kind(p) == "wav"
+
+
+def test_wav_rejects_non_pcm():
+    p = bytearray(codecs.wav_encode_pcm16([1, 2, 3]))
+    # patch the audio-format field (offset: RIFF(12) + 'fmt '(4) + len(4))
+    struct.pack_into("<H", p, 20, 3)  # IEEE float
+    with pytest.raises(ValueError, match="audio format"):
+        codecs.wav_decode(bytes(p))
+
+
+def test_decode_real_dispatch():
+    png = codecs.png_encode_gray(2, 2, 7)
+    assert decode_real(png, "image")["format"] == "png"
+    wav = codecs.wav_encode_pcm16([0, 1])
+    assert decode_real(wav, "audio")["format"] == "wav"
+    with pytest.raises(NotImplementedError, match="PNG and WAV"):
+        decode_real(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+
+
+def test_decode_features_operator(spark):
+    rows = [
+        (1, codecs.png_encode_gray(4, 2, 128)),
+        (2, codecs.wav_encode_pcm16([1000] * 80, rate=8000)),
+        (3, b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_features(df).collect()}
+    png = out[1]
+    assert (png["format"], png["width"], png["height"], png["mean_val"]) == ("png", 4, 2, 128.0)
+    wav = out[2]
+    assert wav["format"] == "wav"
+    assert wav["duration_ms"] == pytest.approx(10.0)
+    assert wav["rms"] == pytest.approx(1000.0)
+    stray = out[3]
+    assert stray["format"] is None and stray["width"] is None and stray["rms"] is None
