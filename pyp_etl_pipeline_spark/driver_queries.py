@@ -38,23 +38,31 @@ def sql_null_normalize(x: str) -> str:
     return f"(CASE WHEN {x} IS NULL OR lower(trim({x})) IN ({SENTINELS_SQL}) THEN NULL ELSE trim({x}) END)"
 
 
+def sql_process(x: str) -> str:
+    """scoring.process_text (rapidfuzz default_process): lowercase,
+    non-alphanumeric -> space, trim ends. 'g' flag: DuckDB regexp_replace
+    replaces only the first match without it."""
+    return f"trim(regexp_replace(lower({x}), '[^a-z0-9]', ' ', 'g'))"
+
+
 def sql_tokens(x: str) -> str:
-    """scoring.tokens: sorted distinct lowercase whitespace tokens."""
+    """scoring.tokens: sorted distinct whitespace tokens of the
+    default_process'd string."""
     return (
-        f"list_sort(list_distinct(list_filter(string_split_regex(lower(trim({x})), '\\s+'), w -> w <> '')))"
+        f"list_sort(list_distinct(list_filter(string_split_regex({sql_process(x)}, '\\s+'), w -> w <> '')))"
     )
 
 
 def sql_ratio(a: str, b: str) -> str:
-    """scoring.ratio: normalized Levenshtein similarity."""
+    """scoring.ratio: rapidfuzz-style sum-of-lengths normalization."""
     return (
-        f"(CASE WHEN length({a}) = 0 AND length({b}) = 0 THEN 100.0 "
-        f"ELSE 100.0 * (1.0 - levenshtein({a}, {b}) / greatest(length({a}), length({b}))) END)"
+        f"(CASE WHEN length({a}) + length({b}) = 0 THEN 100.0 "
+        f"ELSE 100.0 * (1.0 - levenshtein({a}, {b}) / (length({a}) + length({b}))) END)"
     )
 
 
 def sql_containment_ratio(a: str, b: str) -> str:
-    la, lb = f"lower(trim({a}))", f"lower(trim({b}))"
+    la, lb = sql_process(a), sql_process(b)
     return f"(CASE WHEN contains({la}, {lb}) OR contains({lb}, {la}) THEN 100.0 ELSE {sql_ratio(la, lb)} END)"
 
 

@@ -73,8 +73,8 @@ def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
         pairs.withColumn("__int", inter)
         .withColumn("__ra", rest_a)
         .withColumn("__rb", rest_b)
-        .withColumn("__lq", F.lower(F.trim(F.col("qname"))))
-        .withColumn("__lc", F.lower(F.trim(F.col("cname"))))
+        .withColumn("__lq", scoring.process_text("qname"))
+        .withColumn("__lc", scoring.process_text("cname"))
     )
     raw = scoring.token_set_ratio_from_parts(F.col("__int"), F.col("__ra"), F.col("__rb"))
     lq, lc = F.col("__lq"), F.col("__lc")
@@ -121,7 +121,7 @@ def _fuzzy_cte() -> str:
     ratio_s0s1 = core.sql_ratio("s0", "s1")
     ratio_s0s2 = core.sql_ratio("s0", "s2")
     ratio_s1s2 = core.sql_ratio("s1", "s2")
-    r_plain = core.sql_ratio("lower(trim(qname))", "lower(trim(cname))")
+    r_plain = core.sql_ratio(core.sql_process("qname"), core.sql_process("cname"))
     r_part = core.sql_containment_ratio("qname", "cname")
     penalties = core.sql_penalties("(raw_score - disg)", "qname", "cname")
     return f"""
@@ -290,7 +290,7 @@ def _j02b_sql() -> str:
     ratio_s0s1 = core.sql_ratio("s0", "s1")
     ratio_s0s2 = core.sql_ratio("s0", "s2")
     ratio_s1s2 = core.sql_ratio("s1", "s2")
-    r_plain = core.sql_ratio("lower(trim(item))", "lower(trim(title))")
+    r_plain = core.sql_ratio(core.sql_process("item"), core.sql_process("title"))
     r_part = core.sql_containment_ratio("item", "title")
     penalties = core.sql_penalties("(raw_score - disg)", "item", "title")
     band = core.sql_band("adjusted")

@@ -34,10 +34,24 @@ def _col(c: Column | str) -> Column:
 
 # ---------------------------------------------------------------- tokenizing
 
+def process_text(c: Column | str) -> Column:
+    """rapidfuzz ``utils.default_process`` analog: lowercase, replace
+    every non-alphanumeric character with a space, trim the ends
+    (interior space runs are preserved, exactly like default_process).
+    The reference passes this processor to every scorer call
+    (app/etl.py:1272, :1283, :1286), so "vitamin-d3" and "vitamin d3"
+    are the same string to it — skipping it made the engine tokenize
+    hyphenated/parenthesized variants differently and mis-band them
+    (caught by the test_scorer_fidelity sweep). ASCII alphanumerics
+    only (rapidfuzz is Unicode-aware; the corpus and the DuckDB twin
+    are ASCII — documented deviation)."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), "[^a-z0-9]", " "))
+
+
 def tokens(c: Column | str) -> Column:
-    """Sorted distinct lowercase whitespace tokens (empty strings dropped)."""
-    c = _col(c)
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    """Sorted distinct whitespace tokens of the default_process'd string
+    (empty strings dropped)."""
+    toks = F.split(process_text(c), r"\s+")
     return F.array_sort(F.array_distinct(F.filter(toks, lambda x: x != F.lit(""))))
 
 
@@ -55,19 +69,29 @@ def char_ngrams(c: Column | str, n: int = 3) -> Column:
 # ------------------------------------------------------------------ scorers
 
 def ratio(a: Column | str, b: Column | str) -> Column:
-    """Normalized Levenshtein similarity in [0, 100]."""
+    """rapidfuzz ``fuzz.ratio`` analog: similarity normalized by the SUM
+    of lengths, ``100 * (1 - dist / (len(a) + len(b)))``, with Spark's
+    ``levenshtein`` standing in for the InDel distance. Levenshtein and
+    InDel are IDENTICAL whenever the optimal edit script uses only
+    inserts/deletes (prefix/suffix additions, word insertions — the
+    dominant near-match shapes), and lev <= indel always, so this can
+    only score >= rapidfuzz, never below. Max-length normalization (the
+    round-1 form) systematically under-scored pure-insertion pairs and
+    spuriously fired the disagreement penalty on them — caught by the
+    ``tests/test_scorer_fidelity.py`` sweep against exact rapidfuzz
+    semantics."""
     a, b = _col(a), _col(b)
-    both_empty = (F.length(a) == 0) & (F.length(b) == 0)
-    return F.when(both_empty, F.lit(100.0)).otherwise(
-        100.0 * (1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b)))
+    total = F.length(a) + F.length(b)
+    return F.when(total == 0, F.lit(100.0)).otherwise(
+        100.0 * (1.0 - F.levenshtein(a, b) / total)
     )
 
 
 def containment_ratio(a: Column | str, b: Column | str) -> Column:
-    """partial_ratio analog: 100 if one lowercased string contains the
-    other, else plain ``ratio``. Captures the reference's use of
+    """partial_ratio analog: 100 if one default_process'd string contains
+    the other, else plain ``ratio``. Captures the reference's use of
     partial_ratio for substring-ish matches without O(n*m) alignment."""
-    a, b = F.lower(F.trim(_col(a))), F.lower(F.trim(_col(b)))
+    a, b = process_text(a), process_text(b)
     contains = a.contains(b) | b.contains(a)
     return F.when(contains, F.lit(100.0)).otherwise(ratio(a, b))
 
@@ -99,12 +123,19 @@ def token_set_ratio_from_parts(inter: Column, rest_a: Column, rest_b: Column) ->
     Exactly equivalent to max pairwise ``ratio`` over s0 = inter,
     s1 = glue(inter, rest_a), s2 = glue(inter, rest_b), using that s0 is a
     prefix of both s1 and s2:
-      lev(s0, s1) = len(s1) - len(s0)       (insertions only)
-      lev(s1, s2) = lev(rest_a, rest_b)     (common prefix cancels;
+      dist(s0, s1) = len(s1) - len(s0)      (insertions only — exact for
+                     both Levenshtein and InDel)
+      dist(s1, s2) = dist(rest_a, rest_b)   (common prefix cancels;
                     pure length diff when either rest = '')
-    -> 3 full Levenshteins over long strings become 1 Levenshtein over just
-    the symmetric-difference strings (short for blocked candidates, which
-    share tokens by construction)."""
+    -> 3 full distance computations over long strings become 1 Levenshtein
+    over just the symmetric-difference strings (short for blocked
+    candidates, which share tokens by construction).
+
+    Normalization follows rapidfuzz (sum of lengths): ratio(prefix, full)
+    = 100 * 2*lp / (lp + lf), and the rapidfuzz token_set special case
+    "non-empty intersection with an empty diff -> 100" falls out of it
+    automatically (lf = lp). rapidfuzz reference: token_set_ratio /
+    indel ratio as published; reference usage app/etl.py:1272."""
 
     def _glue_len(base: Column, rest: Column) -> Column:
         # len(glue(base, rest)) without building the string
@@ -119,15 +150,15 @@ def token_set_ratio_from_parts(inter: Column, rest_a: Column, rest_b: Column) ->
     l2 = _glue_len(inter, rest_b)
 
     def _prefix_ratio(lp: Column, lf: Column) -> Column:
-        # ratio(prefix, full) given lengths only: lev = lf - lp
-        return F.when(lf == 0, F.lit(100.0)).otherwise(100.0 * lp / lf)
+        # ratio(prefix, full), sum-normalized: dist = lf - lp
+        return F.when(lp + lf == 0, F.lit(100.0)).otherwise(100.0 * 2.0 * lp / (lp + lf))
 
     lev_rest = (
         F.when((F.length(rest_a) == 0) | (F.length(rest_b) == 0), F.abs(l1 - l2))
         .otherwise(F.levenshtein(rest_a, rest_b))
     )
     r12 = F.when((l1 == 0) & (l2 == 0), F.lit(100.0)).otherwise(
-        100.0 * (1.0 - lev_rest / F.greatest(l1, l2))
+        100.0 * (1.0 - lev_rest / (l1 + l2))
     )
     return F.greatest(_prefix_ratio(l0, l1), _prefix_ratio(l0, l2), r12)
 

@@ -197,8 +197,10 @@ def score_candidates(pairs: DataFrame, scorer: str = "token_set", k: int = 10) -
     scored = scored.withColumn("raw_rnk", F.row_number().over(raw_w)).filter(F.col("raw_rnk") <= k)
 
     is_best = F.col("raw_rnk") == 1
-    scored = scored.withColumn("__li", F.lower(F.trim(F.col("__item")))).withColumn(
-        "__lt", F.lower(F.trim(F.col("__title")))
+    # validators run on default_process'd strings, exactly as the
+    # reference passes utils.default_process to every scorer call
+    scored = scored.withColumn("__li", scoring.process_text("__item")).withColumn(
+        "__lt", scoring.process_text("__title")
     )
     li, lt = F.col("__li"), F.col("__lt")
     scored = scored.withColumn("__rplain", F.when(is_best, scoring.ratio(li, lt)))
