@@ -621,6 +621,39 @@ FROM p WHERE shared / (n_a + n_b - shared) >= 0.5
 )
 
 
+def dd04_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the dd02 near-dup pair graph: the step
+    that turns pairwise candidates into keep-one-per-cluster decisions.
+    Spark side: iterative hash-min label propagation
+    (``dedup.dup_clusters``); oracle: recursive-CTE transitive closure +
+    min-reachable-id (exact for the small sf, while the Spark loop is
+    the O(diameter)-rounds shape that survives 100 TB)."""
+    pairs = dedup.shingle_pairs_jaccard(_load_corpus(spark, sf, "documents"), threshold=0.5)
+    return dedup.dup_clusters(pairs)
+
+
+DD04_SQL = (
+    _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS shared
+  FROM e a JOIN e b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+good AS (SELECT id_a, id_b FROM p WHERE shared / (n_a + n_b - shared) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM good UNION SELECT id_b, id_a FROM good),
+reach AS (
+  SELECT DISTINCT a, a AS b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+)
+
+
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_load_corpus(spark, sf, "documents"), threshold=0.5)
 
@@ -975,6 +1008,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd01_exact_dup_histogram": (dd01_exact_dup_histogram, DD01_SQL),
     "dd02_ngram_jaccard_pairs": (dd02_ngram_jaccard_pairs, DD02_SQL),
     "dd03_minhash_lsh_pairs": (dd03_minhash_lsh_pairs, DD03_SQL),
+    "dd04_dup_clusters": (dd04_dup_clusters, DD04_SQL),
     "sh01_simhash_pairs": (sh01_simhash_pairs, SH01_SQL),
     # ANN
     "ann01_cosine_topk": (ann01_cosine_topk, ANN01_SQL),
@@ -1000,6 +1034,9 @@ REGISTRY.update(QUERIES3)
 # Rotate the registry so the queries with no driver-side CORRECTNESS row
 # yet come first; the already-green-in-r01 queries follow.
 _DRIVER_PRIORITY = [
+    "sp01_hash_split",
+    "sp02_stratified_sample",
+    "dd04_dup_clusters",
     "mm02_media_decode",
     "j02b_typo_fallback",
     "e03_crosslink_dedup",

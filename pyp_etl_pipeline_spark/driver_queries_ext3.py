@@ -644,7 +644,74 @@ FROM documents
 """
 
 
+def sp01_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split of the documents corpus keyed
+    on doc_id (map-only md5-bucket routing, stable across runs and
+    engines — the oracle reproduces every assignment bit-for-bit)."""
+    from pyp_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    out = sampling.hash_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select("doc_id", "split")
+
+
+def _sp01_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.sampling import BUCKETS, sql_hash_bucket  # noqa: PLC0415
+
+    b = sql_hash_bucket("doc_id", "split-v1")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < {int(0.9 * BUCKETS)} THEN 'train'
+            WHEN {b} < {int(0.95 * BUCKETS)} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+SP01_SQL = _sp01_sql()
+
+
+def sp02_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-25-per-event-type stratified sample of events, chosen by
+    hash order (deterministic, unbiased within the stratum); plus the
+    keyed 10%% deterministic sample as a flag column."""
+    from pyp_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    e = load_table(spark, sf, "events")
+    sampled = sampling.stratified_fixed_n(e, "event_type", "event_id", n=25)
+    return sampled.select(
+        "event_type",
+        "event_id",
+        (sampling.hash_bucket("event_id", "sample-v1") < int(0.1 * sampling.BUCKETS)).alias(
+            "in_10pct_sample"
+        ),
+    )
+
+
+def _sp02_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.sampling import BUCKETS, sql_hash_bucket  # noqa: PLC0415
+
+    return f"""
+SELECT event_type, event_id,
+       {sql_hash_bucket("event_id", "sample-v1")} < {int(0.1 * BUCKETS)} AS in_10pct_sample
+FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(event_id::VARCHAR || 'strata-v1') ASC, event_id ASC
+         ) AS rn
+  FROM events
+)
+WHERE rn <= 25
+"""
+
+
+SP02_SQL = _sp02_sql()
+
+
 QUERIES3 = {
+    "sp01_hash_split": (sp01_hash_split, SP01_SQL),
+    "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),
     "q05_sql_interface": (q05_sql_interface, Q05_SQL),
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),

@@ -292,3 +292,74 @@ def simhash_pairs(
     cands = a.join(b, ["chunk", "key"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "h_a", "id_b", "h_b").distinct()
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ------------------------------------------------------------------ clusters
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every doc gets
+    ``cluster_id`` = the smallest id reachable through the pair graph —
+    the step that turns pairwise candidates (dd02/dd03/sh01/nd01) into
+    actual keep-one-per-cluster dedup decisions.
+
+    Algorithm: hash-min label propagation. Each round every node adopts
+    the minimum label among itself and its neighbors; converges in
+    O(diameter) rounds. Near-dup graphs are overwhelmingly tiny cliques
+    and short chains (diameter <= 3-4 in practice), so the loop exits in
+    a few rounds via the AQE-sized shuffles; ``max_iterations`` bounds
+    pathological chains. Each round is one shuffle (join on node +
+    min-aggregate, both map-side combinable). For graphs with massive
+    skewed components switch to the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which this loop structure accommodates directly.
+
+    The convergence check is one small action per round (count of
+    changed labels). Each round's label table is ``localCheckpoint``ed:
+    the label relation appears twice in the next round's plan (join
+    probe + neighbor scan), so without lineage truncation the analyzed
+    plan doubles per iteration and planning itself OOMs on deep chains.
+    On a production cluster with executor churn, swap in a reliable
+    ``checkpoint`` directory — the loop shape is identical.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    # undirected edge list so propagation runs both ways
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,109 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+At 100 TB, sampling must be (a) a map-only predicate — no shuffle, no
+driver coordination, (b) stable across runs and engines — re-running the
+pipeline yields the same split, and (c) keyed — a document keeps its
+split assignment even when the corpus around it changes. All three fall
+out of hashing a stable key: bucket = md5(key || salt) mod B, keep/route
+by bucket range. md5 is the engine-portable hash used across this repo
+(the DuckDB oracles reproduce assignments bit-for-bit via the
+``('0x' || substring(md5(..),1,7))::BIGINT`` == Spark
+``conv(substring(md5(..),1,7),16,10)`` identity).
+
+- ``hash_bucket``: the shared primitive (28-bit md5 prefix mod B).
+- ``hash_split``: route rows into named splits by cumulative fraction
+  (train/val/test). Map-only; changing the salt re-rolls every
+  assignment, changing fractions only moves boundary buckets.
+- ``deterministic_sample``: keep a fraction, keyed. Equivalent to
+  TABLESAMPLE but stable under re-runs, engine-portable, and usable on
+  any key (e.g. sample by USER so all of a user's rows travel together).
+- ``stratified_fixed_n``: exactly-n-per-stratum via a per-stratum
+  hash-order window (one shuffle on the stratum key; WindowGroupLimit
+  thins map-side). Hash order = deterministic but unbiased within the
+  stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 1 << 20
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_bucket(key: Column | str, salt: str = "", buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): 28-bit md5 prefix mod B."""
+    h = F.md5(F.concat(_col(key).cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % buckets).alias("bucket")
+
+
+def sql_hash_bucket(key: str, salt: str = "", buckets: int = BUCKETS) -> str:
+    """DuckDB twin of ``hash_bucket`` (oracle helper)."""
+    return f"((('0x' || substring(md5({key}::VARCHAR || '{salt}'), 1, 7))::BIGINT) % {buckets})"
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Route every row to a named split by cumulative bucket fraction.
+
+    ``splits`` = ordered {name: fraction}; fractions must sum to ~1.
+    Map-only (no shuffle): the assignment is a pure column expression on
+    the key, so it survives any repartitioning and any corpus growth.
+    """
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, salt)
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket < int(cum * BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keyed deterministic sample: keep rows whose bucket falls below
+    ``fraction``. Same key + salt -> same decision, forever, on any
+    engine. Map-only."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(hash_bucket(key_col, salt) < int(fraction * BUCKETS))
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "strata-v1",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
+    (deterministic, unbiased within the stratum). One shuffle on the
+    stratum key; the rank filter triggers WindowGroupLimit so each map
+    partition forwards at most n rows per stratum."""
+    h = F.md5(F.concat(_col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), _col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

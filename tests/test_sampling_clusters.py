@@ -1,0 +1,81 @@
+"""Deterministic sampling/split operators + connected-components dup
+clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.operators import sampling
+from pyp_etl_pipeline_spark.operators.dedup import dup_clusters
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id").alias("key"))
+
+
+def test_hash_split_partitions_everything(spark, ids):
+    out = sampling.hash_split(ids, "key", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # binomial bounds, generous
+    assert 1480 <= counts["train"] <= 1720
+    assert 120 <= counts["val"] <= 280
+    assert 120 <= counts["test"] <= 280
+
+
+def test_hash_split_is_stable_and_keyed(spark, ids):
+    a = {r["key"]: r["split"] for r in sampling.hash_split(ids, "key", {"a": 0.5, "b": 0.5}).collect()}
+    b = {r["key"]: r["split"] for r in sampling.hash_split(ids, "key", {"a": 0.5, "b": 0.5}).collect()}
+    assert a == b
+    # growing the corpus must not move existing assignments
+    bigger = spark.range(0, 4000).select(F.col("id").alias("key"))
+    c = {r["key"]: r["split"] for r in sampling.hash_split(bigger, "key", {"a": 0.5, "b": 0.5}).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_hash_split_rejects_bad_fractions(spark, ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(ids, "key", {"a": 0.5, "b": 0.2})
+
+
+def test_deterministic_sample_fraction_and_subset(spark, ids):
+    s10 = sampling.deterministic_sample(ids, "key", 0.10)
+    s20 = sampling.deterministic_sample(ids, "key", 0.20)
+    n10, n20 = s10.count(), s20.count()
+    assert 120 <= n10 <= 280
+    assert 300 <= n20 <= 520
+    # smaller fraction is a strict subset of the bigger (bucket prefix)
+    only10 = {r["key"] for r in s10.collect()}
+    only20 = {r["key"] for r in s20.collect()}
+    assert only10 <= only20
+
+
+def test_stratified_fixed_n(spark):
+    rows = [(i, "big" if i % 4 else "small") for i in range(400)]
+    df = spark.createDataFrame(rows, "key long, stratum string")
+    out = sampling.stratified_fixed_n(df, "stratum", "key", n=30)
+    counts = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 30, "small": 30}
+    # deterministic: same pick every run
+    again = sampling.stratified_fixed_n(df, "stratum", "key", n=30)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_dup_clusters_components(spark):
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a 12-node path needs several propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 13
