@@ -935,6 +935,30 @@ FROM n
 """
 
 
+def tx05_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-doc repeated-n-gram fraction (C4/Gopher-style quality
+    filter signal); pure per-row array ops, no shuffle."""
+    out = textan.repetition_features(_load_corpus(spark, sf, "documents"))
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _tx05_sql() -> str:
+    toks = f"string_split({core.sql_normalized_text('text')}, ' ')"
+    gram = f"list_transform(generate_series(1, len({toks}) - 2), i -> array_to_string({toks}[i:i+2], ' '))"
+    grams = f"(CASE WHEN len({toks}) >= 3 THEN {gram} ELSE [array_to_string({toks}, ' ')] END)"
+    return f"""
+WITH g AS (SELECT doc_id, len({toks}) AS n_tokens, {grams} AS grams FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 6) AS repetition_ratio
+FROM g
+"""
+
+
+TX05_SQL = _tx05_sql()
+
+
 # --------------------------------------------------------------------------
 # ST: structured streaming (batch-equivalent oracle)
 # --------------------------------------------------------------------------
@@ -1019,6 +1043,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
+    "tx05_repetition": (tx05_repetition, TX05_SQL),
     # ST
     "st01_streaming_tumbling": (st01_streaming_tumbling, ST01_SQL),
 }
@@ -1034,6 +1059,7 @@ REGISTRY.update(QUERIES3)
 # Rotate the registry so the queries with no driver-side CORRECTNESS row
 # yet come first; the already-green-in-r01 queries follow.
 _DRIVER_PRIORITY = [
+    "tx05_repetition",
     "sp01_hash_split",
     "sp02_stratified_sample",
     "dd04_dup_clusters",

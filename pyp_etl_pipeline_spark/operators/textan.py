@@ -116,3 +116,34 @@ def document_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str =
         fingerprint(text_col).alias("content_fp"),
         prefix_fp.alias("prefix_fp"),
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition metrics — the within-doc analog of the
+    C4/Gopher "duplicate line / duplicate n-gram fraction" quality
+    filters: fraction of the doc's word n-grams that are repeats of an
+    earlier n-gram. Pure per-row higher-order array ops (no shuffle, no
+    Python); a document scoring high here is boilerplate/spam-like and a
+    drop candidate for a training corpus.
+
+    Output: id, n_tokens, n_grams, n_distinct_grams,
+    repetition_ratio = 1 - distinct/total (0 = no repeated n-gram)."""
+    toks = F.split(normalized_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    out = df.select(F.col(id_col).alias("id"), F.size(toks).alias("n_tokens"), grams.alias("__g"))
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("__g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("__g")).cast("long").alias("n_distinct_grams"),
+        F.round(1.0 - F.size(F.array_distinct("__g")) / F.size("__g"), 6).alias("repetition_ratio"),
+    )

@@ -108,3 +108,20 @@ def test_sessionize_without_event_id(spark):
     df = spark.createDataFrame(rows, "user_id string, ts timestamp")
     out = windows.sessionize(df, gap_s=1800).collect()
     assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_repetition_features(spark):
+    from pyp_etl_pipeline_spark.operators.textan import repetition_features
+
+    rows = [
+        (1, "a b c a b c a b c"),   # heavy 3-gram repetition
+        (2, "one two three four"),  # no repeats
+        (3, "tiny doc"),            # shorter than n -> single whole-doc gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in repetition_features(df).collect()}
+    # doc 1: 9 tokens -> 7 grams, distinct = {abc, bca, cab} = 3
+    assert out[1]["n_grams"] == 7 and out[1]["n_distinct_grams"] == 3
+    assert out[1]["repetition_ratio"] == round(1 - 3 / 7, 6)
+    assert out[2]["repetition_ratio"] == 0.0
+    assert out[3]["n_grams"] == 1 and out[3]["repetition_ratio"] == 0.0
