@@ -345,6 +345,42 @@ QUALIFY match_rank <= 5
 # Streaming sliding window (st02) — batch-equivalent oracle via epoch starts
 # --------------------------------------------------------------------------
 
+def st04_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exactly-once dedup: the event stream unioned with
+    itself (every event arrives twice — the at-least-once delivery
+    shape) then ``dropDuplicatesWithinWatermark`` on event_id. Drained
+    output must equal the batch DISTINCT of the source, which the DuckDB
+    twin computes directly."""
+    import uuid  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    name = "st04_" + uuid.uuid4().hex[:8]
+    stream = read_events_stream(spark, sf)
+    doubled = stream.unionByName(read_events_stream(spark, sf))
+    dd = streaming_dedup(doubled, ("event_id",), watermark="0 seconds")
+    run_to_memory(dd, name, output_mode="append")
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+ST04_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       round(value, 2) AS value
+FROM events
+"""
+
+
 def st02_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming sliding-window counts, drained with
     availableNow semantics and emitted as epoch window starts so the
@@ -729,6 +765,7 @@ QUERIES3 = {
     "w04_lag_delta": (w04_lag_delta, W04_SQL),
     "st02_streaming_sliding": (st02_streaming_sliding, ST02_SQL),
     "st03_stateful_running_totals": (st03_stateful_running_totals, ST03_SQL),
+    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "mm01_media_features": (mm01_media_features, MM01_SQL),
 }
 

@@ -86,3 +86,17 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     q = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup on an unbounded stream:
+    ``dropDuplicatesWithinWatermark`` keeps first-arrival per key and
+    expires state once the key's event time falls behind the watermark —
+    bounded state, unlike plain ``dropDuplicates`` on a stream, which
+    retains every key forever. The standard at-least-once -> exactly-once
+    repair step in front of downstream aggregation."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(key_cols))

@@ -63,3 +63,23 @@ def test_scoring_pipeline_is_python_free(spark, sf_dir):
     for name in ["j02_fuzzy_topk", "a01_band_summary", "tx01_quality_features", "dd03_minhash_lsh_pairs"]:
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_sp01_hash_split_is_map_only(spark, sf_dir):
+    """The split assignment must stay a pure column predicate — any
+    Exchange here means someone turned a map-only routing into a shuffle."""
+    plan = plan_of(spark, sf_dir, "sp01_hash_split")
+    assert "Exchange" not in plan, plan
+
+
+def test_fuzzy_chain_keeps_window_group_limit(spark, sf_dir):
+    """The raw top-10 filter must keep compiling to WindowGroupLimit
+    (per-map-partition top-k before the shuffle) — losing it regressed
+    the chain 2.5x when tried with a second full window."""
+    plan = plan_of(spark, sf_dir, "j02_fuzzy_topk")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_tx05_repetition_is_python_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tx05_repetition")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
