@@ -745,7 +745,103 @@ WHERE rn <= 25
 SP02_SQL = _sp02_sql()
 
 
+# --------------------------------------------------------------------------
+# P1/P2: fuzzy header -> schema mapping as an oracle-checked query
+# --------------------------------------------------------------------------
+
+# Contention-free by construction: each header's best field is distinct,
+# so the engine's greedy field-assigned-once walk equals the per-header
+# argmax the SQL twin computes (contention cases are pinned separately in
+# tests/test_plans_explode.py).
+_P01_HEADERS = [
+    "Member ID",
+    "businessname",
+    "E-Mail",
+    "Telephone",
+    "Postal Code",
+    "Surname",
+    "Munizipality",
+    "created at",
+    "Weird Column Xyz",
+    "zzzz",
+]
+_P01_OVERRIDES = {"Weird Column Xyz": "dataSource"}
+
+
+def p01_header_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    """P1 fuzzy header mapping + P2 user override, surfaced as rows so
+    the driver's oracle can check the plan-time decision table itself
+    (exact alias -> 100, best sum-normalized ratio >= 60, first-in-dict
+    tiebreak, override forces the field at confidence 100)."""
+    from pyp_etl_pipeline_spark.plans.header_map import map_headers_to_schema  # noqa: PLC0415
+
+    hm = map_headers_to_schema(_P01_HEADERS, overrides=_P01_OVERRIDES)
+    rows = []
+    for h in _P01_HEADERS:
+        if h in hm.mapping:
+            field, conf = hm.mapping[h]
+            rows.append((h, field, round(conf, 4), True))
+        else:
+            rows.append((h, None, None, False))
+    return spark.createDataFrame(
+        rows, "header string, field string, confidence double, mapped boolean"
+    )
+
+
+def _p01_sql() -> str:
+    from pyp_etl_pipeline_spark.schema import MEMBER_SCHEMA_FIELDS  # noqa: PLC0415
+
+    def sql_ratio_max(a: str, b: str) -> str:
+        # header_map.ratio: MAX-normalized (not the data plane's
+        # sum-normalized sql_ratio — see plans/header_map.py docstring)
+        return (
+            f"(CASE WHEN length({a}) = 0 AND length({b}) = 0 THEN 100.0 "
+            f"ELSE 100.0 * (1.0 - levenshtein({a}, {b}) / greatest(length({a}), length({b}))) END)"
+        )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    hdr_rows = ", ".join(
+        f"({i + 1}, {q(h)}, {q(_P01_OVERRIDES[h]) if h in _P01_OVERRIDES else 'NULL'})"
+        for i, h in enumerate(_P01_HEADERS)
+    )
+    fa_rows = []
+    for field_ord, (field, aliases) in enumerate(MEMBER_SCHEMA_FIELDS.items()):
+        for alias in {field.lower(), *aliases}:
+            fa_rows.append(f"({field_ord}, {q(field)}, {q(alias)})")
+    ratio = sql_ratio_max("nh", "alias")
+    return f"""
+WITH headers(ord, h, override_field) AS (VALUES {hdr_rows}),
+fa(field_ord, field, alias) AS (VALUES {", ".join(fa_rows)}),
+norm AS (SELECT ord, h, trim(lower(h)) AS nh, override_field FROM headers),
+scored AS (
+  SELECT n.ord, f.field, f.field_ord, max({ratio}) AS score
+  FROM norm n CROSS JOIN fa f
+  WHERE n.override_field IS NULL
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT ord, field, score,
+         row_number() OVER (PARTITION BY ord ORDER BY score DESC, field_ord ASC) AS rn
+  FROM scored
+),
+decided AS (
+  SELECT ord, field, round(score, 4) AS confidence FROM best WHERE rn = 1 AND score >= 60.0
+  UNION ALL
+  SELECT ord, override_field AS field, 100.0 AS confidence FROM norm WHERE override_field IS NOT NULL
+)
+SELECT n.h AS header, d.field, CAST(d.confidence AS DOUBLE) AS confidence,
+       d.field IS NOT NULL AS mapped
+FROM norm n LEFT JOIN decided d USING (ord)
+"""
+
+
+P01_SQL = _p01_sql()
+
+
 QUERIES3 = {
+    "p01_header_mapping": (p01_header_mapping, P01_SQL),
     "sp01_hash_split": (sp01_hash_split, SP01_SQL),
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),

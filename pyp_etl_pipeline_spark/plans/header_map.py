@@ -34,7 +34,18 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def ratio(a: str, b: str) -> float:
-    """Normalized Levenshtein similarity in [0, 100]."""
+    """MAX-normalized Levenshtein similarity in [0, 100].
+
+    Deliberately different from the data plane's sum-normalized
+    ``functions/scoring.ratio``: the reference's header matcher uses
+    fuzz.ratio at the loose threshold 60 (app/etl.py:494-510), where the
+    failure mode is junk headers sneaking past. For substitution-heavy
+    equal-length junk ("mystery" vs "status"), max-normalization EQUALS
+    the true indel ratio (indel = 2*lev there), while sum-normalizing
+    plain Levenshtein over-scores it past 60; for the insertion-only
+    shapes of genuine header variants, max-norm under-scores but stays
+    comfortably above 60. Pinned by tests/test_plans_explode.py
+    (Mystery column must stay unmapped)."""
     if not a and not b:
         return 100.0
     m = max(len(a), len(b))
