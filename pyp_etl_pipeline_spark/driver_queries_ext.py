@@ -1059,6 +1059,7 @@ REGISTRY.update(QUERIES3)
 # Rotate the registry so the queries with no driver-side CORRECTNESS row
 # yet come first; the already-green-in-r01 queries follow.
 _DRIVER_PRIORITY = [
+    "t09_masking",
     "p01_header_mapping",
     "st04_streaming_dedup",
     "tx05_repetition",

@@ -745,6 +745,33 @@ WHERE rn <= 25
 SP02_SQL = _sp02_sql()
 
 
+def t09_masking(spark: SparkSession, sf: str) -> DataFrame:
+    """T9 sensitive-value masking as a checked query: a column whose NAME
+    marks it sensitive (api_token) is fully masked; base64-ish runs > 20
+    chars embedded in ordinary strings are masked in place; short strings
+    and non-string columns pass through (reference
+    app/logging_utils.py:38-56)."""
+    from pyp_etl_pipeline_spark.functions import masking  # noqa: PLC0415
+
+    c = load_table(spark, sf, "customer")
+    df = c.select(
+        "c_custkey",
+        F.concat(F.lit("tok_"), F.md5("c_name")).alias("api_token"),
+        F.concat(F.lit("note "), F.md5("c_name"), F.lit(" end")).alias("comment"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return masking.mask_columns(df)
+
+
+T09_SQL = """
+SELECT c_custkey,
+       '***MASKED***' AS api_token,
+       regexp_replace('note ' || md5(c_name) || ' end', '[A-Za-z0-9+/=]{21,}', '***MASKED***', 'g') AS comment,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+
 # --------------------------------------------------------------------------
 # P1/P2: fuzzy header -> schema mapping as an oracle-checked query
 # --------------------------------------------------------------------------
@@ -841,6 +868,7 @@ P01_SQL = _p01_sql()
 
 
 QUERIES3 = {
+    "t09_masking": (t09_masking, T09_SQL),
     "p01_header_mapping": (p01_header_mapping, P01_SQL),
     "sp01_hash_split": (sp01_hash_split, SP01_SQL),
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
