@@ -654,6 +654,37 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 )
 
 
+def dc01_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: every 25th document plays the eval set;
+    the rest of the corpus is flagged when it shares >= 1 word 3-gram
+    with any eval doc. The eval shingle set is broadcast — the corpus
+    never shuffles (the standard test-set-leakage guard for a training
+    corpus)."""
+    d = _load_corpus(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d.filter(F.col("doc_id") % 25 != 0)
+    return dedup.decontaminate(corpus, bench).withColumnRenamed("id", "doc_id")
+
+
+DC01_SQL = (
+    _SHINGLE_CTE
+    + """,
+bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 25 = 0),
+corpus AS (SELECT doc_id, sh FROM s WHERE doc_id % 25 <> 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM corpus) c
+  JOIN bench USING (shingle)
+  GROUP BY 1
+)
+SELECT corpus.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_overlapping_grams,
+       coalesce(hits.n, 0) >= 1 AS contaminated
+FROM corpus LEFT JOIN hits USING (doc_id)
+"""
+)
+
+
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_load_corpus(spark, sf, "documents"), threshold=0.5)
 
@@ -1033,6 +1064,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd02_ngram_jaccard_pairs": (dd02_ngram_jaccard_pairs, DD02_SQL),
     "dd03_minhash_lsh_pairs": (dd03_minhash_lsh_pairs, DD03_SQL),
     "dd04_dup_clusters": (dd04_dup_clusters, DD04_SQL),
+    "dc01_decontaminate": (dc01_decontaminate, DC01_SQL),
     "sh01_simhash_pairs": (sh01_simhash_pairs, SH01_SQL),
     # ANN
     "ann01_cosine_topk": (ann01_cosine_topk, ANN01_SQL),
@@ -1059,6 +1091,7 @@ REGISTRY.update(QUERIES3)
 # Rotate the registry so the queries with no driver-side CORRECTNESS row
 # yet come first; the already-green-in-r01 queries follow.
 _DRIVER_PRIORITY = [
+    "dc01_decontaminate",
     "t09_masking",
     "p01_header_mapping",
     "st04_streaming_dedup",

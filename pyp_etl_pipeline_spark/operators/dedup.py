@@ -363,3 +363,48 @@ def dup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ------------------------------------------------------------ decontamination
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_overlap`` word ``n``-grams with any benchmark/eval document —
+    the standard guard against test-set leakage into a training corpus
+    (the cross-corpus cousin of ``shingle_pairs_jaccard``).
+
+    Physical shape for 100 TB: the benchmark side is tiny (eval sets are
+    thousands of docs), so its DISTINCT shingle set is BROADCAST and the
+    corpus streams through a map-side semi-join — no shuffle of the
+    corpus at all; the only aggregation is the per-doc overlap count,
+    which combines map-side.
+
+    Output: one row per corpus doc — (id, n_overlapping_grams,
+    contaminated).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(bench_text_col, n)).alias("shingle")).distinct()
+    )
+    docs = corpus.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    hits = (
+        docs.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlapping_grams"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_overlapping_grams", F.lit(0)).cast("long").alias("n_overlapping_grams"),
+            (F.coalesce("n_overlapping_grams", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -79,3 +79,32 @@ def test_dup_clusters_long_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 13
+
+
+def test_decontaminate_flags_overlap(spark):
+    from pyp_etl_pipeline_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains bench 3-gram
+            (2, "completely unrelated training text here now"),
+            (3, "quick brown fox appears once more in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox story")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in decontaminate(corpus, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlapping_grams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_overlapping_grams"] == 0
+    assert out[3]["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from pyp_etl_pipeline_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "b c d e")], "doc_id long, text string")
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
