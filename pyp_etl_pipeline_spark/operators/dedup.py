@@ -102,7 +102,12 @@ def shingle_pairs_jaccard(
         a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
         b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
         return (
-            a.join(b, ["shingle"])
+            # shuffle-hash instead of sort-merge: the join key is a text
+            # shingle, so SMJ pays a per-partition string sort that the
+            # hash join skips (measured ~8% on the sf0.1 bench, min-of-3);
+            # per-partition build sides are bounded by the shingle
+            # fan-out, which the blocking design already keeps in memory
+            a.hint("shuffle_hash").join(b, ["shingle"])
             .filter((F.col("id_a") < F.col("id_b")) & size_band)
             .groupBy("id_a", "id_b", "n_a", "n_b")
             .agg(F.count("*").alias("shared"))
@@ -205,7 +210,16 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, n)
     a = sig.select(F.col("id").alias("id_a"), "band", "sig")
     b = sig.select(F.col("id").alias("id_b"), "band", "sig")
-    cands = a.join(b, ["band", "sig"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    # shuffle-hash for the same reason as shingle_pairs_jaccard: the join
+    # key is a (band, signature-string) pair and SMJ's per-partition
+    # string sort is pure overhead next to a hash build
+    cands = (
+        a.hint("shuffle_hash")
+        .join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
     docs = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
     verified = (
