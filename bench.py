@@ -26,6 +26,19 @@ from pyp_etl_pipeline_spark.session import get_spark  # noqa: E402
 # fuzzy similarity join, event-time windows, dedup (LSH), ANN top-k, and
 # text analysis. nd01 (exact all-pairs cosine) is excluded by design: it is
 # O(n^2) and exists as the brute-force oracle baseline, not a scale path.
+# Round-2 operators, timed separately so the headline total stays
+# comparable to the round-1 anchor (warm + single timed pass each;
+# reported under "extended", not summed into "value").
+EXTENDED = [
+    "dd04_dup_clusters",
+    "dc01_decontaminate",
+    "sp01_hash_split",
+    "sp02_stratified_sample",
+    "tx05_repetition",
+    "mm02_media_decode",
+    "j02b_typo_fallback",
+]
+
 HEADLINE = [
     "flagship_band_rollup",
     "q01_pricing_summary",
@@ -85,6 +98,15 @@ def main() -> None:
             print(f"bench: {name} FAILED: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        try:
+            run_one(spark, name, warm_dir)
+            extended[name] = round(run_one(spark, name, sf_dir), 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} FAILED: {type(exc).__name__}: {exc}", file=sys.stderr)
+            extended[name] = -1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -92,6 +114,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
