@@ -990,6 +990,30 @@ FROM g
 TX05_SQL = _tx05_sql()
 
 
+def tx06_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-filter analog: per-doc mean unigram log-probability
+    under the corpus's own unigram model (rare-token-heavy docs score
+    low). Two map-side-combined shuffles; corpus total via broadcast
+    1-row aggregate."""
+    out = textan.unigram_logprob(_load_corpus(spark, sf, "documents"))
+    return out.withColumnRenamed("id", "doc_id")
+
+
+TX06_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({core.sql_normalized_text("text")}, ' ')) AS tok
+  FROM documents
+),
+ex2 AS (SELECT doc_id, tok FROM ex WHERE tok <> ''),
+counts AS (SELECT tok, count(*) AS tok_n FROM ex2 GROUP BY tok),
+total AS (SELECT sum(tok_n) AS total_n FROM counts)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(tok_n / total_n)), 4) AS mean_logprob
+FROM ex2 JOIN counts USING (tok) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # ST: structured streaming (batch-equivalent oracle)
 # --------------------------------------------------------------------------
@@ -1076,6 +1100,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
     "tx05_repetition": (tx05_repetition, TX05_SQL),
+    "tx06_unigram_logprob": (tx06_unigram_logprob, TX06_SQL),
     # ST
     "st01_streaming_tumbling": (st01_streaming_tumbling, ST01_SQL),
 }
@@ -1091,6 +1116,7 @@ REGISTRY.update(QUERIES3)
 # Rotate the registry so the queries with no driver-side CORRECTNESS row
 # yet come first; the already-green-in-r01 queries follow.
 _DRIVER_PRIORITY = [
+    "tx06_unigram_logprob",
     "dc01_decontaminate",
     "t09_masking",
     "p01_header_mapping",

@@ -147,3 +147,36 @@ def repetition_features(
         F.size(F.array_distinct("__g")).cast("long").alias("n_distinct_grams"),
         F.round(1.0 - F.size(F.array_distinct("__g")) / F.size("__g"), 6).alias("repetition_ratio"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap analog of a perplexity quality filter:
+    documents full of rare tokens (noise, mojibake, code dumps) score
+    far below the corpus norm and become drop candidates.
+
+    Two shuffles at scale: one hash-agg for the vocabulary counts (map-
+    side combined) and one join of exploded tokens against it (vocab
+    tables for natural-language corpora fit broadcast; AQE decides). The
+    corpus-total token count rides as a broadcast 1-row aggregate — no
+    driver collect.
+
+    Output: (id, n_tokens, mean_logprob) with natural-log probabilities.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).filter(F.col("tok") != "")
+    counts = ex.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    total = counts.agg(F.sum("tok_n").alias("total_n"))
+    scored = (
+        ex.join(counts, "tok")
+        .join(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("tok_n") / F.col("total_n")))
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("logp"), 4).alias("mean_logprob"),
+    )

@@ -125,3 +125,19 @@ def test_repetition_features(spark):
     assert out[1]["repetition_ratio"] == round(1 - 3 / 7, 6)
     assert out[2]["repetition_ratio"] == 0.0
     assert out[3]["n_grams"] == 1 and out[3]["repetition_ratio"] == 0.0
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from pyp_etl_pipeline_spark.operators.textan import unigram_logprob
+
+    # corpus of 6 tokens: a x3, b x2, c x1
+    rows = [(1, "a a a"), (2, "b b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["mean_logprob"] == round(math.log(3 / 6), 4)
+    expect2 = (2 * math.log(2 / 6) + math.log(1 / 6)) / 3
+    assert out[2]["mean_logprob"] == round(expect2, 4)
+    # common-token doc scores higher (closer to 0) than rare-token doc
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
