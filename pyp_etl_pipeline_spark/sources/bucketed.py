@@ -1,0 +1,47 @@
+"""Bucketed-table storage for co-located repeat joins.
+
+SCALE.md's similarity-join trade-off: a pipeline that repeatedly joins a
+huge fact against a stable key (entity resolution against a canonical
+dictionary, lineitem against part, near-dup pairs against the corpus)
+pays the fact-side shuffle on EVERY run unless the storage layout
+pre-partitions by the join key. Spark's bucketed tables
+(``bucketBy(n, key).sortBy(key).saveAsTable``) persist that layout: a
+join of two tables bucketed by the same key into the same bucket count
+compiles with NO Exchange on either side — the shuffle happened once, at
+write time, and is amortized over every subsequent query.
+
+Notes for real deployments (all standard Spark semantics):
+- bucket counts must match (or divide, with
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``) across join
+  sides;
+- buckets only help equi-joins/aggregations on the bucket key;
+- writes go through the session catalog (``saveAsTable``) — path-based
+  ``parquet(path)`` writes do not carry bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Sorting within buckets additionally lets sort-merge joins skip their
+    sort phase when the hash join is not chosen."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — bucket metadata only survives the catalog path."""
+    return spark.table(table)
