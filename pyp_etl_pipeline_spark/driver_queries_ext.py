@@ -1111,31 +1111,37 @@ from pyp_etl_pipeline_spark.driver_queries_ext3 import QUERIES3  # noqa: E402
 
 REGISTRY.update(QUERIES3)
 
-# The driver's correctness gate only covers the first N registry entries
-# (round 1 stopped at 50 of 59, leaving the QUERIES3 tail unchecked).
-# Rotate the registry so the queries with no driver-side CORRECTNESS row
-# yet come first; the already-green-in-r01 queries follow.
+# The driver's correctness gate only covers the first 50 registry entries.
+# Round-3 rotation: the 20 queries with no CORRECTNESS_r02 row lead.
+# nd01 is first — its implementation changed in round 2 (exact=False
+# bucketed path) and the new code has never had a driver-side row.
 _DRIVER_PRIORITY = [
-    "tx06_unigram_logprob",
-    "dc01_decontaminate",
-    "t09_masking",
-    "p01_header_mapping",
-    "st04_streaming_dedup",
-    "tx05_repetition",
-    "sp01_hash_split",
-    "sp02_stratified_sample",
-    "dd04_dup_clusters",
-    "mm02_media_decode",
-    "j02b_typo_fallback",
-    "e03_crosslink_dedup",
+    "nd01_embed_neardup",
+    "ann01_cosine_topk",
+    "ann02_lsh_topk",
+    "dd01_exact_dup_histogram",
+    "dd02_ngram_jaccard_pairs",
+    "dd03_minhash_lsh_pairs",
+    "sh01_simhash_pairs",
+    "tx01_quality_features",
+    "tx02_token_counts",
+    "tx03_language_id",
+    "tx04_fingerprints",
+    "st01_streaming_tumbling",
+    "q05_sql_interface",
+    "f03_name_email_validation",
+    "f05_country_whitelist",
+    "t03_punct_lower_key",
+    "o07_distinct_sorted_filters",
+    "a03_push_summary",
+    "a05_error_summary_24h",
+    "u02_idarray_union",
+    # Implementations changing in round 3 — keep inside the 50-row window
+    # so the changed code gets a fresh driver-side CORRECTNESS row.
     "ann03_ivf_topk",
-    "aj01_asof_purchase_view",
-    "a07_status_priority_rollup",
-    "a08_percentile_summary",
-    "w04_lag_delta",
-    "st02_streaming_sliding",
-    "st03_stateful_running_totals",
-    "mm01_media_features",
+    "w03_sessionize_30m",
+    "st04_streaming_dedup",
+    "dd04_dup_clusters",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},

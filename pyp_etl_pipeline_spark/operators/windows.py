@@ -84,9 +84,11 @@ def sessionize(
     if tiebreak_col and tiebreak_col in df.columns:
         order.append(F.col(tiebreak_col).asc())
     else:
-        order.extend(
-            F.col(c).asc() for c in df.columns if c not in (ts_col, user_col)
-        )
+        # One 8-byte surrogate key instead of every remaining column: the
+        # per-user window sort pays (ts, hash) bytes regardless of row width.
+        rest = [c for c in df.columns if c not in (ts_col, user_col)]
+        if rest:
+            order.append(F.xxhash64(F.struct(*[F.col(c) for c in rest])).asc())
     w = Window.partitionBy(user_col).orderBy(*order)
     epoch = F.unix_timestamp(F.col(ts_col))
     gap = epoch - F.lag(epoch).over(w)
