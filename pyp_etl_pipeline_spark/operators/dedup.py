@@ -315,6 +315,7 @@ def dup_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: every doc gets
     ``cluster_id`` = the smallest id reachable through the pair graph —
@@ -326,19 +327,30 @@ def dup_clusters(
     O(diameter) rounds. Near-dup graphs are overwhelmingly tiny cliques
     and short chains (diameter <= 3-4 in practice), so the loop exits in
     a few rounds via the AQE-sized shuffles; ``max_iterations`` bounds
-    pathological chains. Each round is one shuffle (join on node +
-    min-aggregate, both map-side combinable). For graphs with massive
-    skewed components switch to the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    which this loop structure accommodates directly.
+    pathological chains. For graphs with massive skewed components switch
+    to the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which this loop structure
+    accommodates directly.
 
-    The convergence check is one small action per round (count of
-    changed labels). Each round's label table is ``localCheckpoint``ed:
-    the label relation appears twice in the next round's plan (join
-    probe + neighbor scan), so without lineage truncation the analyzed
-    plan doubles per iteration and planning itself OOMs on deep chains.
-    On a production cluster with executor churn, swap in a reliable
+    Round shape (2 shuffles, 1 action): neighbor labels are emitted as
+    messages (edge join), unioned with each node's own label, and one
+    min-aggregate produces BOTH the new label and — via a null-tagged
+    "own" column that only the self row carries — the previous label,
+    so the changed-label convergence check is a filter over the same
+    aggregate, not an extra join. The single ``count()`` action per
+    round also materializes that round's lazy ``localCheckpoint``:
+    the label relation appears twice in the next round's plan (message
+    join + self union), so without lineage truncation the analyzed plan
+    doubles per iteration and planning itself OOMs on deep chains. On a
+    production cluster with executor churn, swap in a reliable
     ``checkpoint`` directory — the loop shape is identical.
+
+    If the loop exhausts ``max_iterations`` before converging, labels
+    may still be mid-propagation (docs in one component holding
+    different cluster ids). With ``strict=True`` (default) that raises
+    ``RuntimeError`` instead of silently returning wrong clusters;
+    ``strict=False`` returns the partial labels for callers that want
+    bounded-cost approximate clustering.
     """
     a, b = F.col(a_col), F.col(b_col)
     # undirected edge list so propagation runs both ways
@@ -348,34 +360,36 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    label_type = edges.schema["src"].dataType
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label", F.lit(None).cast(label_type).alias("own")
         )
+        own = labels.select("node", "label", F.col("label").alias("own"))
         new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            msgs.unionByName(own)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("own").alias("own"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("own")).count()
+        labels = new_labels.drop("own")
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iterations={max_iterations}; "
+            "labels are mid-propagation and cluster ids would be wrong. Raise "
+            "max_iterations (graph diameter bounds the rounds needed) or pass "
+            "strict=False to accept partial labels."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
