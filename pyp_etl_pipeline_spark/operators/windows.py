@@ -73,10 +73,12 @@ def sessionize(
 
     Output: one row per session with start/end epoch, event count.
     ``tiebreak_col`` makes the per-user ordering total when timestamps
-    collide; when the column is absent, every remaining column joins the
-    ordering instead, so colliding timestamps still order deterministically
-    across runs (row order within a window partition is otherwise
-    unspecified and the lag-based session split would be nondeterministic).
+    collide; when the column is absent, a single ``xxhash64`` surrogate of
+    the remaining columns joins the ordering instead, so colliding
+    timestamps still order deterministically across runs (row order within
+    a window partition is otherwise unspecified and the lag-based session
+    split would be nondeterministic). Hash collisions are harmless: the
+    session aggregates (min/max/count) are invariant to tie order.
     Scale note: one shuffle on user_id; the window sort is per-user and
     AQE handles skewed users; for power-law users add a salt prefix split.
     """

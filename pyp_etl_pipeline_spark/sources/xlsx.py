@@ -30,6 +30,7 @@ wrap ``parse_xlsx`` in ``spark.read.format("binaryFile")`` +
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from xml.etree import ElementTree
@@ -69,6 +70,10 @@ def _format_number(raw: str) -> str:
     try:
         v = float(raw)
     except ValueError:
+        return raw
+    if not math.isfinite(v):
+        # Malformed numeric cells ('NaN', 'INF') must not crash the whole
+        # sheet parse: int(v) below would raise ValueError/OverflowError.
         return raw
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
