@@ -21,29 +21,39 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long nanos
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts is TIMESTAMP(NANOS);
-    read as long nanos + exact DIV conversion, as in tables.load_events)."""
+    """File-source stream over the events parquet. Schema-adaptive, as in
+    ``tables.load_events``: a TIMESTAMP(NANOS) file is read as long nanos
+    + exact DIV conversion; a timestamp[us] file is read as TIMESTAMP
+    directly (session tz is UTC, so naive micros == UTC micros)."""
+    from pyspark.sql.types import LongType as _Long  # noqa: PLC0415
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    nanos = isinstance(batch_ts, _Long)
+    schema = _events_schema(LongType() if nanos else TimestampType())
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def streaming_tumbling_agg(

@@ -25,15 +25,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default. Read nanos as long and convert to a
-    microsecond timestamp with exact integer arithmetic (DIV, not double
-    division — nanos exceed double's exact-integer range)."""
+    """Schema-adaptive events loader. The driver has shipped two layouts:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it by default; read nanos
+      as long and convert with exact integer arithmetic (DIV, not double
+      division — nanos exceed double's exact-integer range).
+    - timestamp[us] (no timezone): Spark infers TIMESTAMP_NTZ; cast to
+      TIMESTAMP (session tz is pinned to UTC, so the cast is
+      value-preserving and matches DuckDB's naive-epoch semantics).
+    """
     from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.types import LongType  # noqa: PLC0415
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
