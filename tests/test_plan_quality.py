@@ -83,3 +83,23 @@ def test_fuzzy_chain_keeps_window_group_limit(spark, sf_dir):
 def test_tx05_repetition_is_python_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tx05_repetition")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_row_python_eval_registry_wide(spark, sf_dir):
+    """SCALE.md's headline plan-quality claim: no row-at-a-time Python UDF
+    anywhere in the engine. Arrow-vectorized nodes (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) are the sanctioned Python escape
+    hatch; BatchEvalPython is never acceptable. Plan-only (no execution),
+    so this sweeps the whole registry cheaply. Streaming entries are
+    skipped: building their DataFrame drains a streaming query."""
+    streaming = {"st01_streaming_tumbling", "st02_streaming_sliding",
+                 "st03_stateful_running_totals", "st04_streaming_dedup"}
+    offenders = {}
+    for name, (fn, _) in sorted(REGISTRY.items()):
+        if name in streaming:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("BatchEvalPython")
+        if n:
+            offenders[name] = n
+    assert not offenders, f"row-at-a-time Python UDFs in plans: {offenders}"
