@@ -58,7 +58,15 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text.
+
+    Deliberately ``array_join(slice(...))`` per position, NOT n
+    ``F.get``/``element_at`` accesses: get() is RuntimeReplaceable and
+    expands to a sizeable null-guard tree per access, which multiplied
+    across the transform lambda and the self-join's duplicated branches
+    blew Catalyst ANALYSIS time from ~5s to ~12s per dd02 call at sf0.1
+    (execution itself is <0.2s either way — planning, not compute, is
+    what this expression shape protects)."""
     toks = F.split(normalized_text(c), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
@@ -332,13 +340,16 @@ def dup_clusters(
     Components in MapReduce and Beyond"), which this loop structure
     accommodates directly.
 
-    Round shape (2 shuffles, 1 action): neighbor labels are emitted as
-    messages (edge join), unioned with each node's own label, and one
-    min-aggregate produces BOTH the new label and — via a null-tagged
-    "own" column that only the self row carries — the previous label,
-    so the changed-label convergence check is a filter over the same
-    aggregate, not an extra join. The single ``count()`` action per
-    round also materializes that round's lazy ``localCheckpoint``:
+    Round shape (2 shuffles/round, 1 action per TWO rounds): neighbor
+    labels are emitted as messages (edge join), unioned with each node's
+    own label, and one min-aggregate produces BOTH the new label and —
+    via a null-tagged "own" column that only the self row carries — the
+    pre-batch label, so the changed-label convergence check is a filter
+    over the same aggregate, not an extra join. Rounds run in batches of
+    two per check (labels are monotone non-increasing, so
+    unchanged-over-batch == fixpoint), and round 1 rides the initial
+    node-dedup aggregate. The single ``count()`` action per batch
+    also materializes that batch's lazy ``localCheckpoint``:
     the label relation appears twice in the next round's plan (message
     join + self union), so without lineage truncation the analyzed plan
     doubles per iteration and planning itself OOMs on deep chains. On a
@@ -353,6 +364,12 @@ def dup_clusters(
     bounded-cost approximate clustering.
     """
     a, b = F.col(a_col), F.col(b_col)
+    # Materialize the pair list BEFORE the union below references it twice:
+    # pairs is typically the output of a whole candidate-generation pipeline
+    # (shingle join / LSH), and without this checkpoint both union branches
+    # re-execute that entire pipeline (measured ~2x the dd04 runtime).
+    pairs = pairs.select(a.alias("pa"), b.alias("pb")).localCheckpoint(eager=True)
+    a, b = F.col("pa"), F.col("pb")
     # undirected edge list so propagation runs both ways
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
@@ -361,28 +378,51 @@ def dup_clusters(
         .localCheckpoint(eager=True)
     )
     label_type = edges.schema["src"].dataType
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    converged = False
-    for _ in range(max_iterations):
-        msgs = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "label", F.lit(None).cast(label_type).alias("own")
+
+    label_null = F.lit(None).cast(edges.schema["src"].dataType)
+
+    def propagate(lbls: DataFrame) -> DataFrame:
+        """One hash-min round over (node, label, own). Message rows carry
+        own=NULL so min(own) surfaces each node's OWN value untouched —
+        'own' rides the aggregate as the pre-batch label for the
+        changed-label convergence check, at zero extra shuffles."""
+        msgs = edges.join(lbls, edges.src == lbls.node).select(
+            F.col("dst").alias("node"), "label", label_null.alias("own")
         )
-        own = labels.select("node", "label", F.col("label").alias("own"))
-        new_labels = (
-            msgs.unionByName(own)
+        return (
+            msgs.unionByName(lbls.select("node", "label", "own"))
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("own").alias("own"))
-            .localCheckpoint(eager=False)
         )
+
+    # Round 1 rides the node-dedup aggregate for free: instead of
+    # DISTINCT-then-propagate, initialize each node's label directly to
+    # min(self, neighbors) — same single shuffle as the plain DISTINCT.
+    labels = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.col("node")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    rounds_done = 1
+    converged = False
+    while rounds_done < max_iterations and not converged:
+        # Two propagation rounds per convergence check: the check is a
+        # driver-synchronized action, and on the tiny-diameter graphs
+        # near-dup produces, halving the action count matters more than
+        # the (at most one) extra round past the fixpoint. Labels are
+        # monotone non-increasing, so label-unchanged-over-the-batch is
+        # exactly the fixpoint test whatever the batch size.
+        stepped = propagate(labels.withColumn("own", F.col("label")))
+        if rounds_done + 2 <= max_iterations:
+            stepped = propagate(stepped)
+            rounds_done += 2
+        else:
+            rounds_done += 1
+        new_labels = stepped.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("label") != F.col("own")).count()
         labels = new_labels.drop("own")
         if changed == 0:
             converged = True
-            break
     if not converged and strict:
         raise RuntimeError(
             f"dup_clusters did not converge within max_iterations={max_iterations}; "

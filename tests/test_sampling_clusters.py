@@ -108,3 +108,23 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(2, "b c d e")], "doc_id long, text string")
     plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dup_clusters_exhaustion_raises_strict(spark):
+    # a 12-node path cannot converge in 1 round; strict (default) raises
+    # instead of silently returning mid-propagation labels
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=1).collect()
+
+
+def test_dup_clusters_exhaustion_partial_when_lenient(spark):
+    # strict=False returns partial labels: every label must still be a
+    # valid node id <= the node's own id (monotone progress, no garbage)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iterations=2, strict=False).collect()}
+    assert len(out) == 13
+    assert all(lbl <= node for node, lbl in out.items())
+    assert set(out.values()) != {0}  # genuinely unconverged at 2 rounds
