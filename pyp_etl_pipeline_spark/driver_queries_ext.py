@@ -379,7 +379,7 @@ best AS (
 fuzzy_out AS (
   SELECT item,
          CASE WHEN {band} <> 'reject' THEN title END AS matched_title,
-         CASE WHEN {band} <> 'reject' THEN ext_id END AS suggested_id,
+         ext_id AS suggested_id,
          round(adjusted, 4) AS score,
          {band} AS band,
          ({band} = 'auto_resolve') AS resolved
@@ -401,6 +401,58 @@ FROM (
 
 
 J02B_SQL = _j02b_sql()
+
+
+def j13_reject_payload(spark: SparkSession, sf: str) -> DataFrame:
+    """Reject-band MatchReview fidelity (reference app/etl.py:1360-1374):
+    auto-rejected items still persist the top guess — suggested_name
+    (falling back to the item text when blocking found nothing),
+    suggested_ext_id — and an EMPTY alternatives list, not a missing
+    one. Same dim/items construction as j02b; pins the reject rows'
+    payload that j02b's columns don't cover."""
+    part = load_table(spark, sf, "part")
+    dim = (
+        part.select(F.explode(F.split(F.lower("p_name"), " ")).alias("title"), "p_partkey")
+        .groupBy("title")
+        .agg(F.min("p_partkey").alias("ext_id"))
+    )
+    typos = dim.select(
+        F.concat(F.substring("title", 1, 1), F.expr("substring(title, 3)")).alias("item")
+    )
+    exacts = dim.filter(F.col("title").rlike("^[a-m]")).select(F.col("title").alias("item"))
+    items = typos.unionByName(exacts).distinct()
+    out = resolve.similarity_resolve(items, dim, item_col="item", title_col="title", id_col="ext_id")
+    return out.filter(F.col("band") == "reject").select(
+        "item",
+        "suggested_name",
+        F.col("suggested_id").cast("long").alias("suggested_ext_id"),
+        F.round("score", 4).alias("score"),
+        F.size("alternatives").cast("long").alias("n_alternatives"),
+    )
+
+
+def _j13_sql() -> str:
+    """Oracle: j02b's CTE chain, reject rows only, with the reject-band
+    payload columns (suggested_name falls back to the item text; the
+    alternatives list is [] so its cardinality is 0)."""
+    base = _j02b_sql()
+    head, _tail = base.rsplit("SELECT item, matched_title", 1)
+    band = core.sql_band("adjusted")
+    return (
+        head
+        + f"""SELECT item, coalesce(title, item) AS suggested_name,
+       CAST(ext_id AS BIGINT) AS suggested_ext_id,
+       CAST(score AS DOUBLE) AS score, CAST(0 AS BIGINT) AS n_alternatives
+FROM (
+  SELECT item, title, ext_id, round(adjusted, 4) AS score, {band} AS band
+  FROM best WHERE rnk = 1
+  UNION ALL
+  SELECT item, NULL AS title, NULL AS ext_id, 0.0 AS score, 'reject' AS band
+  FROM misses WHERE item NOT IN (SELECT item FROM fuzzy_out)
+)
+WHERE band = 'reject'
+"""
+    )
 
 
 def j04_penalty_bands(spark: SparkSession, sf: str) -> DataFrame:
@@ -1066,6 +1118,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j01_exact_resolution": (core.j01_exact_resolution, core.J01_SQL),
     "j02_fuzzy_topk": (j02_fuzzy_topk, J02_SQL),
     "j02b_typo_fallback": (j02b_typo_fallback, J02B_SQL),
+    "j13_reject_payload": (j13_reject_payload, _j13_sql()),
     "rv01_review_workflow": (rv01_review_workflow, RV01_SQL),
     "j04_penalty_bands": (j04_penalty_bands, J04_SQL),
     "j07_alternatives": (j07_alternatives, J07_SQL),

@@ -50,10 +50,13 @@ def exact_resolve(
     title_col: str = "title",
     id_col: str = "ext_id",
     broadcast_dim: bool = True,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """J1: broadcast hash join on the lowercase key. Adds
-    ``matched_id``, ``matched_title``, ``score``, ``resolved``."""
-    d = _dedupe_dim(dim, title_col, id_col).select(
+    ``matched_id``, ``matched_title``, ``score``, ``resolved``.
+    ``pre_deduped=True`` means ``dim`` is already ``_dedupe_dim`` output
+    (callers that share one deduped dict across stages)."""
+    d = (dim if pre_deduped else _dedupe_dim(dim, title_col, id_col)).select(
         "__key",
         F.col("__dim_id").alias("matched_id"),
         F.col("__dim_title").alias("matched_title"),
@@ -85,6 +88,7 @@ def fuzzy_candidates(
     max_token_df: int | None = None,
     ngram_fallback: bool = True,
     ngram_n: int = 3,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """J2 candidate generation via token blocking: all (item, candidate)
     pairs sharing >= 1 blocking token, carrying both token arrays for
@@ -110,7 +114,13 @@ def fuzzy_candidates(
     tiny fraction of the corpus — pays the wider gram fan-out.
     """
     q = items.select(F.col(item_col).alias("__item"), scoring.tokens(item_col).alias("__q_tokens")).distinct()
-    d = _dedupe_dim(dim, title_col, id_col).select(
+    if ngram_fallback:
+        # the query-side blocking index is consumed twice (token join +
+        # uncovered-remainder probe); materialize it once — O(distinct
+        # items) keys + token arrays, the same relation either consumer
+        # would otherwise each recompute through the full upstream plan
+        q = q.localCheckpoint(eager=True)
+    d = (dim if pre_deduped else _dedupe_dim(dim, title_col, id_col)).select(
         F.col("__dim_title").alias("__title"),
         F.col("__dim_id").alias("__cand_id"),
     ).withColumn("__d_tokens", scoring.tokens("__title"))
@@ -233,17 +243,45 @@ def similarity_resolve(
 ) -> DataFrame:
     """Full J1-J7 pipeline.
 
-    Output: one row per distinct input item with
-    ``matched_id, matched_title, score, band, resolved, alternatives``.
-    Exact hits short-circuit the similarity stage entirely (the reference's
-    single most important optimization, kept as an anti-join gate).
+    Output: one row per distinct input item with ``matched_id,
+    matched_title, suggested_id, suggested_name, score, band, resolved,
+    alternatives``. Exact hits short-circuit the similarity stage
+    entirely (the reference's single most important optimization, kept
+    as an anti-join gate).
+
+    Reject-band fidelity (app/etl.py:1360-1374): auto-rejected rows
+    still persist the top guess — ``suggested_name`` (falling back to
+    the item text when blocking surfaced no candidate at all) and
+    ``suggested_id`` — plus ``alternatives = []`` (the reference writes
+    a MatchReview with an empty list, not a missing one). Review rows
+    likewise get ``[]`` when no alternative clears the reject threshold;
+    auto-resolved rows create no MatchReview, so theirs stays NULL.
+
+    Plan shape: the canonical dict is deduped ONCE and localCheckpoint'd
+    (it is the broadcast-small side — materializing it is O(dict), never
+    O(corpus)), so the exact key join, the token index, the gram
+    fallback index, and the covered-token probe all read one tiny
+    materialized relation instead of each re-deriving the dict's
+    dedup shuffle; and the no-candidate reject branch rides the SAME
+    left join that attaches the fuzzy best row to the misses, instead
+    of a third traversal with an anti-join (was 60 exchanges in the
+    end-to-end plan, now ~1/5th of that).
     """
+    dimd = _dedupe_dim(dim, title_col, id_col).localCheckpoint(eager=True)
     base = items.select(F.col(item_col).alias("__item")).distinct()
-    exact = exact_resolve(base, dim, "__item", title_col, id_col)
+    # The exact-join output feeds THREE consumers (hits, the fuzzy query
+    # side, the final misses re-join) — materialize it once. Its size is
+    # O(distinct items) x a few narrow columns, not O(raw corpus); on a
+    # cluster swap localCheckpoint for a reliable checkpoint dir.
+    exact = exact_resolve(base, dimd, "__item", title_col, id_col, pre_deduped=True).localCheckpoint(
+        eager=True
+    )
     hits = exact.filter(F.col("resolved"))
     misses = exact.filter(~F.col("resolved")).select("__item")
 
-    pairs = fuzzy_candidates(misses, dim, "__item", title_col, id_col, max_token_df=max_token_df)
+    pairs = fuzzy_candidates(
+        misses, dimd, "__item", title_col, id_col, max_token_df=max_token_df, pre_deduped=True
+    )
     scored = score_candidates(pairs, scorer=scorer, k=k)
 
     # Best-after-penalty among the raw top-k (reference app/etl.py:1304-1316:
@@ -276,36 +314,42 @@ def similarity_resolve(
         )
     )
 
+    empty_alts = F.array().cast("array<struct<rank:int,name:string,score:double,ext_id:string>>")
+    null_alts = F.lit(None).cast("array<struct<rank:int,name:string,score:double,ext_id:string>>")
+
+    # One left join from the misses attaches the fuzzy best row AND
+    # covers items whose blocking produced no candidate at all (best is
+    # absent -> score 0.0 -> reject band with the item text as the
+    # suggested name, exactly the reference's `name0 or text_sanitized`).
+    best_cols = best.join(alts, "__item", "left").select(
+        "__item",
+        F.col("__title").alias("__best_title"),
+        F.col("__cand_id").alias("__best_id"),
+        F.col("adjusted_score").alias("__best_score"),
+        F.col("alternatives").alias("__alts"),
+    )
     fuzzy_out = (
-        best.join(alts, "__item", "left")
-        .withColumn("band", scoring.band("adjusted_score"))
+        misses.join(best_cols, "__item", "left")
+        .withColumn("score", F.coalesce(F.col("__best_score"), F.lit(0.0)))
+        .withColumn("band", scoring.band("score"))
         .select(
             F.col("__item"),
-            F.when(F.col("band") == "auto_resolve", F.col("__cand_id")).alias("matched_id"),
-            F.when(F.col("band") != "reject", F.col("__title")).alias("matched_title"),
-            # review queue needs the best candidate's ID even though the
-            # match is not auto-resolved (reference MatchReview.suggested_ext_id)
-            F.when(F.col("band") != "reject", F.col("__cand_id")).alias("suggested_id"),
-            F.col("adjusted_score").alias("score"),
+            F.when(F.col("band") == "auto_resolve", F.col("__best_id")).alias("matched_id"),
+            F.when(F.col("band") != "reject", F.col("__best_title")).alias("matched_title"),
+            # MatchReview payload exists for review AND reject rows: the
+            # reference persists the top guess on auto-rejects too
+            # (app/etl.py:1360-1374)
+            F.col("__best_id").alias("suggested_id"),
+            F.coalesce(F.col("__best_title"), F.col("__item")).alias("suggested_name"),
+            F.col("score"),
             F.col("band"),
             (F.col("band") == "auto_resolve").alias("resolved"),
-            # reference creates alternatives only for the review branch
-            # (auto_resolve skips MatchReview, reject stores alts=[])
-            F.when(F.col("band") == "review", F.col("alternatives")).alias("alternatives"),
-        )
-    )
-    # items whose blocking produced no candidate at all -> reject band
-    no_cand = (
-        misses.join(fuzzy_out.select("__item"), "__item", "left_anti")
-        .select(
-            "__item",
-            F.lit(None).cast("string").alias("matched_id"),
-            F.lit(None).cast("string").alias("matched_title"),
-            F.lit(None).cast("string").alias("suggested_id"),
-            F.lit(0.0).alias("score"),
-            F.lit("reject").alias("band"),
-            F.lit(False).alias("resolved"),
-            F.lit(None).cast("array<struct<rank:int,name:string,score:double,ext_id:string>>").alias("alternatives"),
+            # review: the collected list, [] when none clears the
+            # threshold; reject: always []; auto_resolve: no MatchReview
+            F.when(F.col("band") == "review", F.coalesce(F.col("__alts"), empty_alts))
+            .when(F.col("band") == "reject", empty_alts)
+            .otherwise(null_alts)
+            .alias("alternatives"),
         )
     )
 
@@ -314,10 +358,11 @@ def similarity_resolve(
         "matched_id",
         "matched_title",
         F.col("matched_id").alias("suggested_id"),
+        F.col("matched_title").alias("suggested_name"),
         "score",
         F.lit("auto_resolve").alias("band"),
         F.lit(True).alias("resolved"),
-        F.lit(None).cast("array<struct<rank:int,name:string,score:double,ext_id:string>>").alias("alternatives"),
+        null_alts.alias("alternatives"),
     )
 
-    return hits_out.unionByName(fuzzy_out).unionByName(no_cand).withColumnRenamed("__item", item_col)
+    return hits_out.unionByName(fuzzy_out).withColumnRenamed("__item", item_col)
