@@ -348,9 +348,14 @@ QUALIFY match_rank <= 5
 def st04_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exactly-once dedup: the event stream unioned with
     itself (every event arrives twice — the at-least-once delivery
-    shape) then ``dropDuplicatesWithinWatermark`` on event_id. Drained
-    output must equal the batch DISTINCT of the source, which the DuckDB
-    twin computes directly."""
+    shape) then ``dropDuplicatesWithinWatermark`` on event_id with a
+    realistic 2-hour watermark (not the degenerate 0-seconds one).
+    Drained output must equal the batch DISTINCT of the source, which
+    the DuckDB twin computes directly. A redelivered copy in a LATER
+    micro-batch is removed either way: still inside the watermark ->
+    dropped against retained state; behind it -> dropped as late. The
+    cross-micro-batch case is pinned by
+    tests/test_streaming.py::test_streaming_dedup_across_microbatches."""
     import uuid  # noqa: PLC0415
 
     from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
@@ -362,7 +367,7 @@ def st04_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     name = "st04_" + uuid.uuid4().hex[:8]
     stream = read_events_stream(spark, sf)
     doubled = stream.unionByName(read_events_stream(spark, sf))
-    dd = streaming_dedup(doubled, ("event_id",), watermark="0 seconds")
+    dd = streaming_dedup(doubled, ("event_id",), watermark="2 hours")
     run_to_memory(dd, name, output_mode="append")
     return spark.table(name).select(
         "event_id",

@@ -34,23 +34,29 @@ def _events_schema(ts_type) -> StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet. Schema-adaptive, as in
     ``tables.load_events``: a TIMESTAMP(NANOS) file is read as long nanos
     + exact DIV conversion; a timestamp[us] file is read as TIMESTAMP
-    directly (session tz is UTC, so naive micros == UTC micros)."""
+    directly (session tz is UTC, so naive micros == UTC micros).
+    ``max_files_per_trigger`` throttles ingestion so a multi-file
+    directory drains over several micro-batches — the shape real
+    at-least-once redelivery arrives in."""
     from pyspark.sql.types import LongType as _Long  # noqa: PLC0415
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    batch_ts = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema["ts"].dataType
     nanos = isinstance(batch_ts, _Long)
     schema = _events_schema(LongType() if nanos else TimestampType())
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).format("parquet").option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(sf_dir)
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw

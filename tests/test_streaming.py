@@ -33,3 +33,31 @@ def test_streaming_session_counts(spark, sf_dir):
     assert len(rows) > 0
     total = sum(r["n_events"] for r in rows)
     assert total == load_events(spark, sf_dir).count()
+
+
+def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    """Exactly-once must survive redelivery in a LATER micro-batch, not
+    just union-in-one-batch: the same events file lands twice in the
+    watch dir, maxFilesPerTrigger=1 forces one file per micro-batch, and
+    the drained output must still equal the batch DISTINCT. The second
+    copy is removed either against retained state (inside the 2h
+    watermark) or as late data (behind it) — both are the exactly-once
+    contract."""
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    watch = tmp_path / "replayed"
+    watch.mkdir()
+    shutil.copy(src, watch / "part-000-events.parquet")
+    shutil.copy(src, watch / "part-001-events.parquet")
+
+    stream = stream_ev.read_events_stream(
+        spark, str(watch), glob="*.parquet", max_files_per_trigger=1
+    )
+    dd = stream_ev.streaming_dedup(stream, ("event_id",), watermark="2 hours")
+    stream_ev.run_to_memory(dd, "t_dedup_mb", output_mode="append")
+
+    out = spark.table("t_dedup_mb")
+    n_events = load_events(spark, sf_dir).count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
