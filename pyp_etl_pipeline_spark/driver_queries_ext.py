@@ -906,7 +906,10 @@ def nd01_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     bucketed path by ``tests/test_similarity.py`` (subset + exact-dup
     recall); it is deliberately NOT the registered plan."""
     emb = _load_corpus(spark, sf, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=0.25, exact=False)
+    # n_planes pinned so the static SQL twin reproduces the buckets;
+    # outside oracle-land the default (None) derives planes from the
+    # corpus size (similarity.derive_n_planes)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.25, exact=False, n_planes=4)
 
 
 def _nd01_sql() -> str:
@@ -1165,36 +1168,45 @@ from pyp_etl_pipeline_spark.driver_queries_ext3 import QUERIES3  # noqa: E402
 REGISTRY.update(QUERIES3)
 
 # The driver's correctness gate only covers the first 50 registry entries.
-# Round-3 rotation: the 20 queries with no CORRECTNESS_r02 row lead.
-# nd01 is first — its implementation changed in round 2 (exact=False
-# bucketed path) and the new code has never had a driver-side row.
+# Round-5 rotation: everything whose implementation or input handling
+# changed this round leads the window —
+# (a) every events-table query: the driver regenerated events.parquet
+#     with ts as timestamp[us] (was TIMESTAMP(NANOS)) and the loaders
+#     are now schema-adaptive; r04 recorded failures for these;
+# (b) the dup_clusters rework (dd04), the resolve-pipeline rework
+#     (j02b + new j13, plus the queries sharing the fuzzy chain),
+#     the LSH-defaults change (ann02/nd01), the new JPEG decode (mm03,
+#     and mm02 whose decode_features dispatch grew a branch).
 _DRIVER_PRIORITY = [
-    "nd01_embed_neardup",
-    "ann01_cosine_topk",
-    "ann02_lsh_topk",
-    "dd01_exact_dup_histogram",
-    "dd02_ngram_jaccard_pairs",
-    "dd03_minhash_lsh_pairs",
-    "sh01_simhash_pairs",
-    "tx01_quality_features",
-    "tx02_token_counts",
-    "tx03_language_id",
-    "tx04_fingerprints",
+    # (a) events schema change
     "st01_streaming_tumbling",
-    "q05_sql_interface",
-    "f03_name_email_validation",
-    "f05_country_whitelist",
-    "t03_punct_lower_key",
-    "o07_distinct_sorted_filters",
-    "a03_push_summary",
-    "a05_error_summary_24h",
-    "u02_idarray_union",
-    # Implementations changing in round 3 — keep inside the 50-row window
-    # so the changed code gets a fresh driver-side CORRECTNESS row.
-    "ann03_ivf_topk",
-    "w03_sessionize_30m",
     "st04_streaming_dedup",
+    "w01_tumbling_hourly",
+    "w02_sliding_1h_15m",
+    "w03_sessionize_30m",
+    "w04_lag_delta",
+    "aj01_asof_purchase_view",
+    "a05_error_summary_24h",
+    "a07_status_priority_rollup",
+    "a08_percentile_summary",
+    "sp02_stratified_sample",
+    "u02_idarray_union",
+    "st02_streaming_sliding",
+    "st03_stateful_running_totals",
+    # (b) implementations changed in round 5
     "dd04_dup_clusters",
+    "j02b_typo_fallback",
+    "j13_reject_payload",
+    "j02_fuzzy_topk",
+    "j04_penalty_bands",
+    "j07_alternatives",
+    "rv01_review_workflow",
+    "a01_band_summary",
+    "ann02_lsh_topk",
+    "nd01_embed_neardup",
+    "mm03_jpeg_decode",
+    "mm02_media_decode",
+    "dd02_ngram_jaccard_pairs",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},

@@ -685,6 +685,53 @@ FROM documents
 """
 
 
+def mm03_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG decode: per doc_id a solid-gray BASELINE JPEG is
+    synthesized by the pure-python encoder (flat blocks -> DC-only
+    entropy stream, spec-conformant JFIF), then ``decode_features``
+    parses the actual bytes back — marker walk for dimensions, standard
+    DC Huffman + dequant for the pixel mean, which is LOSSLESS for solid
+    fills (DC quant step 8). The DuckDB twin computes every feature
+    analytically from doc_id, so a marker-walk or entropy-decoder bug
+    (wrong dims, wrong category extend, bad byte unstuffing) breaks the
+    hash match."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import decode_features  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        from pyp_etl_pipeline_spark.multimodal.codecs import jpeg_encode_gray  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = [
+                jpeg_encode_gray(1 + int(i) % 24, 1 + int(i) % 12, int(i) % 256)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    out = decode_features(media)
+    return out.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        F.round("mean_val", 4).alias("mean_val"),
+    )
+
+
+MM03_SQL = """
+SELECT doc_id AS media_id,
+  'jpeg' AS format,
+  (1 + doc_id % 24)::INT AS width,
+  (1 + doc_id % 12)::INT AS height,
+  round((doc_id % 256)::DOUBLE, 4) AS mean_val
+FROM documents
+"""
+
+
 def sp01_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split of the documents corpus keyed
     on doc_id (map-only md5-bucket routing, stable across runs and
@@ -878,6 +925,7 @@ QUERIES3 = {
     "sp01_hash_split": (sp01_hash_split, SP01_SQL),
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),
+    "mm03_jpeg_decode": (mm03_jpeg_decode, MM03_SQL),
     "q05_sql_interface": (q05_sql_interface, Q05_SQL),
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
     "f05_country_whitelist": (f05_country_whitelist, F05_SQL),

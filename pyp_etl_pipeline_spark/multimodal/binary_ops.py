@@ -5,12 +5,14 @@ struct, processed in Arrow-batched ``mapInPandas`` (partition-preserving,
 batch-vectorized — the shape a PIL/libav decoder would use).
 
 Two decode paths:
-- REAL: PNG (gray8/rgb8) and WAV (PCM16) decode fully in pure python +
+- REAL: PNG (gray8/rgb8), WAV (PCM16) and JPEG decode in pure python +
   numpy (``multimodal/codecs.py`` — zlib inflate + scanline unfilter,
-  RIFF walk + PCM RMS). ``decode_real`` dispatches on magic bytes and
-  ``decode_features`` exposes width/height/duration/signal stats as a
-  DataFrame operator (oracle-checked by mm02).
-- STUB: every other format (JPEG, MP4, ...) would need external codecs
+  RIFF walk + PCM RMS, JPEG marker walk + baseline DC entropy decode).
+  ``decode_real`` dispatches on magic bytes and ``decode_features``
+  exposes width/height/duration/signal stats as a DataFrame operator
+  (oracle-checked by mm02/mm03). JPEG dims/components parse for ANY
+  jpeg; pixel stats (mean) for single-component baseline scans.
+- STUB: every other format (MP4, ...) would need external codecs
   that are not in this container; ``extract_features`` computes
   deterministic byte-level stand-ins and ``decode_real`` raises
   ``NotImplementedError`` naming the format.
@@ -65,9 +67,13 @@ def decode_real(payload: bytes, kind: str) -> dict:
         return {"format": "png", **codecs.png_decode(payload)}
     if fmt == "wav":
         return {"format": "wav", **codecs.wav_decode(payload)}
+    if fmt == "jpeg":
+        # marker walk gives dims/components/progressive for ANY jpeg;
+        # mean_val additionally for single-component baseline scans
+        return {"format": "jpeg", **codecs.jpeg_decode(payload)}
     raise NotImplementedError(
-        f"no pure-python codec for this {kind} payload (PNG and WAV decode natively; "
-        "JPEG/MP4/... need PIL/libav on the cluster image)"
+        f"no pure-python codec for this {kind} payload (PNG, WAV and JPEG decode "
+        "natively; MP4/... need libav on the cluster image)"
     )
 
 
@@ -106,6 +112,9 @@ def decode_features(df: DataFrame) -> DataFrame:
                 elif fmt == "wav":
                     d = codecs.wav_decode(p)
                     row.update(duration_ms=d["duration_ms"], rms=d["rms"])
+                elif fmt == "jpeg":
+                    d = codecs.jpeg_decode(p)
+                    row.update(width=d["width"], height=d["height"], mean_val=d["mean_val"])
                 rows.append(row)
             yield pd.DataFrame(rows)
 

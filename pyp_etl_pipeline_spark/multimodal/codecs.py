@@ -36,11 +36,13 @@ WAV_MAGIC = b"RIFF"
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """'png' / 'wav' when the magic bytes match, else None."""
+    """'png' / 'wav' / 'jpeg' when the magic bytes match, else None."""
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -203,3 +205,273 @@ def wav_decode(payload: bytes) -> dict:
         "duration_ms": 1000.0 * n_frames / rate,
         "rms": rms,
     }
+
+
+# ------------------------------------------------------------------ JPEG
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# Standard luminance DC Huffman spec (JPEG Annex K.3.1): code-length
+# counts for lengths 1..16, then the category values in code order.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# Minimal AC table for the DC-only encoder: one length-1 code for EOB.
+_AC_BITS_EOB = [1] + [0] * 15
+_AC_VALS_EOB = [0x00]
+
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, str]:
+    """value -> canonical JPEG Huffman code (bit string)."""
+    codes: dict[int, str] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = format(code, f"0{length}b")
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def jpeg_encode_gray(width: int, height: int, value: int) -> bytes:
+    """Minimal BASELINE JFIF grayscale JPEG, every pixel = ``value``.
+
+    A flat 8x8 block has only a DC coefficient (8 * (value - 128) for the
+    orthonormal DCT), so the entropy stream is DC diffs + EOBs — a real,
+    spec-conformant baseline scan any JPEG decoder accepts. The DC quant
+    step is 8, so the DC is stored EXACTLY and the decoded image is
+    lossless for solid fills (decoded pixel = dc * 8 / 8 + 128 = value)."""
+    qtab = bytes([8] + [16] * 63)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    eob = _huff_codes(_AC_BITS_EOB, _AC_VALS_EOB)[0x00]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    bits: list[str] = []
+    d = value - 128  # first block's DC diff; later blocks diff 0
+    n_blocks = ((height + 7) // 8) * ((width + 7) // 8)
+    for blk in range(n_blocks):
+        diff = d if blk == 0 else 0
+        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        bits.append(dc_codes[s])
+        if s:
+            mag = diff if diff >= 0 else diff + (1 << s) - 1
+            bits.append(format(mag, f"0{s}b"))
+        bits.append(eob)
+    stream = "".join(bits)
+    stream += "1" * (-len(stream) % 8)  # pad to byte boundary with 1s
+    raw = bytes(int(stream[i : i + 8], 2) for i in range(0, len(stream), 8))
+    entropy = raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab)  # DQT, 8-bit table 0
+        + seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")  # SOF0
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
+        + seg(0xC4, b"\x10" + bytes(_AC_BITS_EOB) + bytes(_AC_VALS_EOB))  # DHT AC 0
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over a JPEG entropy segment with 0xFF00
+    byte-unstuffing; stops at any real marker."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        while True:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.buf[self.pos]
+            if byte == 0xFF:
+                nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+                if nxt == 0x00:
+                    pass  # stuffed FF — consume normally, skip the 00 below
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    self.pos += 2  # restart marker: reset and continue
+                    self.bit = 0
+                    continue
+                else:
+                    raise ValueError("JPEG entropy stream hit a marker")
+            b = (byte >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+                if byte == 0xFF:
+                    self.pos += 1  # skip the stuffed 0x00
+            return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[str, int]) -> int:
+    code = ""
+    for _ in range(16):
+        code += str(reader.read_bit())
+        if code in table:
+            return table[code]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(mag: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+
+
+def jpeg_decode(payload: bytes) -> dict:
+    """Real JPEG parse, pure python.
+
+    Always extracted (any JPEG, baseline or progressive, any component
+    count): width, height, precision, n_components, progressive — the
+    marker walk every corpus dimension/aspect-ratio filter needs.
+
+    Additionally, for single-component BASELINE scans (the shape
+    ``jpeg_encode_gray`` emits), the DC coefficients are entropy-decoded
+    and ``mean_val`` is the mean over blocks of the DC-reconstructed
+    block average (exact for flat blocks; the DC term IS the block mean
+    by DCT definition). Multi-component / progressive payloads return
+    ``mean_val=None`` — full pixel decode needs a real codec library.
+    """
+    if not payload.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG (SOI/marker signature mismatch)")
+    pos = 2
+    width = height = precision = n_comp = None
+    progressive = False
+    sof_marker = None
+    qtabs: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict[str, int]] = {}
+    scan: bytes | None = None
+    comp_tq = comp_td = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker in _SOF_MARKERS:
+            sof_marker = marker
+            progressive = marker == 0xC2
+            precision, height, width, n_comp = struct.unpack(">BHHB", body[:6])
+            if n_comp == 1:
+                comp_tq = body[8]
+        elif marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                step = 64 * (2 if pq else 1)
+                tab = body[b + 1 : b + 1 + step]
+                qtabs[tq] = (
+                    list(struct.unpack(f">{64}H", tab)) if pq else list(tab)
+                )
+                b += 1 + step
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                counts = list(body[b + 1 : b + 17])
+                nvals = sum(counts)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                codes = {code: val for val, code in _huff_codes(counts, vals).items()}
+                if tc == 0:
+                    dc_tables[th] = codes
+                b += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns == 1:
+                comp_td = body[2] >> 4
+            scan = payload[pos + 2 + length :]
+            # entropy data runs to the next real marker; the bit reader
+            # handles stuffing/restarts, so just stop the segment walk
+            break
+        pos += 2 + length
+    if width is None:
+        raise ValueError("JPEG has no SOF frame header")
+    out = {
+        "width": int(width),
+        "height": int(height),
+        "precision": int(precision),
+        "n_components": int(n_comp),
+        "progressive": bool(progressive),
+        "mean_val": None,
+    }
+    if (
+        sof_marker in (0xC0, 0xC1)
+        and n_comp == 1
+        and scan is not None
+        and comp_td in dc_tables
+        and comp_tq in qtabs
+    ):
+        reader = _BitReader(scan)
+        q0 = qtabs[comp_tq][0]
+        n_blocks = ((height + 7) // 8) * ((width + 7) // 8)
+        # AC skipping needs the AC table in general; the DC-only scans we
+        # emit use EOB immediately. Re-parse the AC table for generality.
+        ac_tables: dict[int, dict[str, int]] = {}
+        p2 = 2
+        while p2 + 4 <= len(payload):
+            if payload[p2] != 0xFF:
+                break
+            m2 = payload[p2 + 1]
+            if m2 in (0xD9, 0xDA) and m2 == 0xDA:
+                break
+            if m2 == 0xD9:
+                break
+            (l2,) = struct.unpack(">H", payload[p2 + 2 : p2 + 4])
+            if m2 == 0xC4:
+                body2 = payload[p2 + 4 : p2 + 2 + l2]
+                b = 0
+                while b < len(body2):
+                    tc, th = body2[b] >> 4, body2[b] & 0x0F
+                    counts = list(body2[b + 1 : b + 17])
+                    nvals = sum(counts)
+                    vals = list(body2[b + 17 : b + 17 + nvals])
+                    if tc == 1:
+                        ac_tables[th] = {
+                            code: val for val, code in _huff_codes(counts, vals).items()
+                        }
+                    b += 17 + nvals
+            p2 += 2 + l2
+        ac = ac_tables.get(comp_td, {})
+        try:
+            dc = 0
+            total = 0.0
+            for _ in range(n_blocks):
+                s = _huff_decode(reader, dc_tables[comp_td])
+                dc += _extend(reader.read_bits(s), s) if s else 0
+                # skip AC coefficients to end of block
+                k = 1
+                while k <= 63 and ac:
+                    rs = _huff_decode(reader, ac)
+                    if rs == 0x00:  # EOB
+                        break
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run + 1
+                    reader.read_bits(size)
+                block_mean = dc * q0 / 8.0 + 128.0
+                total += min(255.0, max(0.0, block_mean))
+            out["mean_val"] = total / n_blocks if n_blocks else None
+        except ValueError:
+            out["mean_val"] = None  # keep header facts for odd streams
+    return out

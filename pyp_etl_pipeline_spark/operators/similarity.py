@@ -92,32 +92,71 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def derive_n_planes(n_rows: int, target_bucket_rows: int = 1024, max_planes: int = 16) -> int:
+    """Corpus-proportional hyperplane count: enough planes that the
+    EXPECTED bucket holds ~``target_bucket_rows`` vectors, capped so the
+    bucket id stays well inside a long. The within-bucket candidate join
+    is quadratic per bucket, so a fixed plane count (16 buckets) that is
+    fine at 10^5 vectors is a scale-killer at 10^9 — planes must grow
+    with log2(corpus). 10^9 rows / 1024-row buckets -> 20 planes capped
+    at 16 -> ~15k rows/bucket: each bucket's self-join stays executor-
+    sized while the number of buckets (2^16) spreads across the cluster."""
+    import math  # noqa: PLC0415
+
+    if n_rows <= target_bucket_rows:
+        return 1
+    return max(1, min(max_planes, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def _probe_buckets(bucket: Column, n_planes: int, multiprobe: bool) -> Column:
+    """The bucket list a QUERY probes: its own bucket, plus — with
+    ``multiprobe`` — every Hamming-distance-1 neighbor (one sign bit
+    flipped). A near neighbor falls in a different bucket exactly when
+    some plane splits the pair, and one plane is overwhelmingly more
+    likely than two; radius-1 probing buys most of the lost recall for
+    (n_planes+1)x fan-out of the SMALL query side only."""
+    probes = [bucket]
+    if multiprobe:
+        probes += [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    return F.array(*probes)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    target_bucket_rows: int = 1024,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the sign bucket, exact re-rank inside.
-    Recall < 1.0 by construction; raise n_planes for smaller buckets or
-    probe neighbor buckets for higher recall."""
+    Recall < 1.0 by construction; ``multiprobe`` additionally probes every
+    Hamming-1 neighbor bucket (fan-out on the broadcast query side only).
+    ``n_planes=None`` derives the plane count from the corpus size so the
+    expected bucket stays ~``target_bucket_rows`` rows — the fixed-planes
+    trap is a within-bucket join quadratic in corpus/2^planes."""
+    if n_planes is None:
+        n_planes = derive_n_planes(vectors.count(), target_bucket_rows)
     planes = _hyperplanes(dim, n_planes)
     corpus = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")).withColumn(
         "bucket", lsh_bucket(F.col("__v"), planes)
     )
-    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(query_vec_col).alias("__q")).withColumn(
-        "bucket", lsh_bucket(F.col("__q"), planes)
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), _as_double(query_vec_col).alias("__q"))
+        .withColumn("bucket", F.explode(_probe_buckets(lsh_bucket(F.col("__q"), planes), n_planes, multiprobe)))
     )
-    scored = (
-        corpus.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
-    )
+    scored = corpus.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    if multiprobe:
+        # a pair can surface via two probed buckets — dedup before
+        # ranking so row_number stays one row per pair (single-probe
+        # needs no such shuffle: buckets partition the corpus)
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    scored = scored.withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -210,21 +249,28 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     exact: bool = False,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     exact=False buckets by LSH sign first (the 100 TB path — near-dups at
     high thresholds almost always share a bucket); exact=True does the full
-    self-join (oracle-checkable baseline)."""
+    self-join (oracle-checkable baseline). ``n_planes=None`` derives the
+    plane count from the corpus size (``derive_n_planes``) so the
+    within-bucket self-join — quadratic in corpus/2^planes — keeps a
+    bounded expected bucket instead of inheriting a fixed 16-bucket split
+    at any scale."""
     v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
     if exact:
         a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
         b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        if n_planes is None:
+            n_planes = derive_n_planes(vectors.count(), target_bucket_rows)
         planes = _hyperplanes(dim, n_planes)
         vb = v.withColumn("bucket", lsh_bucket(F.col("__v"), planes))
         a = vb.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "bucket")

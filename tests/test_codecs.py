@@ -97,8 +97,13 @@ def test_decode_real_dispatch():
     assert decode_real(png, "image")["format"] == "png"
     wav = codecs.wav_encode_pcm16([0, 1])
     assert decode_real(wav, "audio")["format"] == "wav"
-    with pytest.raises(NotImplementedError, match="PNG and WAV"):
+    # JPEG now decodes natively; a truncated jpeg-ish stream is a decode
+    # ERROR (it IS a jpeg by magic), not an unsupported format
+    with pytest.raises(ValueError, match="JPEG"):
         decode_real(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+    # genuinely unsupported container (MP4 ftyp box) still raises the stub
+    with pytest.raises(NotImplementedError, match="libav"):
+        decode_real(b"\x00\x00\x00\x18ftypmp42", "video")
 
 
 def test_decode_features_operator(spark):
@@ -117,3 +122,63 @@ def test_decode_features_operator(spark):
     assert wav["rms"] == pytest.approx(1000.0)
     stray = out[3]
     assert stray["format"] is None and stray["width"] is None and stray["rms"] is None
+
+
+# ------------------------------------------------------------------ JPEG
+
+def test_jpeg_roundtrip_lossless_solid():
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    for (w, h, v) in [(1, 1, 0), (8, 8, 255), (17, 9, 77), (24, 12, 128), (100, 50, 200)]:
+        p = codecs.jpeg_encode_gray(w, h, v)
+        assert codecs.sniff_kind(p) == "jpeg"
+        d = codecs.jpeg_decode(p)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["n_components"] == 1 and d["precision"] == 8
+        assert not d["progressive"]
+        # DC quant step 8 stores the flat-fill DC exactly -> lossless mean
+        assert d["mean_val"] == v
+
+
+def test_jpeg_header_only_foreign_stream():
+    """Dims must parse for JPEGs we did NOT emit: a hand-built
+    progressive (SOF2) 3-component header — the typical camera/web
+    shape. mean_val stays None (no full pixel decode), dims are real."""
+    import struct
+
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof2 = struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    payload = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xE1, b"Exif\x00\x00" + b"\x00" * 32)  # APP1 padding survives the walk
+        + seg(0xC2, sof2)
+        + b"\xff\xd9"
+    )
+    d = codecs.jpeg_decode(payload)
+    assert (d["width"], d["height"]) == (640, 480)
+    assert d["n_components"] == 3
+    assert d["progressive"] is True
+    assert d["mean_val"] is None
+
+
+def test_jpeg_rejects_non_jpeg():
+    import pytest as _pytest
+
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        codecs.jpeg_decode(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_decode_real_jpeg_no_longer_stubbed():
+    from pyp_etl_pipeline_spark.multimodal import binary_ops, codecs
+
+    p = codecs.jpeg_encode_gray(9, 5, 42)
+    d = binary_ops.decode_real(p, "image")
+    assert d["format"] == "jpeg" and (d["width"], d["height"]) == (9, 5)
+    assert d["mean_val"] == 42

@@ -77,6 +77,18 @@ def _pairs() -> list[tuple[str, str]]:
         ("gluten-free oat flour", "oat flour"),
         ("extra virgin olive oil", "olive oil"),
         ("whole grain brown rice", "brown rice"),
+        # boundary fixtures: token-disjoint EQUAL-LENGTH pairs. Levenshtein
+        # counts a substitution as 1 edit where rapidfuzz's InDel counts 2,
+        # so an all-substitution pair scores exactly 50.0 here (the
+        # reject/review boundary, band >= 50 -> review) where the
+        # reference's InDel scores 0.0 -> reject.
+        ("abcd efgh", "wxyz qrst"),
+        # the EXACT-50.0 case needs single tokens (with two tokens the
+        # aligned space survives the substitutions and lifts the score)
+        ("abcd", "wxyz"),
+        # same shape but reachable ONLY via the char-3-gram fallback
+        # blocking (shares the single 3-gram 'abc', no shared token)
+        ("xqzpabc", "abcdefg"),
     ]
     # dedupe by item (score_candidates partitions per item); drop exact-equal
     seen: set[str] = set()
@@ -94,7 +106,24 @@ PAIRS = _pairs()
 # (item, title) -> reason. Divergences are band-level only and all stem
 # from the two documented scorer deviations; each entry was verified by
 # hand against both implementations.
-KNOWN_DIVERGENCES: dict[tuple[str, str], str] = {}
+KNOWN_DIVERGENCES: dict[tuple[str, str], str] = {
+    ("abcd efgh", "wxyz qrst"): (
+        "all-substitution equal-length disjoint pair: Levenshtein=n where "
+        "InDel=2n, so engine scores exactly 50.0 (review band, >= boundary) "
+        "where the reference scores 0.0 (reject). Documented scorer "
+        "deviation: lev <= indel always, so the engine can only band UP."
+    ),
+    ("abcd", "wxyz"): (
+        "single-token all-substitution pair: Levenshtein=4 vs InDel=8 over "
+        "total length 8 -> engine 50.0 lands exactly ON the inclusive "
+        "review boundary; reference 0.0 rejects."
+    ),
+    ("xqzpabc", "abcdefg"): (
+        "gram-fallback-only candidate (shares one 3-gram, no token): "
+        "substitution-heavy alignment scores above the 50.0 boundary via "
+        "Levenshtein (review) but below it via InDel (reject)."
+    ),
+}
 
 
 @pytest.fixture(scope="module")
@@ -132,3 +161,32 @@ def test_band_fidelity_sweep(engine_bands):
             fixed_div.append(key)
     assert not new_div, f"new band divergences vs reference: {new_div}"
     assert not fixed_div, f"divergences now fixed — remove from KNOWN_DIVERGENCES: {fixed_div}"
+
+
+def test_disjoint_equal_length_scores_exactly_50(engine_bands):
+    """The documented boundary case (ADVICE scoring.py:71): an
+    all-substitution equal-length disjoint pair lands EXACTLY on the
+    50.0 reject/review threshold under Levenshtein and is routed to
+    review (band is >=-inclusive); the reference's InDel distance scores
+    it 0.0 and rejects. Pinned so a scorer or band-boundary change that
+    silently moves this row fails loudly."""
+    band, score = engine_bands[("abcd", "wxyz")]
+    assert score == 50.0
+    assert band == "review"
+    ref_band, ref_score = reference_band("abcd", "wxyz")
+    assert ref_score == 0.0
+    assert ref_band == "reject"
+    # the two-token variant keeps its aligned space through the
+    # substitutions and scores above the boundary — same divergence class
+    band2, score2 = engine_bands[("abcd efgh", "wxyz qrst")]
+    assert band2 == "review" and 50.0 < score2 < 60.0
+
+
+def test_gram_fallback_candidate_band_pinned(engine_bands):
+    """The 3-gram-fallback shape ('xqzpabc' vs 'abcdefg', one shared
+    gram, no shared token): engine bands review via Levenshtein, the
+    reference rejects via InDel — held in KNOWN_DIVERGENCES."""
+    band, score = engine_bands[("xqzpabc", "abcdefg")]
+    ref_band, _ = reference_band("xqzpabc", "abcdefg")
+    assert band == "review" and score >= 50.0
+    assert ref_band == "reject"

@@ -79,3 +79,65 @@ def test_cosine_neardup_lsh_full_recall_on_exact_dups(spark):
     }
     expected = {(i, i + 100) for i, _ in base}
     assert expected <= got
+
+
+def test_derive_n_planes_scales_with_corpus():
+    from pyp_etl_pipeline_spark.operators.similarity import derive_n_planes
+
+    # small corpora: one plane (two buckets) is enough
+    assert derive_n_planes(100) == 1
+    assert derive_n_planes(1024) == 1
+    # planes grow logarithmically: expected bucket stays ~target rows
+    assert derive_n_planes(1024 * 16) == 4
+    assert derive_n_planes(1024 * 1024) == 10
+    # monotone in corpus size, capped for bounded bucket-id width
+    sizes = [10**3, 10**5, 10**7, 10**9, 10**12]
+    planes = [derive_n_planes(n) for n in sizes]
+    assert planes == sorted(planes)
+    assert planes[-1] == 16
+    # custom target shifts the knee
+    assert derive_n_planes(10**6, target_bucket_rows=10**5) == 4
+
+
+def test_lsh_topk_multiprobe_recall_superset(spark):
+    """Radius-1 multi-probe must recover at least the single-probe pairs
+    (same planes, strictly more probed buckets) — and on a fixture built
+    to straddle one hyperplane it recovers strictly more."""
+    import random
+
+    random.seed(7)
+    dim = 8
+    vectors = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    queries = [(100 + i, vectors[i][1]) for i in range(6)]
+    vdf = spark.createDataFrame(vectors, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "query_id long, query_vec array<double>")
+
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(vdf, qdf, k=40, n_planes=3, dim=dim).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(vdf, qdf, k=40, n_planes=3, dim=dim, multiprobe=True).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)
+
+
+def test_lsh_topk_adaptive_planes_small_corpus(spark):
+    """n_planes=None on a tiny corpus -> 1 plane (2 buckets), and the
+    result stays a valid top-k (rank contiguous from 1 per query)."""
+    import random
+
+    random.seed(11)
+    dim = 4
+    vdf = spark.createDataFrame(
+        [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(100, [0.5, -0.2, 0.1, 0.9])], "query_id long, query_vec array<double>"
+    )
+    out = similarity.lsh_topk(vdf, qdf, k=5, dim=dim).collect()
+    assert 0 < len(out) <= 5
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, len(out) + 1))
