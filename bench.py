@@ -37,6 +37,9 @@ EXTENDED = [
     "tx05_repetition",
     "mm02_media_decode",
     "j02b_typo_fallback",
+    # round 5
+    "j13_reject_payload",
+    "mm03_jpeg_decode",
 ]
 
 HEADLINE = [

@@ -42,6 +42,19 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # InferFiltersFromGenerate substitutes the GENERATOR INPUT into an
+        # inferred size(e)>0 filter. When the exploded array is a computed
+        # expression (shingles/tokens/grams — every generator in this
+        # engine), the whole expression is then evaluated a second time,
+        # and the filter is pushed below the parallelizing repartition onto
+        # the single-file scan partition: measured 6.1s -> 0.6s on the
+        # sf0.1 shingle explode. Our generator inputs are non-empty by
+        # construction, so the rule is pure downside here (it's an
+        # optimization rule only — semantics are identical without it).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
