@@ -42,24 +42,32 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet. Schema-adaptive, as in
     ``tables.load_events``: a TIMESTAMP(NANOS) file is read as long nanos
-    + exact DIV conversion; a timestamp[us] file is read as TIMESTAMP
-    directly (session tz is UTC, so naive micros == UTC micros).
+    + exact DIV conversion; a timestamp[us] file is read as TIMESTAMP_NTZ
+    and converted naive-as-UTC with tz-independent arithmetic (see
+    ``tables.load_events`` — a session-tz-dependent cast would shift
+    epochs under any non-UTC harness session).
     ``max_files_per_trigger`` throttles ingestion so a multi-file
     directory drains over several micro-batches — the shape real
     at-least-once redelivery arrives in."""
     from pyspark.sql.types import LongType as _Long  # noqa: PLC0415
+    from pyspark.sql.types import TimestampNTZType  # noqa: PLC0415
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_ts = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema["ts"].dataType
     nanos = isinstance(batch_ts, _Long)
-    schema = _events_schema(LongType() if nanos else TimestampType())
+    schema = _events_schema(LongType() if nanos else TimestampNTZType())
     reader = spark.readStream.schema(schema).format("parquet").option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(sf_dir)
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        ),
+    )
 
 
 def streaming_tumbling_agg(

@@ -30,9 +30,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - TIMESTAMP(NANOS): Spark's reader rejects it by default; read nanos
       as long and convert with exact integer arithmetic (DIV, not double
       division — nanos exceed double's exact-integer range).
-    - timestamp[us] (no timezone): Spark infers TIMESTAMP_NTZ; cast to
-      TIMESTAMP (session tz is pinned to UTC, so the cast is
-      value-preserving and matches DuckDB's naive-epoch semantics).
+    - timestamp[us] (no timezone): Spark infers TIMESTAMP_NTZ; convert
+      naive-as-UTC via tz-INDEPENDENT integer arithmetic
+      (timestampdiff against the NTZ epoch, then timestamp_micros).
+      A plain cast to TIMESTAMP would interpret the wall time in the
+      SESSION timezone — correct only when that happens to be UTC, and
+      the driver harness builds its own session whose tz we don't
+      control. This form matches DuckDB's naive epoch(ts) everywhere.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.types import LongType  # noqa: PLC0415
@@ -42,7 +46,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        ),
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
