@@ -1205,6 +1205,7 @@ _DRIVER_PRIORITY = [
     "ann02_lsh_topk",
     "nd01_embed_neardup",
     "mm03_jpeg_decode",
+    "mm04_frame_sample_plan",
     "mm02_media_decode",
     "dd02_ngram_jaccard_pairs",
 ]

@@ -732,6 +732,41 @@ FROM documents
 """
 
 
+def mm04_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan over the multimodal media frame: every
+    3rd document plays a video with duration n_chars*10 ms; the operator
+    explodes one row per planned frame timestamp at a 1s cadence
+    (``greatest(floor(duration/1000), 1)`` frames — pure column algebra,
+    no shuffle, the decode of each frame being the MP4 stub). The DuckDB
+    twin reproduces the frame grid arithmetically."""
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import frame_sample_plan  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+MM04_SQL = """
+SELECT doc_id AS media_id,
+       (1000 * unnest(generate_series(0, greatest((length(text) * 10) // 1000, 1) - 1)))::BIGINT AS frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
 def sp01_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split of the documents corpus keyed
     on doc_id (map-only md5-bucket routing, stable across runs and
@@ -926,6 +961,7 @@ QUERIES3 = {
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),
     "mm03_jpeg_decode": (mm03_jpeg_decode, MM03_SQL),
+    "mm04_frame_sample_plan": (mm04_frame_sample_plan, MM04_SQL),
     "q05_sql_interface": (q05_sql_interface, Q05_SQL),
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
     "f05_country_whitelist": (f05_country_whitelist, F05_SQL),
