@@ -97,7 +97,12 @@ FROM r
 _Q05_TEXT = """
 SELECT n.n_name AS nation,
        count(DISTINCT o.o_orderkey) AS n_orders,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       -- decimal-sum, not double-sum: double addition is order-dependent
+       -- and partition layout differs between harnesses, so a revenue on
+       -- a .xx5 boundary flips its last cent. The per-row product is
+       -- bit-identical IEEE double in both engines; casting it to
+       -- decimal makes the aggregation exact and order-free.
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30, 8))), 2) AS DOUBLE) AS revenue
 FROM {li} l
 JOIN {ord} o ON l.l_orderkey = o.o_orderkey
 JOIN {cust} c ON o.o_custkey = c.c_custkey
@@ -639,7 +644,15 @@ def mm02_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("doc_id")
 
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+
     def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         from pyp_etl_pipeline_spark.multimodal.codecs import (  # noqa: PLC0415
             png_encode_gray,
             wav_encode_pcm16,
@@ -701,7 +714,15 @@ def mm03_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("doc_id")
 
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+
     def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         from pyp_etl_pipeline_spark.multimodal.codecs import jpeg_encode_gray  # noqa: PLC0415
 
         for pdf in batches:

@@ -20,6 +20,7 @@ Two decode paths:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,6 +56,12 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, checksum string, feat0 double, feat1 double"
 
+# Repo root as a PLAIN STRING: worker-side closures capture it (strings
+# pickle by value) and bootstrap sys.path before importing this package —
+# the harness may launch executors from a cwd where the repo isn't
+# importable, and a bare in-closure import would ModuleNotFoundError.
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
 
 def decode_real(payload: bytes, kind: str) -> dict:
     """Real decode for the formats the pure-python codecs cover (PNG,
@@ -89,7 +96,13 @@ def decode_features(df: DataFrame) -> DataFrame:
     trust). Rows whose payload is neither PNG nor WAV yield nulls rather
     than failing the batch (a 100 TB corpus always contains strays)."""
 
+    repo_root = REPO_ROOT
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         from pyp_etl_pipeline_spark.multimodal import codecs  # noqa: PLC0415
 
         for pdf in batches:
@@ -135,6 +148,17 @@ def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
     ``mapInPandas`` keeps partitioning; each batch is a pandas DataFrame so
     a real decoder would vectorize over the batch, not per row.
     """
+    # nested copy of _fake_features: a closure reference to a
+    # module-level helper pickles as an import the executor worker may
+    # not be able to resolve (see REPO_ROOT note); nested functions
+    # pickle by value
+    def fake(payload: bytes) -> tuple[float, float]:
+        if not payload:
+            return 0.0, 0.0
+        s = sum(payload)
+        return (s % 997) / 997.0, (len(payload) % 31) / 31.0
+
+    repo_root = REPO_ROOT
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # noqa: PLC0415
@@ -142,8 +166,16 @@ def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             if not use_stub:
+                import sys  # noqa: PLC0415
+
+                if repo_root not in sys.path:
+                    sys.path.insert(0, repo_root)
+                from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+                    decode_real,
+                )
+
                 decode_real(b"", "image")  # pragma: no cover
-            feats = [(_fake_features(p if p is not None else b"")) for p in payloads]
+            feats = [(fake(p if p is not None else b"")) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

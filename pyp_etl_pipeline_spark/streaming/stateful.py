@@ -41,30 +41,37 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _update_user_state(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
-    n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
-    for pdf in pdfs:
-        vals = pdf["value"].astype(float)
-        n += len(pdf)
-        total += float(vals.sum())
-        if len(vals):
-            peak = max(peak, float(vals.max()))
-    state.update((n, float(total), float(peak)))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 2)], "max_value": [peak]}
-    )
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals with explicit GroupState (update mode).
-    Arrow-batched: each micro-batch group arrives as pandas frames."""
+    Arrow-batched: each micro-batch group arrives as pandas frames.
+
+    The state function is defined INSIDE this function on purpose:
+    cloudpickle serializes nested functions by value, while a
+    module-level function is pickled as an import reference that every
+    executor python worker must resolve — which fails whenever the
+    harness launches the session from a cwd without this repo on the
+    worker PYTHONPATH (the driver's environment, not ours)."""
+
+    def update_user_state(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["value"].astype(float)
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                peak = max(peak, float(vals.max()))
+        state.update((n, float(total), float(peak)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 2)], "max_value": [peak]}
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_state,
+        update_user_state,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -52,10 +52,28 @@ def row_multiset(rows, colnames) -> Counter:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--plain-session"]
+    plain = "--plain-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
-    spark = get_spark("correctness-check")
+    if plain:
+        # Mimic the DRIVER's session: a bare builder with none of our
+        # session-factory tuning (no UTC tz pin, no excluded optimizer
+        # rules, default shuffle partitions). Results must be IDENTICAL —
+        # any divergence here is an environment-dependence bug of the
+        # kind that broke the events queries when the harness session
+        # differed from ours (tz-dependent NTZ cast).
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("correctness-check-plain")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
