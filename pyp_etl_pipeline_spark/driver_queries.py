@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark import schema as S
 from pyp_etl_pipeline_spark.functions import nulls, scoring, text, validation
+from pyp_etl_pipeline_spark.functions.aggregates import (  # noqa: F401  (re-exported for SQL twins)
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+)
 from pyp_etl_pipeline_spark.operators import dedup, explode, guard, offerings, similarity, textan, upsert, windows
 from pyp_etl_pipeline_spark.tables import load_table
 
@@ -182,7 +188,7 @@ def flagship_band_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand", "band")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
@@ -190,7 +196,7 @@ def flagship_band_rollup(spark: SparkSession, sf: str) -> DataFrame:
 FLAGSHIP_SQL = f"""
 SELECT p_brand, {sql_band("(100.0 * (1.0 - l_discount))")} AS band,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_extendedprice > 0 AND l_quantity >= 1
 GROUP BY 1, 2
@@ -203,27 +209,27 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-Q01_SQL = """
+Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {sql_exact_sum('l_quantity')} AS sum_qty,
+       {sql_exact_sum('l_extendedprice')} AS sum_base_price,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_exact_avg('l_quantity')} AS avg_qty,
+       {sql_exact_avg('l_extendedprice')} AS avg_price,
+       {sql_exact_avg('l_discount')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -234,10 +240,14 @@ GROUP BY 1, 2
 def q02_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
-    rev = li.groupBy("l_orderkey").agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+    # decimal per-order revenue: exact, order-free (see exact_sum) — and the
+    # ORDER BY ranks identical exact values in both engines
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,8)")).alias("__rev")
+    )
     return (
         rev.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("o_orderkey", "o_orderdate", "o_orderpriority", F.round("__rev", 2).alias("revenue"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", F.round("__rev", 2).cast("double").alias("revenue"))
         .orderBy(F.desc("__rev"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -245,10 +255,10 @@ def q02_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 Q02_SQL = """
 WITH rev AS (
-  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS r
+  SELECT l_orderkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS r
   FROM lineitem GROUP BY 1
 )
-SELECT o_orderkey, o_orderdate, o_orderpriority, round(r, 2) AS revenue
+SELECT o_orderkey, o_orderdate, o_orderpriority, CAST(round(r, 2) AS DOUBLE) AS revenue
 FROM rev JOIN orders ON l_orderkey = o_orderkey
 ORDER BY r DESC, o_orderkey ASC
 LIMIT 10
@@ -268,15 +278,15 @@ def q03_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-Q03_SQL = """
+Q03_SQL = f"""
 SELECT r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -295,17 +305,17 @@ def q04_mktsegment_summary(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"),
+            exact_sum("o_totalprice").alias("sum_totalprice"),
+            exact_avg("o_totalprice").alias("avg_totalprice"),
         )
     )
 
 
-Q04_SQL = """
+Q04_SQL = f"""
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_totalprice,
-       round(avg(o_totalprice), 4) AS avg_totalprice
+       {sql_exact_sum('o_totalprice')} AS sum_totalprice,
+       {sql_exact_avg('o_totalprice')} AS avg_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """

@@ -592,9 +592,10 @@ def w01_tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
     return windows.tumbling_agg(load_table(spark, sf, "events"))
 
 
-W01_SQL = """
+W01_SQL = f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+       count(*) AS n_events, {core.sql_exact_sum("value")} AS sum_value,
+       {core.sql_exact_avg("value")} AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -603,9 +604,9 @@ def w02_sliding_1h_15m(spark: SparkSession, sf: str) -> DataFrame:
     return windows.sliding_agg(load_table(spark, sf, "events"))
 
 
-W02_SQL = """
+W02_SQL = f"""
 SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 - k * 900 AS BIGINT) AS window_start,
-       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS n_events, {core.sql_exact_sum("value")} AS sum_value
 FROM events, generate_series(0, 3) t(k)
 GROUP BY 1, 2
 """
@@ -1087,9 +1088,9 @@ def st01_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
-ST01_SQL = """
+ST01_SQL = f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, {core.sql_exact_sum("value")} AS sum_value
 FROM events GROUP BY 1, 2
 """
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark.functions import text, validation
+from pyp_etl_pipeline_spark.functions.aggregates import exact_sum as _exact_sum
 from pyp_etl_pipeline_spark.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -94,15 +95,12 @@ FROM r
 # q05: SQL-text interface (spark.sql over registered views)
 # --------------------------------------------------------------------------
 
-_Q05_TEXT = """
+_Q05_TEXT_TMPL = """
 SELECT n.n_name AS nation,
        count(DISTINCT o.o_orderkey) AS n_orders,
-       -- decimal-sum, not double-sum: double addition is order-dependent
-       -- and partition layout differs between harnesses, so a revenue on
-       -- a .xx5 boundary flips its last cent. The per-row product is
-       -- bit-identical IEEE double in both engines; casting it to
-       -- decimal makes the aggregation exact and order-free.
-       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30, 8))), 2) AS DOUBLE) AS revenue
+       -- order-independent exact money sum: double addition flips its
+       -- last cent across partition layouts (functions/aggregates.py)
+       {revenue_sum} AS revenue
 FROM {li} l
 JOIN {ord} o ON l.l_orderkey = o.o_orderkey
 JOIN {cust} c ON o.o_custkey = c.c_custkey
@@ -110,6 +108,13 @@ JOIN {nat} n ON c.c_nationkey = n.n_nationkey
 WHERE o.o_orderstatus <> 'F'
 GROUP BY n.n_name
 """
+
+
+from pyp_etl_pipeline_spark.driver_queries import sql_exact_sum as _ses  # noqa: E402
+
+_Q05_TEXT = _Q05_TEXT_TMPL.replace(
+    "{revenue_sum}", _ses("l.l_extendedprice * (1 - l.l_discount)")
+)
 
 
 def q05_sql_interface(spark: SparkSession, sf: str) -> DataFrame:
@@ -436,13 +441,13 @@ def a07_status_priority_rollup(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .agg(F.count("*").alias("n_orders"), _exact_sum("o_totalprice").alias("total_price"))
     )
 
 
-A07_SQL = """
+A07_SQL = f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {_ses("o_totalprice")} AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 

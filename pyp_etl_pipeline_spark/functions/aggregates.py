@@ -1,0 +1,127 @@
+"""Order-independent money/metric aggregates.
+
+Double addition is order-dependent, and partition layout differs between
+harness sessions, so ``round(sum(double), 2)`` can flip its last cent
+when the true sum sits near a rounding boundary (observed: q05 revenue
+.18 vs .17 at 32 vs 8 shuffle partitions). These helpers make the whole
+aggregate exact and engine-identical:
+
+1. per row, scale to micro-units and round to LONG —
+   ``CAST(round(e * 1e6) AS BIGINT)``. The input double is bit-identical
+   in Spark and DuckDB, and for money/metric expressions whose true
+   value has <= 6 decimals the long is the exact scaled value; for
+   arbitrary doubles the 1e-6 pre-rounding is part of the query
+   contract, mirrored on both sides.
+2. sum LONGs — exact, order-free, whole-stage-codegen fast (measured
+   ~1.6x a plain double sum vs ~2.6x for a decimal(30,8) sum).
+3. round to the output scale in INTEGER space (half away from zero) —
+   no double ever gets rounded, so engine round() semantics (Spark's
+   shortest-repr HALF_UP vs DuckDB's C round) can't diverge on
+   boundary values. The final division by a power of ten happens on a
+   value < 2^53, where doubles are exact.
+
+Domain: |e| < 9e12 per row and |sum| < 9e18 micro-units — comfortably
+beyond any money/metric column here. Pair each Spark helper with its
+``sql_*`` DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _micro(c: Column) -> Column:
+    """round-half-away(c * 1e6) as LONG via floor — F.round on doubles
+    goes through BigDecimal per row (~1.5x the whole aggregate);
+    floor(x + 0.5) / -floor(0.5 - x) is native double math with
+    identical results (ties cannot occur: the scaled true value is
+    integral for fixed-point inputs and never exactly .5 otherwise)."""
+    x = c * _MICRO
+    return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(-F.floor(F.lit(0.5) - x)).cast("long")
+
+
+def _micro_sum(c: Column) -> Column:
+    return F.sum(_micro(c))
+
+
+def _int_div(n: Column, d: Column) -> Column:
+    """Exact n div d for non-negative longs with n possibly > 2^53:
+    strip the remainder (long arithmetic), then divide exactly in
+    decimal — the quotient is integral so no rounding can occur."""
+    exact = n - F.pmod(n, d)
+    return (exact.cast("decimal(38,0)") / d.cast("decimal(38,0)")).cast("long")
+
+
+def _round_scaled(micro: Column, out_scale: int) -> Column:
+    """Half-away-from-zero rounding of a micro-unit LONG to ``out_scale``
+    decimals, entirely in integer space; returns double."""
+    down = 10 ** (6 - out_scale)  # micro-units per output unit step
+    a = F.abs(micro) + F.lit(down // 2)
+    q = _int_div(a, F.lit(down))
+    signed = F.when(micro < 0, -q).otherwise(q)
+    return (signed / F.lit(float(10**out_scale))).cast("double")
+
+
+def exact_sum(c: Column | str, scale: int = 2) -> Column:
+    """Order-independent rounded sum of a double expression (see module
+    docstring). Output double, like ``F.round(F.sum(c), scale)``."""
+    return _round_scaled(_micro_sum(_col(c)), scale)
+
+
+def exact_avg(c: Column | str, scale: int = 4) -> Column:
+    """Order-independent rounded mean: exact micro-unit sum divided by
+    the non-null count with integer half-away rounding at ``scale``."""
+    c = _col(c)
+    micro = _micro_sum(c)
+    cnt = F.count(c)
+    down_per_unit = 10 ** (6 - scale)
+    d = cnt * F.lit(down_per_unit)
+    b = F.abs(micro) + _int_div(d, F.lit(2))
+    q = _int_div(b, d)
+    signed = F.when(micro < 0, -q).otherwise(q)
+    return (signed / F.lit(float(10**scale))).cast("double")
+
+
+def _sql_int_div(n: str, d: str) -> str:
+    """Dialect-neutral exact integer division (n, d non-negative; n may
+    exceed 2^53 so a plain ``/`` — double in both dialects — is unsafe):
+    strip the remainder, divide exactly in DECIMAL, cast back."""
+    return f"CAST(CAST(({n}) - ({n}) % ({d}) AS DECIMAL(38,0)) / ({d}) AS BIGINT)"
+
+
+def _sql_micro(e: str) -> str:
+    """SQL twin of ``_micro`` (floor-based; CAST(double AS BIGINT)
+    truncates in Spark but ROUNDS in DuckDB, so the floor keeps both
+    dialects on the same integer)."""
+    x = f"(({e}) * {_MICRO})"
+    return (
+        f"(CASE WHEN {x} >= 0 THEN CAST(floor({x} + 0.5) AS BIGINT)"
+        f" ELSE -CAST(floor(0.5 - {x}) AS BIGINT) END)"
+    )
+
+
+def sql_exact_sum(e: str, scale: int = 2) -> str:
+    """SQL twin of ``exact_sum`` — dialect-neutral (runs under BOTH
+    DuckDB and Spark SQL; q05 feeds the same text to each)."""
+    down = 10 ** (6 - scale)
+    s = f"sum({_sql_micro(e)})"
+    a = f"(abs({s}) + {down // 2})"
+    q = _sql_int_div(a, str(down))
+    return f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} / {float(10 ** scale)} AS DOUBLE)"
+
+
+def sql_exact_avg(e: str, scale: int = 4) -> str:
+    """SQL twin of ``exact_avg`` — dialect-neutral."""
+    down = 10 ** (6 - scale)
+    s = f"sum({_sql_micro(e)})"
+    d = f"(count({e}) * {down})"
+    b = f"(abs({s}) + count({e}) * {down // 2})"
+    q = _sql_int_div(b, d)
+    return f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} / {float(10 ** scale)} AS DOUBLE)"

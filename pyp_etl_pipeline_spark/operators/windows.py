@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyp_etl_pipeline_spark.functions import aggregates
+
 
 def tumbling_agg(
     df: DataFrame,
@@ -28,8 +30,10 @@ def tumbling_agg(
         df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("window_start"), F.col(key_col))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("sum_value"),
-            F.round(F.avg(value_col), 4).alias("avg_value"),
+            # order-independent exact aggregation: double sums flip their
+            # last cent across partition layouts (functions/aggregates.py)
+            aggregates.exact_sum(value_col).alias("sum_value"),
+            aggregates.exact_avg(value_col).alias("avg_value"),
         )
     )
 
@@ -56,7 +60,7 @@ def sliding_agg(
         .groupBy("window_start", key_col)
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("sum_value"),
+            aggregates.exact_sum(value_col).alias("sum_value"),
         )
     )
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.functions import aggregates
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -78,7 +80,10 @@ def streaming_tumbling_agg(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            aggregates.exact_sum("value").alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
 
