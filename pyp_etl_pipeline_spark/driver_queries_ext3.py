@@ -585,8 +585,8 @@ def st03_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ST03_SQL = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+ST03_SQL = f"""
+SELECT user_id, count(*) AS n_events, {_ses("value")} AS sum_value,
        round(max(value), 6) AS max_value
 FROM events GROUP BY 1
 """

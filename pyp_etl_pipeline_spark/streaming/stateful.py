@@ -58,16 +58,31 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
-        n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+        n, total_micro, peak = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
             vals = pdf["value"].astype(float)
             n += len(pdf)
-            total += float(vals.sum())
+            # accumulate micro-unit INTEGERS: float accumulation is
+            # order-dependent and batch splitting varies with partition
+            # layout, flipping the rounded cent between sessions (same
+            # scheme as functions/aggregates.exact_sum; the state schema
+            # stores the count as double, hence the lossless float carry
+            # of an integer < 2^53)
+            import numpy as np  # noqa: PLC0415
+
+            x = vals.to_numpy() * 1_000_000.0
+            micro = np.where(x >= 0, np.floor(x + 0.5), -np.floor(0.5 - x)).astype("int64")
+            total_micro += float(micro.sum())
             if len(vals):
                 peak = max(peak, float(vals.max()))
-        state.update((n, float(total), float(peak)))
+        state.update((n, float(total_micro), float(peak)))
+        # integer-space half-away rounding to cents (python round() is
+        # banker's and engine round()s disagree on boundary doubles)
+        s = int(total_micro)
+        cents = (abs(s) + 5000) // 10000
+        sum_value = (-cents if s < 0 else cents) / 100.0
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 2)], "max_value": [peak]}
+            {"user_id": [user_id], "n_events": [n], "sum_value": [sum_value], "max_value": [peak]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
