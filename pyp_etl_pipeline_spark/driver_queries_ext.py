@@ -1208,6 +1208,8 @@ _DRIVER_PRIORITY = [
     "mm03_jpeg_decode",
     "mm04_frame_sample_plan",
     "mm02_media_decode",
+    "mm01_media_features",
+    "q05_sql_interface",
     "dd02_ngram_jaccard_pairs",
 ]
 REGISTRY = {
