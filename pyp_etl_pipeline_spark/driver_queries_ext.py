@@ -1064,7 +1064,7 @@ ex2 AS (SELECT doc_id, tok FROM ex WHERE tok <> ''),
 counts AS (SELECT tok, count(*) AS tok_n FROM ex2 GROUP BY tok),
 total AS (SELECT sum(tok_n) AS total_n FROM counts)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln(tok_n / total_n)), 4) AS mean_logprob
+       {core.sql_exact_avg("ln(tok_n / total_n)")} AS mean_logprob
 FROM ex2 JOIN counts USING (tok) CROSS JOIN total
 GROUP BY doc_id
 """

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark.functions import text, validation
+from pyp_etl_pipeline_spark.functions.aggregates import exact_avg as _exact_avg
 from pyp_etl_pipeline_spark.functions.aggregates import exact_sum as _exact_sum
 from pyp_etl_pipeline_spark.tables import load_table
 
@@ -110,6 +111,7 @@ GROUP BY n.n_name
 """
 
 
+from pyp_etl_pipeline_spark.driver_queries import sql_exact_avg as _sea
 from pyp_etl_pipeline_spark.driver_queries import sql_exact_sum as _ses  # noqa: E402
 
 _Q05_TEXT = _Q05_TEXT_TMPL.replace(
@@ -223,15 +225,15 @@ def a05_error_summary_24h(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_errors"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _exact_avg("value").alias("avg_value"),
         )
     )
 
 
-A05_SQL = """
+A05_SQL = f"""
 WITH cut AS (SELECT max(ts) - INTERVAL 24 HOURS AS c FROM events)
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type AS category,
-       count(*) AS n_errors, round(avg(value), 4) AS avg_value
+       count(*) AS n_errors, {_sea("value")} AS avg_value
 FROM events, cut WHERE ts >= cut.c
 GROUP BY 1, 2
 """

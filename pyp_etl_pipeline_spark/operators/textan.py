@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyp_etl_pipeline_spark.functions import aggregates
+
 from pyp_etl_pipeline_spark.operators.dedup import fingerprint, normalized_text
 
 ENGLISH_STOPWORDS = (
@@ -178,5 +180,7 @@ def unigram_logprob(
     )
     return scored.groupBy("id").agg(
         F.count("*").cast("long").alias("n_tokens"),
-        F.round(F.avg("logp"), 4).alias("mean_logprob"),
+        # order-independent mean (functions/aggregates.py): a per-doc
+        # float avg flips its 4th decimal with partition layout
+        aggregates.exact_avg("logp").alias("mean_logprob"),
     )
