@@ -205,19 +205,45 @@ GROUP BY 1, 2
 
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            exact_sum("l_quantity").alias("sum_qty"),
-            exact_sum("l_extendedprice").alias("sum_base_price"),
-            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
-            exact_avg("l_quantity").alias("avg_qty"),
-            exact_avg("l_extendedprice").alias("avg_price"),
-            exact_avg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    from pyp_etl_pipeline_spark.functions.aggregates import (  # noqa: PLC0415
+        finalize_avg,
+        finalize_sum,
+        micro_col,
+    )
+
+    # seven aggregates share five inputs — pre-project the micro-unit
+    # conversions ONCE (aggregate-buffer expressions aren't reliably
+    # deduplicated; doing the floor+multiply per aggregate measured ~1.6x)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pre = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag",
+        "l_linestatus",
+        micro_col("l_quantity").alias("m_qty"),
+        micro_col("l_extendedprice").alias("m_price"),
+        micro_col(disc_price).alias("m_disc_price"),
+        micro_col(disc_price * (1 + F.col("l_tax"))).alias("m_charge"),
+        micro_col("l_discount").alias("m_disc"),
+    )
+    agg = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("m_qty").alias("s_qty"),
+        F.sum("m_price").alias("s_price"),
+        F.sum("m_disc_price").alias("s_disc_price"),
+        F.sum("m_charge").alias("s_charge"),
+        F.sum("m_disc").alias("s_disc"),
+        F.count("*").alias("count_order"),
+    )
+    n = F.col("count_order")  # lineitem money columns are never null
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        finalize_sum(F.col("s_qty")).alias("sum_qty"),
+        finalize_sum(F.col("s_price")).alias("sum_base_price"),
+        finalize_sum(F.col("s_disc_price")).alias("sum_disc_price"),
+        finalize_sum(F.col("s_charge")).alias("sum_charge"),
+        finalize_avg(F.col("s_qty"), n).alias("avg_qty"),
+        finalize_avg(F.col("s_price"), n).alias("avg_price"),
+        finalize_avg(F.col("s_disc"), n).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -38,13 +38,15 @@ def _col(c: Column | str) -> Column:
 
 
 def _micro(c: Column) -> Column:
-    """round-half-away(c * 1e6) as LONG via floor — F.round on doubles
-    goes through BigDecimal per row (~1.5x the whole aggregate);
-    floor(x + 0.5) / -floor(0.5 - x) is native double math with
-    identical results (ties cannot occur: the scaled true value is
+    """round-half-up(c * 1e6) as LONG via a single floor — F.round on
+    doubles goes through BigDecimal per row (~1.5x the whole aggregate),
+    and a sign-splitting CASE re-evaluates the (often compound) input
+    expression per branch (measured 2x on q01's seven aggregates).
+    floor(x + 0.5) rounds halves toward +inf instead of away from zero,
+    but the SQL twin uses the IDENTICAL formula so both engines always
+    agree — and ties cannot occur anyway (the scaled true value is
     integral for fixed-point inputs and never exactly .5 otherwise)."""
-    x = c * _MICRO
-    return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(-F.floor(F.lit(0.5) - x)).cast("long")
+    return F.floor(c * _MICRO + F.lit(0.5))
 
 
 def _micro_sum(c: Column) -> Column:
@@ -52,21 +54,50 @@ def _micro_sum(c: Column) -> Column:
 
 
 def _int_div(n: Column, d: Column) -> Column:
-    """Exact n div d for non-negative longs with n possibly > 2^53:
-    strip the remainder (long arithmetic), then divide exactly in
-    decimal — the quotient is integral so no rounding can occur."""
+    """Exact n div d for non-negative longs with n possibly > 2^53.
+    Strip the remainder (long arithmetic) so the true quotient is
+    integral, divide in double, and round off the conversion error:
+    |double(x) - x| <= ulp(1e17)/2 = 8, so the quotient is within
+    8/d < 0.5 of the exact integer for every d >= 32. (A decimal
+    division here was exact too, but its codegen cost ~0.3s PER QUERY —
+    measured on q01's seven finalizers over six rows.)"""
     exact = n - F.pmod(n, d)
-    return (exact.cast("decimal(38,0)") / d.cast("decimal(38,0)")).cast("long")
+    return F.round(exact / d).cast("long")
 
 
 def _round_scaled(micro: Column, out_scale: int) -> Column:
     """Half-away-from-zero rounding of a micro-unit LONG to ``out_scale``
     decimals, entirely in integer space; returns double."""
     down = 10 ** (6 - out_scale)  # micro-units per output unit step
+    if down < 32:  # out_scale >= 6: no rounding left to do
+        return (micro / F.lit(float(10**6))).cast("double")
     a = F.abs(micro) + F.lit(down // 2)
     q = _int_div(a, F.lit(down))
     signed = F.when(micro < 0, -q).otherwise(q)
     return (signed / F.lit(float(10**out_scale))).cast("double")
+
+
+def micro_col(c: Column | str) -> Column:
+    """Public per-row micro-unit conversion — pre-project this ONCE as a
+    real column when several aggregates share the input (aggregate-buffer
+    expressions are not always deduplicated), then finalize with
+    ``finalize_sum`` / ``finalize_avg`` over ``F.sum(micro)``."""
+    return _micro(_col(c))
+
+
+def finalize_sum(micro_sum: Column, scale: int = 2) -> Column:
+    """Round an aggregated micro-unit LONG sum to ``scale`` (double)."""
+    return _round_scaled(micro_sum, scale)
+
+
+def finalize_avg(micro_sum: Column, cnt: Column, scale: int = 4) -> Column:
+    """Exact rounded mean from an aggregated micro sum + row count."""
+    down_per_unit = 10 ** (6 - scale)  # even for every scale <= 5
+    d = cnt * F.lit(down_per_unit)
+    b = F.abs(micro_sum) + cnt * F.lit(down_per_unit // 2)
+    q = _int_div(b, d)
+    signed = F.when(micro_sum < 0, -q).otherwise(q)
+    return (signed / F.lit(float(10**scale))).cast("double")
 
 
 def exact_sum(c: Column | str, scale: int = 2) -> Column:
@@ -79,32 +110,21 @@ def exact_avg(c: Column | str, scale: int = 4) -> Column:
     """Order-independent rounded mean: exact micro-unit sum divided by
     the non-null count with integer half-away rounding at ``scale``."""
     c = _col(c)
-    micro = _micro_sum(c)
-    cnt = F.count(c)
-    down_per_unit = 10 ** (6 - scale)
-    d = cnt * F.lit(down_per_unit)
-    b = F.abs(micro) + _int_div(d, F.lit(2))
-    q = _int_div(b, d)
-    signed = F.when(micro < 0, -q).otherwise(q)
-    return (signed / F.lit(float(10**scale))).cast("double")
+    return finalize_avg(_micro_sum(c), F.count(c), scale)
 
 
 def _sql_int_div(n: str, d: str) -> str:
-    """Dialect-neutral exact integer division (n, d non-negative; n may
-    exceed 2^53 so a plain ``/`` — double in both dialects — is unsafe):
-    strip the remainder, divide exactly in DECIMAL, cast back."""
-    return f"CAST(CAST(({n}) - ({n}) % ({d}) AS DECIMAL(38,0)) / ({d}) AS BIGINT)"
+    """Dialect-neutral exact integer division — same remainder-strip +
+    round scheme as ``_int_div`` (and the same bound: exact for
+    d >= 32)."""
+    return f"CAST(round((({n}) - ({n}) % ({d})) / ({d})) AS BIGINT)"
 
 
 def _sql_micro(e: str) -> str:
     """SQL twin of ``_micro`` (floor-based; CAST(double AS BIGINT)
-    truncates in Spark but ROUNDS in DuckDB, so the floor keeps both
-    dialects on the same integer)."""
-    x = f"(({e}) * {_MICRO})"
-    return (
-        f"(CASE WHEN {x} >= 0 THEN CAST(floor({x} + 0.5) AS BIGINT)"
-        f" ELSE -CAST(floor(0.5 - {x}) AS BIGINT) END)"
-    )
+    truncates in Spark but ROUNDS in DuckDB, so the explicit floor keeps
+    both dialects on the same integer)."""
+    return f"CAST(floor(({e}) * {_MICRO} + 0.5) AS BIGINT)"
 
 
 def sql_exact_sum(e: str, scale: int = 2) -> str:

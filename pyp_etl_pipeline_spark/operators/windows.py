@@ -25,16 +25,28 @@ def tumbling_agg(
     value_col: str = "value",
     unit: str = "hour",
 ) -> DataFrame:
-    """Tumbling window aggregate: count + sum + avg per (bucket, key)."""
-    return (
-        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("window_start"), F.col(key_col))
-        .agg(
-            F.count("*").alias("n_events"),
-            # order-independent exact aggregation: double sums flip their
-            # last cent across partition layouts (functions/aggregates.py)
-            aggregates.exact_sum(value_col).alias("sum_value"),
-            aggregates.exact_avg(value_col).alias("avg_value"),
-        )
+    """Tumbling window aggregate: count + sum + avg per (bucket, key).
+
+    Order-independent exact aggregation: double sums flip their last
+    cent across partition layouts (functions/aggregates.py). The micro
+    conversion is pre-projected once and shared by sum and avg."""
+    pre = df.select(
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.col(key_col),
+        aggregates.micro_col(value_col).alias("__m"),
+        F.col(value_col).isNotNull().cast("long").alias("__nn"),
+    )
+    agg = pre.groupBy("window_start", key_col).agg(
+        F.count("*").alias("n_events"),
+        F.sum("__m").alias("__s"),
+        F.sum("__nn").alias("__cnt"),
+    )
+    return agg.select(
+        "window_start",
+        key_col,
+        "n_events",
+        aggregates.finalize_sum(F.col("__s")).alias("sum_value"),
+        aggregates.finalize_avg(F.col("__s"), F.col("__cnt")).alias("avg_value"),
     )
 
 

@@ -71,7 +71,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             import numpy as np  # noqa: PLC0415
 
             x = vals.to_numpy() * 1_000_000.0
-            micro = np.where(x >= 0, np.floor(x + 0.5), -np.floor(0.5 - x)).astype("int64")
+            # same single-floor half-up formula as aggregates._micro /
+            # _sql_micro — all three implementations must agree bit-wise
+            micro = np.floor(x + 0.5).astype("int64")
             total_micro += float(micro.sum())
             if len(vals):
                 peak = max(peak, float(vals.max()))
