@@ -1,0 +1,92 @@
+"""functions/aggregates.py: the order-independence contract itself —
+identical results under any partition layout, exact agreement with a
+python Decimal reference, and Spark/DuckDB twin equivalence."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.functions import aggregates as A
+
+VALUES = [
+    1.005, 2.115, -0.5, 3.333333, 0.0, -17.125, 99999.99, -0.000001,
+    123.4549, 123.4551, 5.0000005, 1e9, -1e9, 0.1, 0.2, 0.3,
+]
+
+
+def _spark_result(spark, vals, n_parts):
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(n_parts)
+    row = df.agg(
+        A.exact_sum("x").alias("s"), A.exact_avg("x").alias("a")
+    ).collect()[0]
+    return row["s"], row["a"]
+
+
+def test_partition_layout_invariance(spark):
+    """The contract: any partitioning, same cents. A plain double sum
+    fails this exact test shape on adversarial inputs."""
+    results = {_spark_result(spark, VALUES, n) for n in (1, 2, 7, 32)}
+    assert len(results) == 1, results
+
+
+def test_matches_decimal_reference(spark):
+    """Exact agreement with a python Decimal ground truth of the same
+    scheme (micro round-half-up, integer rounding)."""
+    import math
+
+    # reference via the exact formula: floor(x*1e6 + 0.5)
+    micro = [math.floor(v * 1_000_000 + 0.5) for v in VALUES]
+    s = sum(micro)
+    cents = (abs(s) + 5000) // 10000
+    want_sum = (-cents if s < 0 else cents) / 100.0
+    d = len(VALUES) * 100
+    b = abs(s) + len(VALUES) * 50
+    q = b // d
+    want_avg = (-q if s < 0 else q) / 10000.0
+    got_sum, got_avg = _spark_result(spark, VALUES, 5)
+    assert got_sum == want_sum
+    assert got_avg == want_avg
+
+
+def test_sql_twins_agree_with_spark(spark):
+    got_sum, got_avg = _spark_result(spark, VALUES, 3)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in VALUES])
+    duck = con.execute(
+        f"SELECT {A.sql_exact_sum('x')} AS s, {A.sql_exact_avg('x')} AS a FROM t"
+    ).fetchone()
+    assert (got_sum, got_avg) == duck
+
+
+def test_sql_twin_runs_under_spark_sql_too(spark):
+    """q05 feeds the same text to Spark SQL and DuckDB — the twins must
+    stay dialect-neutral."""
+    spark.createDataFrame([(v,) for v in VALUES], "x double").createOrReplaceTempView("agg_t")
+    row = spark.sql(
+        f"SELECT {A.sql_exact_sum('x')} AS s, {A.sql_exact_avg('x')} AS a FROM agg_t"
+    ).collect()[0]
+    assert (row["s"], row["a"]) == _spark_result(spark, VALUES, 3)
+
+
+def test_nulls_and_empty(spark):
+    df = spark.createDataFrame([(1.5,), (None,), (2.5,)], "x double")
+    row = df.agg(A.exact_sum("x").alias("s"), A.exact_avg("x").alias("a")).collect()[0]
+    assert row["s"] == 4.0
+    assert row["a"] == 2.0  # mean over the two non-null rows
+    empty = spark.createDataFrame([], "x double")
+    row = empty.agg(A.exact_sum("x").alias("s")).collect()[0]
+    assert row["s"] is None
+
+
+@pytest.mark.parametrize("vals,scale,expected", [
+    ([1.004999, 2.0], 2, 3.0),   # micro rounding feeds the cent
+    ([0.005, 0.005], 2, 0.01),   # rounding happens ONCE on the sum (10000 micro)
+    ([-1.115], 2, -1.12),        # half-mill rounds away on the negative sum
+])
+def test_boundary_values(spark, vals, scale, expected):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = df.agg(A.exact_sum("x", scale).alias("s")).collect()[0]
+    assert row["s"] == expected
