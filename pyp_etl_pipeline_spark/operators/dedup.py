@@ -175,30 +175,65 @@ def minhash_signatures(
     md5 calls per shingle. Pure md5 + integer arithmetic, no RNG, so the
     DuckDB oracle reproduces signatures bit-for-bit.
 
-    Output: one row per (id, band) with ``sig``. One shuffle: the b*r
-    min() aggregates combine map-side.
+    Physical shape: per-document shingles are an ARRAY column, so the
+    whole b*r minimization happens IN-ROW — one ``aggregate`` fold over
+    the shingle array carrying a b*r-long running-min array
+    (``zip_with(acc, hashes, least)``). Zero shuffle, zero explode, no
+    aggregation buffers: the signature stage is map-only and
+    embarrassingly parallel, which is exactly the 100 TB shape (the
+    previous explode + groupBy with b*r independent ``min()`` buffers
+    shuffled a 96-column partial per doc and ran 4-20x slower at sf0.1).
+    Each intermediate (md5 array, x1/x2, running mins) is projected as
+    its own column so Catalyst evaluates it once (no CSE inside lambdas).
+
+    Output: one row per (id, band) with ``sig``.
     """
-    ex = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
-    ex = (
-        ex.withColumn("__h", F.md5("shingle"))
-        .withColumn("__x1", F.conv(F.substring("__h", 1, 7), 16, 10).cast("long"))
-        .withColumn("__x2", F.conv(F.substring("__h", 8, 7), 16, 10).cast("long"))
+    k = bands * rows
+    # null text -> null shingle array; drop those docs up front (the
+    # DuckDB oracle's NULL band signatures never equi-join, so null-text
+    # docs produce no pairs there either — and an "all null docs share
+    # one bucket" signature would be a skew bomb at scale)
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
-    aggs = [
-        F.min((F.col("__x1") + (i + 1) * (F.col("__x2") + 1)) % LSH_PRIME).alias(f"h{i}")
-        for i in range(bands * rows)
-    ]
-    wide = ex.groupBy("id").agg(*aggs)
+    d = docs.select("id", F.transform("sh", lambda s: F.md5(s)).alias("__hs"))
+    d = d.select(
+        "id",
+        F.transform("__hs", lambda h: F.conv(F.substring(h, 1, 7), 16, 10).cast("long")).alias("__x1"),
+        F.transform("__hs", lambda h: F.conv(F.substring(h, 8, 7), 16, 10).cast("long")).alias("__x2"),
+    )
+    # one struct per shingle: (x1, y = x2+1) — y precomputed so the inner
+    # fold is a bare multiply-add per lane
+    d = d.select(
+        "id",
+        F.zip_with("__x1", "__x2", lambda a, b: F.struct(a.alias("x1"), (b + 1).alias("y"))).alias("__p"),
+    )
+    # running-min fold: init = p (strict upper bound of any hash mod p);
+    # word_shingles never yields an empty array, so no doc keeps init
+    init = F.array_repeat(F.lit(LSH_PRIME).cast("long"), k)
+    mins = F.aggregate(
+        "__p",
+        init,
+        lambda acc, p: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda i: (p["x1"] + i.cast("long") * p["y"]) % LSH_PRIME,
+            ),
+            lambda u, v: F.least(u, v),
+        ),
+    )
+    d = d.select("id", F.transform(mins, lambda e: e.cast("string")).alias("__ms"))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(":", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
+                F.array_join(F.slice("__ms", b * rows + 1, rows), ":").alias("sig"),
             )
             for b in range(bands)
         ]
     )
-    return wide.select("id", F.explode(band_structs).alias("bs")).select(
+    return d.select("id", F.explode(band_structs).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
@@ -211,11 +246,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
-    Candidates come from the banded signature self-join (ReuseExchange
-    computes the signature subtree once); with b=32 x r=3 the candidate
-    set is already near the true near-dup set, so verification touches
-    few pairs."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+    Candidates come from the banded signature self-join; with b=32 x r=3
+    the candidate set is already near the true near-dup set, so
+    verification touches few pairs.
+
+    The signature table is eagerly ``localCheckpoint``-ed before the
+    self-join: the minhash fold is built from higher-order functions,
+    whose ``NamedLambdaVariable``s defeat plan canonicalization — without
+    the checkpoint ReuseExchange misses and BOTH join legs recompute the
+    full signature pipeline. The checkpoint is tiny (one (id, band, sig)
+    row per doc-band) and is the cluster-scale shape too: signatures are
+    worth materializing once per dedup run."""
+    sig = minhash_signatures(df, id_col, text_col, n).localCheckpoint(eager=True)
     a = sig.select(F.col("id").alias("id_a"), "band", "sig")
     b = sig.select(F.col("id").alias("id_b"), "band", "sig")
     # shuffle-hash for the same reason as shingle_pairs_jaccard: the join
