@@ -92,6 +92,30 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def estimate_rows(df: DataFrame, row_width_hint: int = 8 * 64 + 16) -> int:
+    """Order-of-magnitude row-count estimate from Catalyst plan
+    statistics — launches NO job (the previous ``df.count()`` default was
+    a full corpus scan at plan time: harmless at sf0.1, a wasted 100 TB
+    pass on a cluster). Uses the optimizer's rowCount when the catalog
+    has one (ANALYZE TABLE / CBO stats); otherwise sizeInBytes divided by
+    an approximate row width. ``derive_n_planes`` only consumes
+    log2(n_rows), so even a 4x width error moves the plane count by ~2 —
+    callers needing exact sizing pass ``n_rows`` explicitly."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return max(1, int(str(rc.get())))
+    size = int(str(stats.sizeInBytes()))
+    if size >= 1 << 60:
+        # sources without size statistics (RDD-backed / createDataFrame
+        # plans) report spark.sql.defaultSizeInBytes (Long.MaxValue) —
+        # useless. Those are driver-local datasets, so an actual count is
+        # cheap; file/catalog scans always carry a real sizeInBytes and
+        # never take this branch.
+        return max(1, df.count())
+    return max(1, size // max(1, row_width_hint))
+
+
 def derive_n_planes(n_rows: int, target_bucket_rows: int = 1024, max_planes: int = 16) -> int:
     """Corpus-proportional hyperplane count: enough planes that the
     EXPECTED bucket holds ~``target_bucket_rows`` vectors, capped so the
@@ -133,15 +157,20 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
     target_bucket_rows: int = 1024,
     multiprobe: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the sign bucket, exact re-rank inside.
     Recall < 1.0 by construction; ``multiprobe`` additionally probes every
     Hamming-1 neighbor bucket (fan-out on the broadcast query side only).
     ``n_planes=None`` derives the plane count from the corpus size so the
     expected bucket stays ~``target_bucket_rows`` rows — the fixed-planes
-    trap is a within-bucket join quadratic in corpus/2^planes."""
+    trap is a within-bucket join quadratic in corpus/2^planes. Sizing uses
+    the ``n_rows`` hint when given, else a plan-statistics estimate
+    (``estimate_rows`` — no corpus scan at plan time)."""
     if n_planes is None:
-        n_planes = derive_n_planes(vectors.count(), target_bucket_rows)
+        if n_rows is None:
+            n_rows = estimate_rows(vectors, row_width_hint=8 * dim + 16)
+        n_planes = derive_n_planes(n_rows, target_bucket_rows)
     planes = _hyperplanes(dim, n_planes)
     corpus = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")).withColumn(
         "bucket", lsh_bucket(F.col("__v"), planes)
@@ -253,6 +282,7 @@ def cosine_neardup_pairs(
     dim: int = 64,
     exact: bool = False,
     target_bucket_rows: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
@@ -262,7 +292,9 @@ def cosine_neardup_pairs(
     plane count from the corpus size (``derive_n_planes``) so the
     within-bucket self-join — quadratic in corpus/2^planes — keeps a
     bounded expected bucket instead of inheriting a fixed 16-bucket split
-    at any scale."""
+    at any scale. Sizing uses the ``n_rows`` hint when given, else a
+    plan-statistics estimate (``estimate_rows`` — no corpus scan at plan
+    time)."""
     v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
     if exact:
         a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
@@ -270,7 +302,9 @@ def cosine_neardup_pairs(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if n_planes is None:
-            n_planes = derive_n_planes(vectors.count(), target_bucket_rows)
+            if n_rows is None:
+                n_rows = estimate_rows(vectors, row_width_hint=8 * dim + 16)
+            n_planes = derive_n_planes(n_rows, target_bucket_rows)
         planes = _hyperplanes(dim, n_planes)
         vb = v.withColumn("bucket", lsh_bucket(F.col("__v"), planes))
         a = vb.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "bucket")

@@ -141,3 +141,17 @@ def test_lsh_topk_adaptive_planes_small_corpus(spark):
     out = similarity.lsh_topk(vdf, qdf, k=5, dim=dim).collect()
     assert 0 < len(out) <= 5
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, len(out) + 1))
+
+
+def test_estimate_rows_parquet_no_job(spark):
+    """estimate_rows on a file scan reads plan statistics only — no Spark
+    job runs (the point of removing the plan-time corpus count), and the
+    estimate lands within an order of magnitude of the true count."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    est = similarity.estimate_rows(emb)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "estimate_rows launched a Spark job on a file scan"
+    true_n = emb.count()
+    assert true_n / 10 <= est <= true_n * 10
