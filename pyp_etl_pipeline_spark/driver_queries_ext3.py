@@ -761,30 +761,44 @@ FROM documents
 
 
 def mm04_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
-    """Video frame-sampling plan over the multimodal media frame: every
-    3rd document plays a video with duration n_chars*10 ms; the operator
-    explodes one row per planned frame timestamp at a 1s cadence
-    (``greatest(floor(duration/1000), 1)`` frames — pure column algebra,
-    no shuffle, the decode of each frame being the MP4 stub). The DuckDB
-    twin reproduces the frame grid arithmetically."""
-    from pyp_etl_pipeline_spark.multimodal.binary_ops import frame_sample_plan  # noqa: PLC0415
+    """Video frame-sampling plan from REAL container bytes: every 3rd
+    document plays a video; a valid ISO-BMFF MP4 (ftyp/moov/mvhd/tkhd,
+    ``codecs.mp4_encode``) is synthesized with duration n_chars*10 ms,
+    then ``frame_sample_decoded`` box-walks the payload (mvhd timescale/
+    duration — no metadata trust) and explodes one row per planned frame
+    timestamp at a 1s cadence. The DuckDB twin reproduces the frame grid
+    arithmetically, so an encoder/box-walk disagreement (wrong timescale
+    math, fixed-point dims misread, truncated box) breaks the match."""
+    import pandas as pd  # noqa: PLC0415
 
-    d = load_table(spark, sf, "documents")
-    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.lit("application/octet-stream").alias("mime"),
-            F.lit(640).alias("width"),
-            F.lit(480).alias("height"),
-            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
-        ).alias("meta"),
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        frame_sample_decoded,
     )
-    return frame_sample_plan(media, every_ms=1000).select(
-        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
-    )
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import mp4_encode  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for i, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = int(i)
+                rows["media_id"].append(i)
+                rows["kind"].append(["image", "audio", "video"][i % 3])
+                rows["payload"].append(
+                    mp4_encode(640, 480, int(n_chars) * 10) if i % 3 == 2 else None
+                )
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(synth, "media_id long, kind string, payload binary")
+    return frame_sample_decoded(media, every_ms=1000)
 
 
 MM04_SQL = """
@@ -792,6 +806,59 @@ SELECT doc_id AS media_id,
        (1000 * unnest(generate_series(0, greatest((length(text) * 10) // 1000, 1) - 1)))::BIGINT AS frame_ts_ms
 FROM documents
 WHERE doc_id % 3 = 2
+"""
+
+
+def mm05_mp4_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL MP4-container metadata decode: per doc_id a valid ISO-BMFF
+    file is synthesized (``codecs.mp4_encode`` — ftyp/moov/mvhd/trak/
+    tkhd/mdia boxes with analytic dims and duration), then
+    ``decode_features`` box-walks the actual bytes back: mvhd timescale/
+    duration -> duration_ms, tkhd 16.16 fixed-point -> width/height. The
+    DuckDB twin computes every value analytically from doc_id, so any
+    box-walk bug (offset drift, wrong version layout, fixed-point
+    misread) breaks the hash match."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        decode_features,
+    )
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import mp4_encode  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = [
+                mp4_encode(16 + int(i) % 1904, 16 + int(i) % 1064, 1 + int(i) % 600000)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return decode_features(media).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        F.round("duration_ms", 4).alias("duration_ms"),
+    )
+
+
+MM05_SQL = """
+SELECT doc_id AS media_id,
+  'mp4' AS format,
+  (16 + doc_id % 1904)::INT AS width,
+  (16 + doc_id % 1064)::INT AS height,
+  round((1 + doc_id % 600000)::DOUBLE, 4) AS duration_ms
+FROM documents
 """
 
 
@@ -990,6 +1057,7 @@ QUERIES3 = {
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),
     "mm03_jpeg_decode": (mm03_jpeg_decode, MM03_SQL),
     "mm04_frame_sample_plan": (mm04_frame_sample_plan, MM04_SQL),
+    "mm05_mp4_metadata": (mm05_mp4_metadata, MM05_SQL),
     "q05_sql_interface": (q05_sql_interface, Q05_SQL),
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
     "f05_country_whitelist": (f05_country_whitelist, F05_SQL),

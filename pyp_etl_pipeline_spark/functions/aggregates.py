@@ -21,8 +21,10 @@ aggregate exact and engine-identical:
    value < 2^53, where doubles are exact.
 
 Domain: |e| < 9e12 per row and |sum| < 9e18 micro-units — comfortably
-beyond any money/metric column here. Pair each Spark helper with its
-``sql_*`` DuckDB twin.
+beyond any money/metric column here. True half-away-from-zero rounding
+is guaranteed for |sum| up to ~1.4e17 micro-units; beyond that the
+finalizers degrade to engine-agreement-only (see ``_int_div``). Pair
+each Spark helper with its ``sql_*`` DuckDB twin.
 """
 
 from __future__ import annotations
@@ -57,20 +59,37 @@ def _int_div(n: Column, d: Column) -> Column:
     """Exact n div d for non-negative longs with n possibly > 2^53.
     Strip the remainder (long arithmetic) so the true quotient is
     integral, divide in double, and round off the conversion error:
-    |double(x) - x| <= ulp(1e17)/2 = 8, so the quotient is within
-    8/d < 0.5 of the exact integer for every d >= 32. (A decimal
-    division here was exact too, but its codegen cost ~0.3s PER QUERY —
-    measured on q01's seven finalizers over six rows.)"""
+    |double(x) - x| <= ulp(n)/2, which is <= 8 for n <= ~1.4e17, so the
+    quotient is within 8/d < 0.5 of the exact integer for every d >= 32.
+    Above ~1.4e17 the conversion error can reach ulp(9e18)/2 = 1024 and
+    the claim weakens to ENGINE AGREEMENT: Spark and the SQL twin run the
+    identical IEEE double path, so the oracle always matches, but a
+    |sum| beyond ~1.4e17 micro-units (1.4e11 in output units) with small
+    d may differ from true half-away rounding by one output step. No
+    column here approaches that magnitude. (A decimal division was exact
+    everywhere, but its codegen cost ~0.3s PER QUERY — measured on q01's
+    seven finalizers over six rows.)"""
     exact = n - F.pmod(n, d)
     return F.round(exact / d).cast("long")
 
 
 def _round_scaled(micro: Column, out_scale: int) -> Column:
     """Half-away-from-zero rounding of a micro-unit LONG to ``out_scale``
-    decimals, entirely in integer space; returns double."""
-    down = 10 ** (6 - out_scale)  # micro-units per output unit step
-    if down < 32:  # out_scale >= 6: no rounding left to do
+    decimals, entirely in integer space; returns double.
+
+    Supported scales: 0..4 (rounding step >= 100 micro-units, inside
+    ``_int_div``'s d >= 32 exactness bound) and >= 6 (micro-units carry
+    at most 6 decimals, so there is nothing left to round). scale 5
+    (step 10) would need an integer division below that bound and is
+    rejected rather than silently misrounded."""
+    if out_scale >= 6:  # already at or beyond micro precision
         return (micro / F.lit(float(10**6))).cast("double")
+    if out_scale == 5:
+        raise ValueError(
+            "out_scale=5 unsupported: its 10-micro rounding step is below "
+            "_int_div's exactness bound (d >= 32); use scale <= 4 or >= 6"
+        )
+    down = 10 ** (6 - out_scale)  # micro-units per output unit step
     a = F.abs(micro) + F.lit(down // 2)
     q = _int_div(a, F.lit(down))
     signed = F.when(micro < 0, -q).otherwise(q)

@@ -12,9 +12,14 @@ Two decode paths:
   exposes width/height/duration/signal stats as a DataFrame operator
   (oracle-checked by mm02/mm03). JPEG dims/components parse for ANY
   jpeg; pixel stats (mean) for single-component baseline scans.
-- STUB: every other format (MP4, ...) would need external codecs
-  that are not in this container; ``extract_features`` computes
-  deterministic byte-level stand-ins and ``decode_real`` raises
+- MP4/ISO-BMFF containers decode natively too (box walk: ftyp brand,
+  mvhd duration, tkhd dims — ``codecs.mp4_decode``, oracle-checked by
+  mm04/mm05); ``frame_sample_decoded`` plans frame grids from those
+  real container bytes.
+- STUB: only pixel/audio decode of COMPRESSED video (the codec
+  payloads inside the container) needs external codecs that are not
+  in this container; ``extract_features`` computes deterministic
+  byte-level stand-ins and ``decode_real`` raises
   ``NotImplementedError`` naming the format.
 """
 
@@ -78,9 +83,15 @@ def decode_real(payload: bytes, kind: str) -> dict:
         # marker walk gives dims/components/progressive for ANY jpeg;
         # mean_val additionally for single-component baseline scans
         return {"format": "jpeg", **codecs.jpeg_decode(payload)}
+    if fmt == "mp4":
+        # ISO-BMFF box walk: brand, mvhd duration, tkhd dims from real
+        # container bytes; the compressed codec payloads inside still
+        # need libav for pixel/audio decode
+        return {"format": "mp4", **codecs.mp4_decode(payload)}
     raise NotImplementedError(
-        f"no pure-python codec for this {kind} payload (PNG, WAV and JPEG decode "
-        "natively; MP4/... need libav on the cluster image)"
+        f"no pure-python codec for this {kind} payload (PNG, WAV, JPEG and "
+        "MP4-container metadata decode natively; frame/audio decode of "
+        "compressed video needs libav on the cluster image)"
     )
 
 
@@ -91,15 +102,19 @@ DECODE_SCHEMA = (
 
 
 def decode_features(df: DataFrame) -> DataFrame:
-    """Real media decode as a DataFrame operator: PNG dimensions + mean
-    pixel, WAV duration + RMS, from actual payload bytes (no metadata
-    trust). Rows whose payload is neither PNG nor WAV yield nulls rather
-    than failing the batch (a 100 TB corpus always contains strays)."""
+    """Real media decode as a DataFrame operator: PNG/JPEG dimensions +
+    mean pixel, WAV duration + RMS, MP4-container dims + duration, from
+    actual payload bytes (no metadata trust). Rows whose payload matches
+    no codec — or matches a magic but has a malformed body — yield nulls
+    rather than failing the batch (a 100 TB corpus always contains
+    strays)."""
 
     repo_root = REPO_ROOT
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
         import sys  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
@@ -119,15 +134,25 @@ def decode_features(df: DataFrame) -> DataFrame:
                     "mean_val": None,
                     "rms": None,
                 }
-                if fmt == "png":
-                    d = codecs.png_decode(p)
-                    row.update(width=d["width"], height=d["height"], mean_val=d["mean_val"])
-                elif fmt == "wav":
-                    d = codecs.wav_decode(p)
-                    row.update(duration_ms=d["duration_ms"], rms=d["rms"])
-                elif fmt == "jpeg":
-                    d = codecs.jpeg_decode(p)
-                    row.update(width=d["width"], height=d["height"], mean_val=d["mean_val"])
+                # magic bytes don't guarantee a well-formed body: a
+                # truncated/desynced payload raises from the codec, and
+                # the contract is null features per stray row, never a
+                # failed Arrow batch
+                try:
+                    if fmt == "png":
+                        d = codecs.png_decode(p)
+                        row.update(width=d["width"], height=d["height"], mean_val=d["mean_val"])
+                    elif fmt == "wav":
+                        d = codecs.wav_decode(p)
+                        row.update(duration_ms=d["duration_ms"], rms=d["rms"])
+                    elif fmt == "jpeg":
+                        d = codecs.jpeg_decode(p)
+                        row.update(width=d["width"], height=d["height"], mean_val=d["mean_val"])
+                    elif fmt == "mp4":
+                        d = codecs.mp4_decode(p)
+                        row.update(width=d["width"], height=d["height"], duration_ms=d["duration_ms"])
+                except (ValueError, IndexError, KeyError, EOFError, struct.error, zlib.error):
+                    pass
                 rows.append(row)
             yield pd.DataFrame(rows)
 
@@ -208,9 +233,29 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp
-    (pure column algebra; the decode of each frame is the stub)."""
+    (pure column algebra over the metadata struct; see
+    ``frame_sample_decoded`` for the payload-driven variant)."""
     n_frames = F.greatest(F.floor(F.col("meta.duration_ms") / every_ms), F.lit(1)).cast("int")
     return df.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms)).alias("frame_ts_ms"),
+    )
+
+
+def frame_sample_decoded(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan whose duration comes from the PAYLOAD
+    BYTES, not a metadata struct: ``decode_features`` walks each MP4
+    container (mvhd timescale/duration) and the frame grid explodes from
+    the decoded duration. Rows that fail the container parse (or aren't
+    MP4 at all) decode to null duration and are skipped — same stray-
+    tolerant contract as the rest of the decode path. The per-frame
+    pixel decode of compressed video remains the one genuinely external
+    dependency (libav)."""
+    decoded = decode_features(df.filter(F.col("kind") == "video"))
+    n_frames = F.greatest(F.floor(F.col("duration_ms") / every_ms), F.lit(1)).cast("int")
+    return decoded.filter(F.col("format") == "mp4").filter(F.col("duration_ms").isNotNull()).select(
+        "media_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: (i * every_ms).cast("long"))
+        ).alias("frame_ts_ms"),
     )

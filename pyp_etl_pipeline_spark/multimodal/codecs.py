@@ -36,13 +36,16 @@ WAV_MAGIC = b"RIFF"
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """'png' / 'wav' / 'jpeg' when the magic bytes match, else None."""
+    """'png' / 'wav' / 'jpeg' / 'mp4' when the magic bytes match, else
+    None."""
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -474,4 +477,136 @@ def jpeg_decode(payload: bytes) -> dict:
             out["mean_val"] = total / n_blocks if n_blocks else None
         except ValueError:
             out["mean_val"] = None  # keep header facts for odd streams
+    return out
+
+
+# ------------------------------------------------------------------- MP4
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def mp4_encode(width: int, height: int, duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) container: ftyp + moov(mvhd +
+    trak(tkhd + mdia(mdhd + hdlr))) + empty mdat. Structure per
+    ISO/IEC 14496-12; no codec payload — the tests and the mm04 oracle
+    only need the metadata boxes to carry real, decodable values."""
+    dur = duration_ms * timescale // 1000
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">I", 0)            # version 0 + flags
+        + struct.pack(">II", 0, 0)      # creation/modification time
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)      # volume 1.0
+        + b"\x00" * 10                   # reserved
+        + _UNITY_MATRIX
+        + b"\x00" * 24                   # pre_defined
+        + struct.pack(">I", 2),          # next_track_ID
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)      # version 0 + flags (enabled|in_movie|in_preview)
+        + struct.pack(">II", 0, 0)       # creation/modification time
+        + struct.pack(">I", 1)           # track_ID
+        + b"\x00" * 4                    # reserved
+        + struct.pack(">I", dur)
+        + b"\x00" * 8                    # reserved
+        + struct.pack(">hhh", 0, 0, 0)   # layer, alternate_group, volume
+        + b"\x00" * 2                    # reserved
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = _box(
+        b"hdlr",
+        struct.pack(">I", 0) + struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for each ISO-BMFF box in
+    buf[start:end]; handles 64-bit largesize (size==1) and to-end boxes
+    (size==0). Raises ValueError on truncation or malformed sizes."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"truncated box header at {pos}")
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize at {pos}")
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"bad box size {size} for {tag!r} at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def mp4_decode(payload: bytes) -> dict:
+    """ISO-BMFF metadata decode by pure-python box walk (same pattern as
+    the JPEG marker walk): ftyp brand, mvhd timescale+duration ->
+    duration_ms (version 0 and 1 boxes), per-trak tkhd 16.16 fixed-point
+    dims (first track with nonzero dims wins), track count. No pixel or
+    audio decode — the container carries compressed codec payloads that
+    genuinely need libav; everything the container ITSELF says is read
+    from real bytes."""
+    out: dict = {
+        "brand": None,
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+    }
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no leading ftyp box)")
+    moov_span = None
+    for tag, body, boxend in _iter_boxes(payload, 0, len(payload)):
+        if tag == b"ftyp":
+            out["brand"] = payload[body : body + 4].decode("ascii", "replace")
+        elif tag == b"moov":
+            moov_span = (body, boxend)
+    if moov_span is None:
+        raise ValueError("no moov box")
+    for tag, body, boxend in _iter_boxes(payload, *moov_span):
+        if tag == b"mvhd":
+            version = payload[body]
+            if version == 1:
+                timescale, dur = struct.unpack(">IQ", payload[body + 20 : body + 32])
+            else:
+                timescale, dur = struct.unpack(">II", payload[body + 12 : body + 20])
+            if timescale:
+                out["duration_ms"] = dur * 1000.0 / timescale
+        elif tag == b"trak":
+            out["n_tracks"] += 1
+            for t2, b2, e2 in _iter_boxes(payload, body, boxend):
+                if t2 != b"tkhd":
+                    continue
+                # width/height are the LAST 8 bytes of tkhd either version
+                w16, h16 = struct.unpack(">II", payload[e2 - 8 : e2])
+                if (w16 or h16) and out["width"] is None:
+                    out["width"] = w16 >> 16
+                    out["height"] = h16 >> 16
     return out

@@ -403,8 +403,17 @@ def dup_clusters(
     different cluster ids). With ``strict=True`` (default) that raises
     ``RuntimeError`` instead of silently returning wrong clusters;
     ``strict=False`` returns the partial labels for callers that want
-    bounded-cost approximate clustering.
+    bounded-cost approximate clustering. Verifying convergence takes at
+    least one propagation round beyond the free init round, so
+    ``strict=True`` requires ``max_iterations >= 2`` (ValueError
+    otherwise — a strict 1-round budget could never be certified even
+    when init already hit the fixpoint).
     """
+    if strict and max_iterations < 2:
+        raise ValueError(
+            "strict=True needs max_iterations >= 2: convergence can only be "
+            "verified by a propagation round after the init round"
+        )
     a, b = F.col(a_col), F.col(b_col)
     # Materialize the pair list BEFORE the union below references it twice:
     # pairs is typically the output of a whole candidate-generation pipeline

@@ -101,9 +101,14 @@ def test_decode_real_dispatch():
     # ERROR (it IS a jpeg by magic), not an unsupported format
     with pytest.raises(ValueError, match="JPEG"):
         decode_real(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
-    # genuinely unsupported container (MP4 ftyp box) still raises the stub
-    with pytest.raises(NotImplementedError, match="libav"):
+    # MP4 container metadata now decodes natively; a truncated ftyp-ish
+    # stream is a decode ERROR (it IS mp4 by magic), not unsupported
+    with pytest.raises(ValueError, match="box"):
         decode_real(b"\x00\x00\x00\x18ftypmp42", "video")
+    assert decode_real(codecs.mp4_encode(8, 6, 250), "video")["format"] == "mp4"
+    # genuinely unsupported format (GIF) still raises the honest stub
+    with pytest.raises(NotImplementedError, match="libav"):
+        decode_real(b"GIF89a" + b"\x00" * 10, "image")
 
 
 def test_decode_features_operator(spark):
@@ -182,3 +187,79 @@ def test_decode_real_jpeg_no_longer_stubbed():
     d = binary_ops.decode_real(p, "image")
     assert d["format"] == "jpeg" and (d["width"], d["height"]) == (9, 5)
     assert d["mean_val"] == 42
+
+
+def test_mp4_roundtrip_metadata():
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    p = codecs.mp4_encode(1920, 1080, 90500)
+    assert codecs.sniff_kind(p) == "mp4"
+    d = codecs.mp4_decode(p)
+    assert d["brand"] == "isom"
+    assert (d["width"], d["height"]) == (1920, 1080)
+    assert d["duration_ms"] == 90500.0
+    assert d["n_tracks"] == 1
+
+
+def test_mp4_version1_mvhd():
+    # 64-bit (version 1) mvhd layout: timescale at +20, duration as u64
+    import struct
+
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    mvhd = codecs._box(
+        b"mvhd",
+        bytes([1, 0, 0, 0])          # version 1
+        + struct.pack(">QQ", 0, 0)   # 64-bit creation/modification
+        + struct.pack(">IQ", 90000, 90000 * 7)  # timescale, duration (7s)
+        + b"\x00" * 80,
+    )
+    payload = codecs._box(b"ftyp", b"isom" + b"\x00" * 4) + codecs._box(b"moov", mvhd)
+    d = codecs.mp4_decode(payload)
+    assert d["duration_ms"] == 7000.0
+    assert d["n_tracks"] == 0 and d["width"] is None
+
+
+def test_mp4_truncated_and_foreign_raise():
+    import pytest as _pytest
+
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    p = codecs.mp4_encode(64, 48, 1000)
+    with _pytest.raises(ValueError):
+        codecs.mp4_decode(p[: len(p) // 2])
+    with _pytest.raises(ValueError, match="ftyp"):
+        codecs.mp4_decode(b"RIFFxxxxWAVE")
+
+
+def test_decode_features_mp4_and_stray(spark):
+    # a valid MP4, a corrupt MP4 (magic intact, body truncated), and a
+    # random blob through the Arrow batch: nulls for the strays, real
+    # values for the good row, batch never fails
+    from pyp_etl_pipeline_spark.multimodal import binary_ops, codecs
+
+    good = codecs.mp4_encode(320, 240, 4500)
+    rows = [(1, bytearray(good)), (2, bytearray(good[:30])), (3, bytearray(b"\x00" * 40))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in binary_ops.decode_features(df).collect()}
+    assert out[1]["format"] == "mp4"
+    assert (out[1]["width"], out[1]["height"], out[1]["duration_ms"]) == (320, 240, 4500.0)
+    assert out[2]["format"] == "mp4" and out[2]["width"] is None
+    assert out[3]["format"] is None and out[3]["width"] is None
+
+
+def test_frame_sample_decoded_from_payload(spark):
+    from pyp_etl_pipeline_spark.multimodal import binary_ops, codecs
+
+    rows = [
+        (1, "video", bytearray(codecs.mp4_encode(640, 480, 3200))),  # 3 frames
+        (2, "video", bytearray(codecs.mp4_encode(640, 480, 500))),   # <1s -> 1 frame
+        (3, "image", None),                                           # filtered by kind
+        (4, "video", bytearray(b"nonsense-payload-not-mp4")),         # stray -> dropped
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = sorted(
+        (r["media_id"], r["frame_ts_ms"])
+        for r in binary_ops.frame_sample_decoded(df, every_ms=1000).collect()
+    )
+    assert out == [(1, 0), (1, 1000), (1, 2000), (2, 0)]

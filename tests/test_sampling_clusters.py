@@ -111,13 +111,24 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
 
 
 def test_dup_clusters_exhaustion_raises_strict(spark):
-    # a 12-node path cannot converge in 1 round; strict (default) raises
+    # a 12-node path cannot converge in 2 rounds; strict (default) raises
     # instead of silently returning mid-propagation labels
     import pytest as _pytest
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(pairs, max_iterations=1).collect()
+        dup_clusters(pairs, max_iterations=2).collect()
+
+
+def test_dup_clusters_strict_needs_verification_round(spark):
+    # strict=True with a 1-round budget can never certify convergence —
+    # rejected up front rather than raising a spurious non-convergence
+    # even on an already-converged graph
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="max_iterations >= 2"):
+        dup_clusters(pairs, max_iterations=1)
 
 
 def test_dup_clusters_exhaustion_partial_when_lenient(spark):
