@@ -360,27 +360,109 @@ def simhash_pairs(
 
 # ------------------------------------------------------------------ clusters
 
+def _star_components(edges: DataFrame, max_iterations: int, strict: bool) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", alg. 2) over a
+    BIDIRECTIONAL distinct edge list with columns (src, dst).
+
+    Each round rewrites the edge set:
+
+    - large-star: every node's strictly LARGER neighbors re-attach to
+      the minimum of its closed neighborhood — long chains fold toward
+      the minimum and a hot node sheds its larger neighbors, which is
+      what bounds the per-round fan-out on skewed components;
+    - small-star: every node's smaller neighbors (and the node itself)
+      re-attach to its minimum smaller neighbor, producing canonical
+      (node > root) star edges.
+
+    Both operations preserve connectivity; the fixpoint is a forest of
+    stars (node -> component minimum) reached in O(log n) rounds. The
+    convergence check is edge-set equality (both sides are distinct, so
+    a symmetric exceptAll-count); each round's result is
+    lazily ``localCheckpoint``-ed and materialized by that count, which
+    also truncates the per-iteration lineage exactly like the hashmin
+    loop."""
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # canonical orientation: one row per undirected edge, larger -> smaller
+    e = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    converged = e.isEmpty()  # no non-self edges: every node is its own root
+    rounds = 0
+    while not converged and rounds < max_iterations:
+        bi = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = bi.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+        large = (
+            bi.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("node"), "m")
+            .unionByName(smins.select(F.col("u").alias("node"), "m"))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        changed = small.exceptAll(e).unionByName(e.exceptAll(small)).count()
+        e = small
+        rounds += 1
+        if changed == 0:
+            converged = True
+    if not converged and strict:
+        raise RuntimeError(
+            f"dup_clusters(strategy='star') did not converge within "
+            f"max_iterations={max_iterations}; edge rewrites are mid-flight and "
+            "cluster ids would be wrong. Raise max_iterations (O(log n) rounds "
+            "suffice) or pass strict=False to accept partial labels."
+        )
+    roots = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("root"))
+    return nodes.join(roots, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("node")).alias("cluster_id"),
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
     strict: bool = True,
+    strategy: str = "hashmin",
 ) -> DataFrame:
     """Connected components over a near-dup pair list: every doc gets
     ``cluster_id`` = the smallest id reachable through the pair graph —
     the step that turns pairwise candidates (dd02/dd03/sh01/nd01) into
     actual keep-one-per-cluster dedup decisions.
 
-    Algorithm: hash-min label propagation. Each round every node adopts
-    the minimum label among itself and its neighbors; converges in
-    O(diameter) rounds. Near-dup graphs are overwhelmingly tiny cliques
-    and short chains (diameter <= 3-4 in practice), so the loop exits in
-    a few rounds via the AQE-sized shuffles; ``max_iterations`` bounds
-    pathological chains. For graphs with massive skewed components switch
-    to the large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"), which this loop structure
-    accommodates directly.
+    Two strategies, identical output (property-tested equivalent):
+
+    - ``strategy="hashmin"`` (default): label propagation — each round
+      every node adopts the minimum label among itself and its
+      neighbors; converges in O(diameter) rounds. Near-dup graphs are
+      overwhelmingly tiny cliques and short chains (diameter <= 3-4 in
+      practice), so the loop exits in a few rounds via the AQE-sized
+      shuffles; ``max_iterations`` bounds pathological chains.
+    - ``strategy="star"``: alternating large-star/small-star edge
+      rewrites (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"). Converges in O(log n) rounds REGARDLESS of diameter,
+      and — the scale property hash-min lacks — each large-star round
+      re-attaches a hot node's larger neighbors directly to the
+      component minimum, so one viral near-dup cluster cannot keep
+      fanning its full neighbor list through every round. The per-round
+      cost is ~2x hash-min (two groupBy+join phases vs one), which is
+      why tiny-diameter dedup graphs default to hash-min and skewed /
+      high-diameter graphs should pass ``strategy="star"``.
 
     Round shape (2 shuffles/round, 1 action per TWO rounds): neighbor
     labels are emitted as messages (edge join), unioned with each node's
@@ -404,12 +486,16 @@ def dup_clusters(
     ``RuntimeError`` instead of silently returning wrong clusters;
     ``strict=False`` returns the partial labels for callers that want
     bounded-cost approximate clustering. Verifying convergence takes at
-    least one propagation round beyond the free init round, so
-    ``strict=True`` requires ``max_iterations >= 2`` (ValueError
-    otherwise — a strict 1-round budget could never be certified even
-    when init already hit the fixpoint).
+    least one propagation round beyond hashmin's free init round, so
+    ``strict=True`` with ``strategy="hashmin"`` requires
+    ``max_iterations >= 2`` (ValueError otherwise — a strict 1-round
+    budget could never be certified even when init already hit the
+    fixpoint; the star strategy checks convergence inside every round
+    and has no such floor).
     """
-    if strict and max_iterations < 2:
+    if strategy not in ("hashmin", "star"):
+        raise ValueError(f"unknown strategy {strategy!r}: expected 'hashmin' or 'star'")
+    if strict and strategy == "hashmin" and max_iterations < 2:
         raise ValueError(
             "strict=True needs max_iterations >= 2: convergence can only be "
             "verified by a propagation round after the init round"
@@ -428,7 +514,8 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    label_type = edges.schema["src"].dataType
+    if strategy == "star":
+        return _star_components(edges, max_iterations, strict)
 
     label_null = F.lit(None).cast(edges.schema["src"].dataType)
 

@@ -139,3 +139,48 @@ def test_dup_clusters_exhaustion_partial_when_lenient(spark):
     assert len(out) == 13
     assert all(lbl <= node for node, lbl in out.items())
     assert set(out.values()) != {0}  # genuinely unconverged at 2 rounds
+
+
+def test_star_components_equivalent_to_hashmin(spark):
+    """large-star/small-star and hash-min must label identically on
+    random graphs, paths (worst diameter), stars (worst skew), cliques,
+    and disjoint mixtures."""
+    import random
+
+    cases = []
+    for seed in (3, 17, 42, 99):
+        rng = random.Random(seed)
+        n = rng.randint(10, 50)
+        m = rng.randint(5, 80)
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    cases.append([(i, i + 1) for i in range(25)])                    # path
+    cases.append([(0, i) for i in range(1, 30)])                     # star
+    cases.append([(a, b) for a in range(8) for b in range(a + 1, 8)])  # clique
+    cases.append([(1, 2), (2, 3), (10, 11), (20, 20), (30, 31), (31, 32), (30, 32)])
+
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        hm = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df, max_iterations=40).collect()}
+        st = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(df, max_iterations=40, strategy="star").collect()
+        }
+        assert hm == st, f"divergence on pairs={pairs}"
+
+
+def test_star_components_skewed_component(spark):
+    # one viral hub fused with a chain: the exact shape hash-min fans
+    # out badly on; star must still produce min-id labels
+    pairs = [(0, i) for i in range(1, 200)] + [(199, 200), (200, 201), (201, 202)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df, strategy="star").collect()}
+    assert len(out) == 203
+    assert set(out.values()) == {0}
+
+
+def test_dup_clusters_unknown_strategy_rejected(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        dup_clusters(df, strategy="bfs")
