@@ -121,24 +121,34 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    # Regression guard: ratio vs the committed anchor (round-1 driver
-    # numbers). >1 = slower than anchor, <1 = faster. Only meaningful at
-    # the anchor's sf; host CPU contention still swings single queries, so
-    # treat ratios > ~1.5 as signal, not noise (CLAUDE.md).
-    anchor_path = os.path.join(REPO, "BENCH_ANCHOR.json")
-    if os.path.exists(anchor_path):
+    # Regression guards: ratio vs the round-1 anchor (driver numbers,
+    # measured under unknown host load) AND vs the round-6 refreshed
+    # anchor (min-of-7 on an annotated host — see BENCH_ANCHOR_R6.json).
+    # >1 = slower, <1 = faster. Only meaningful at the anchor's sf; the
+    # shared-microVM host still swings single queries 2-3x, so treat
+    # ratios > ~1.5 as signal, not noise (CLAUDE.md). The r6 anchor is
+    # the lower-noise reference for per-query regression hunting; the r1
+    # anchor stays for cross-round comparability.
+    for path, key, total_key in (
+        ("BENCH_ANCHOR.json", "vs_anchor", "vs_anchor_total"),
+        ("BENCH_ANCHOR_R6.json", "vs_anchor_r6", "vs_anchor_r6_total"),
+    ):
+        anchor_path = os.path.join(REPO, path)
+        if not os.path.exists(anchor_path):
+            continue
         with open(anchor_path) as f:
             anchor = json.load(f)
-        if str(anchor.get("sf")) == str(out["sf"]):
-            ref = anchor.get("queries", {})
-            out["vs_anchor"] = {
-                n: round(t / ref[n], 2) for n, t in timings.items() if t > 0 and ref.get(n, 0) > 0
-            }
-            common = [n for n in timings if timings[n] > 0 and ref.get(n, 0) > 0]
-            if common:
-                out["vs_anchor_total"] = round(
-                    sum(timings[n] for n in common) / sum(ref[n] for n in common), 3
-                )
+        if str(anchor.get("sf")) != str(out["sf"]):
+            continue
+        ref = anchor.get("queries", {})
+        out[key] = {
+            n: round(t / ref[n], 2) for n, t in timings.items() if t > 0 and ref.get(n, 0) > 0
+        }
+        common = [n for n in timings if timings[n] > 0 and ref.get(n, 0) > 0]
+        if common:
+            out[total_key] = round(
+                sum(timings[n] for n in common) / sum(ref[n] for n in common), 3
+            )
 
     print(json.dumps(out))
 
