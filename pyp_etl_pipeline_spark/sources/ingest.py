@@ -71,7 +71,12 @@ def read_csv_upload(spark: SparkSession, path: str, encoding: str | None = None)
     )
 
 
-def read_excel_upload(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
+MAX_EXCEL_BYTES = 16 * 1024 * 1024  # reference upload envelope (app/config.py:36)
+
+
+def read_excel_upload(
+    spark: SparkSession, path: str, sheet: int | str = 0, max_bytes: int | None = MAX_EXCEL_BYTES
+) -> DataFrame:
     """S3: all-string Excel read via the self-contained stdlib xlsx parser
     (``sources/xlsx.py`` — zip + XML, no openpyxl dependency). Mirrors the
     reference's openpyxl scan (``app/etl.py:970-993``): first row =
@@ -79,10 +84,31 @@ def read_excel_upload(spark: SparkSession, path: str, sheet: int | str = 0) -> D
     so both feed the same normalization chain. Empty header cells become
     ``col_<i>`` and duplicate headers get a ``_<i>`` suffix — a DataFrame
     needs distinct non-empty column names where the reference's positional
-    row access did not."""
+    row access did not.
+
+    Scale envelope (deliberate): the workbook parses on the DRIVER and
+    ships via ``createDataFrame`` — correct for the reference's upload
+    contract (Flask caps requests at 16 MiB, ``app/config.py:36``, so a
+    spreadsheet is by definition driver-sized) and enforced here with the
+    same ``max_bytes`` cap rather than discovered via an OOM. A many-GB
+    xlsx is not a thing this source accepts; bulk data belongs to the
+    distributed CSV/parquet readers (``max_bytes=None`` opts out for
+    callers that really mean it). Legacy ``.xls`` (BIFF) is accepted by
+    extension but rejected by the zip check — faithfully reproducing the
+    reference, whose openpyxl reader cannot parse true BIFF either
+    (``app/etl.py:972``)."""
     from pyp_etl_pipeline_spark.sources.xlsx import parse_xlsx  # noqa: PLC0415
 
     validate_upload_path(path)
+    if max_bytes is not None:
+        size = os.path.getsize(path)
+        if size > max_bytes:
+            raise ValueError(
+                f"xlsx is {size} bytes > the {max_bytes}-byte upload envelope "
+                "(reference MAX_CONTENT_LENGTH); this source parses on the "
+                "driver by design — use the distributed CSV/parquet readers "
+                "for bulk data, or pass max_bytes=None to override"
+            )
     validate_excel_file(path)
     headers, rows = parse_xlsx(path, sheet=sheet)
     if not headers:

@@ -162,3 +162,15 @@ def test_validation_still_rejects_garbage(tmp_path):
         z.writestr("mimetype", "application/whatever")
     with pytest.raises(ValueError, match="no xl/ entries"):
         ingest.validate_excel_file(str(weird))
+
+
+def test_excel_upload_envelope_enforced(spark, tmp_path):
+    # the driver-side parse is gated by the reference's 16 MiB upload
+    # cap — oversize files fail fast with the envelope named, and
+    # max_bytes=None opts out
+    from pyp_etl_pipeline_spark.sources import ingest
+
+    p = tmp_path / "big.xlsx"
+    p.write_bytes(b"PK\x03\x04" + b"\x00" * 128)
+    with pytest.raises(ValueError, match="upload envelope"):
+        ingest.read_excel_upload(spark, str(p), max_bytes=64)
