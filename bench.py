@@ -40,6 +40,9 @@ EXTENDED = [
     # round 5
     "j13_reject_payload",
     "mm03_jpeg_decode",
+    # round 6
+    "dd05_incremental_minhash",
+    "mm05_mp4_metadata",
 ]
 
 HEADLINE = [

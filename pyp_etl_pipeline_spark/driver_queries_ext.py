@@ -742,10 +742,11 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_load_corpus(spark, sf, "documents"), threshold=0.5)
 
 
-def _dd03_sql() -> str:
-    """DuckDB twin of the b x r banded MinHash-LSH (dedup.LSH_BANDS x
-    dedup.LSH_ROWS Kirsch-Mitzenmacher hash family derived from one md5
-    per shingle — signatures bit-identical to Spark)."""
+def _minhash_sig_sql(src: str, suffix: str) -> str:
+    """CTE fragment computing the banded minhash signature table
+    ``sig_{suffix}(doc_id, band, sig)`` for a shingle-set CTE ``src`` —
+    the same b x r Kirsch-Mitzenmacher family as the Spark side, shared
+    by the full (dd03) and incremental (dd05) oracles."""
     b, r, p = dedup.LSH_BANDS, dedup.LSH_ROWS, dedup.LSH_PRIME
     mins = ",\n  ".join(f"min((x1 + {i + 1} * (x2 + 1)) % {p}) AS h{i}" for i in range(b * r))
     band_structs = ", ".join(
@@ -755,26 +756,35 @@ def _dd03_sql() -> str:
         )
         for bi in range(b)
     )
-    return (
-        _SHINGLE_CTE
-        + f""",
-hx AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-hxi AS (
+    return f"""
+hx_{suffix} AS (SELECT doc_id, unnest(sh) AS shingle FROM {src}),
+hxi_{suffix} AS (
   SELECT doc_id,
          ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS x1,
          ('0x' || substring(md5(shingle), 8, 7))::BIGINT AS x2
-  FROM hx
+  FROM hx_{suffix}
 ),
-sigw AS (SELECT doc_id,
+sigw_{suffix} AS (SELECT doc_id,
   {mins}
-  FROM hxi GROUP BY doc_id),
-sig AS (
+  FROM hxi_{suffix} GROUP BY doc_id),
+sig_{suffix} AS (
   SELECT doc_id, u.band AS band, u.sig AS sig
-  FROM sigw, unnest([{band_structs}]) AS t(u)
-),
+  FROM sigw_{suffix}, unnest([{band_structs}]) AS t(u)
+)"""
+
+
+def _dd03_sql() -> str:
+    """DuckDB twin of the b x r banded MinHash-LSH (dedup.LSH_BANDS x
+    dedup.LSH_ROWS Kirsch-Mitzenmacher hash family derived from one md5
+    per shingle — signatures bit-identical to Spark)."""
+    return (
+        _SHINGLE_CTE
+        + ","
+        + _minhash_sig_sql("s", "all")
+        + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  FROM sig_all a JOIN sig_all b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 ver AS (
   SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS shared, len(sa.sh) AS na, len(sb.sh) AS nb
@@ -787,6 +797,51 @@ FROM ver WHERE shared / (na + nb - shared) >= 0.5
 
 
 DD03_SQL = _dd03_sql()
+
+
+def dd05_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: documents with doc_id % 5 == 0 play
+    the NEW ingest batch, the rest the already-indexed corpus. Candidates
+    come from joining the batch's band signatures against the corpus
+    signature index (plus a within-batch self-join) — the corpus is never
+    self-joined, which is the whole point at 100 TB: per-ingest cost is
+    O(batch) + collisions, not O(corpus^2 / buckets)."""
+    d = _load_corpus(spark, sf, "documents")
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_lsh_pairs_incremental(new_docs, corpus, threshold=0.5)
+
+
+def _dd05_sql() -> str:
+    """DuckDB twin of the incremental batch-vs-index MinHash dedup."""
+    return (
+        _SHINGLE_CTE
+        + """,
+newdocs AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+olddocs AS (SELECT * FROM s WHERE doc_id % 5 <> 0),"""
+        + _minhash_sig_sql("newdocs", "n")
+        + ","
+        + _minhash_sig_sql("olddocs", "o")
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 'corpus' AS source
+  FROM sig_n a JOIN sig_o b ON a.band = b.band AND a.sig = b.sig
+  UNION ALL
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 'batch' AS source
+  FROM sig_n a JOIN sig_n b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b, source,
+         len(list_intersect(sa.sh, sb.sh)) AS shared, len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand JOIN newdocs sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, source, round(shared / (na + nb - shared), 6) AS jaccard
+FROM ver WHERE shared / (na + nb - shared) >= 0.5
+"""
+    )
+
+
+DD05_SQL = _dd05_sql()
 
 
 def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1145,6 +1200,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd02_ngram_jaccard_pairs": (dd02_ngram_jaccard_pairs, DD02_SQL),
     "dd03_minhash_lsh_pairs": (dd03_minhash_lsh_pairs, DD03_SQL),
     "dd04_dup_clusters": (dd04_dup_clusters, DD04_SQL),
+    "dd05_incremental_minhash": (dd05_incremental_minhash, DD05_SQL),
     "dc01_decontaminate": (dc01_decontaminate, DC01_SQL),
     "sh01_simhash_pairs": (sh01_simhash_pairs, SH01_SQL),
     # ANN
@@ -1169,48 +1225,48 @@ from pyp_etl_pipeline_spark.driver_queries_ext3 import QUERIES3  # noqa: E402
 REGISTRY.update(QUERIES3)
 
 # The driver's correctness gate only covers the first 50 registry entries.
-# Round-5 rotation: everything whose implementation or input handling
-# changed this round leads the window —
-# (a) every events-table query: the driver regenerated events.parquet
-#     with ts as timestamp[us] (was TIMESTAMP(NANOS)) and the loaders
-#     are now schema-adaptive; r04 recorded failures for these;
-# (b) the dup_clusters rework (dd04), the resolve-pipeline rework
-#     (j02b + new j13, plus the queries sharing the fuzzy chain),
-#     the LSH-defaults change (ann02/nd01), the new JPEG decode (mm03,
-#     and mm02 whose decode_features dispatch grew a branch).
+# Round-6 rotation: (a) everything whose implementation changed this
+# round — the minhash in-row-fold rewrite (dd03, plus new incremental
+# dd05), the MP4 decode (new mm05, rewritten mm04, and mm02/mm03 whose
+# decode dispatch gained stray-tolerance), the ANN plan-stats sizing
+# (ann01-03, nd01), the dup_clusters strategy switch (dd04); then
+# (b) every query that fell OUTSIDE the driver's round-5 window (its
+# last driver check is r4 or older), so no query goes two rounds
+# without a driver-side row.
 _DRIVER_PRIORITY = [
-    # (a) events schema change
-    "st01_streaming_tumbling",
-    "st04_streaming_dedup",
-    "w01_tumbling_hourly",
-    "w02_sliding_1h_15m",
-    "w03_sessionize_30m",
-    "w04_lag_delta",
-    "aj01_asof_purchase_view",
-    "a05_error_summary_24h",
-    "a07_status_priority_rollup",
-    "a08_percentile_summary",
-    "sp02_stratified_sample",
-    "u02_idarray_union",
-    "st02_streaming_sliding",
-    "st03_stateful_running_totals",
-    # (b) implementations changed in round 5
+    # (a) changed in round 6
+    "dd03_minhash_lsh_pairs",
+    "dd05_incremental_minhash",
     "dd04_dup_clusters",
-    "j02b_typo_fallback",
-    "j13_reject_payload",
-    "j02_fuzzy_topk",
-    "j04_penalty_bands",
-    "j07_alternatives",
-    "rv01_review_workflow",
-    "a01_band_summary",
-    "ann02_lsh_topk",
-    "nd01_embed_neardup",
-    "mm03_jpeg_decode",
+    "mm05_mp4_metadata",
     "mm04_frame_sample_plan",
     "mm02_media_decode",
-    "mm01_media_features",
-    "q05_sql_interface",
-    "dd02_ngram_jaccard_pairs",
+    "mm03_jpeg_decode",
+    "ann01_cosine_topk",
+    "ann02_lsh_topk",
+    "ann03_ivf_topk",
+    "nd01_embed_neardup",
+    # (b) outside the driver's r5 window
+    "o01_topk_orders_per_customer",
+    "o04_latest_order_per_customer",
+    "dd01_exact_dup_histogram",
+    "dc01_decontaminate",
+    "sh01_simhash_pairs",
+    "tx01_quality_features",
+    "tx02_token_counts",
+    "tx03_language_id",
+    "tx04_fingerprints",
+    "tx05_repetition",
+    "tx06_unigram_logprob",
+    "t09_masking",
+    "p01_header_mapping",
+    "sp01_hash_split",
+    "f03_name_email_validation",
+    "f05_country_whitelist",
+    "t03_punct_lower_key",
+    "o07_distinct_sorted_filters",
+    "a03_push_summary",
+    "e03_crosslink_dedup",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},

@@ -283,6 +283,74 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    corpus_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a NEW ingest batch against an EXISTING corpus,
+    plus within-batch pairs — the incremental path a 100 TB pipeline
+    actually runs. Re-deduping the whole corpus per ingest is a
+    corpus-sized self-join every batch; here the corpus side contributes
+    only its (id, band, sig) index (pass ``corpus_signatures`` to read a
+    previously persisted index and skip even the signature recompute),
+    and the per-batch cost is O(batch signatures) + bucket collisions +
+    verification of the candidate pairs.
+
+    Output: (id_a, id_b, source, jaccard) with id_a always the new-batch
+    doc; source = 'corpus' for batch-vs-corpus pairs, 'batch' for pairs
+    inside the new batch (id_a < id_b). Same b x r banded family and
+    exact-Jaccard verification as ``minhash_lsh_pairs`` — running this
+    per batch over a growing corpus yields exactly the pairs the full
+    recompute would have found between those documents."""
+    sig_new = minhash_signatures(new_docs, id_col, text_col, n).localCheckpoint(eager=True)
+    sig_old = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(corpus, id_col, text_col, n)
+    )
+    a = sig_new.select(F.col("id").alias("id_a"), "band", "sig")
+    cross = (
+        a.hint("shuffle_hash")
+        .join(sig_old.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
+        .select("id_a", "id_b", F.lit("corpus").alias("source"))
+    )
+    within = (
+        a.hint("shuffle_hash")
+        .join(sig_new.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit("batch").alias("source"))
+    )
+    cands = cross.unionByName(within).distinct()
+
+    sh_new = new_docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    sh_old = corpus.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    # the b-side shingles come from the corpus for cross pairs and from
+    # the batch for within pairs — one unioned lookup keyed by source
+    sh_b = sh_old.withColumn("source", F.lit("corpus")).unionByName(
+        sh_new.withColumn("source", F.lit("batch"))
+    )
+    return (
+        cands.join(sh_new.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(
+            sh_b.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "source"),
+            ["id_b", "source"],
+        )
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("shared") / (F.size("sh_a") + F.size("sh_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "source", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash via a vectorized Pandas UDF (Arrow-batched).
 

@@ -78,3 +78,46 @@ def test_prefix_filter_variant_identical(docs):
         tuple(r) for r in dedup.shingle_pairs_jaccard(docs, threshold=0.2, prefix_filter=True).collect()
     )
     assert base == pref
+
+
+def test_incremental_minhash_matches_full_recompute(spark):
+    """Batch-vs-index pairs must equal the full-corpus recompute
+    restricted to pairs touching the batch — running incrementally loses
+    nothing. Also exercises the pre-built corpus_signatures path."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "completely different text about spark physical plans",
+        "completely different text about spark physical plans here",
+        "unrelated third topic entirely on its own",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts * 3)]  # duplicates across ids
+    rows = [(i, texts[i % len(texts)]) for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.filter(F.col("doc_id") % 3 == 0)
+    old = df.filter(F.col("doc_id") % 3 != 0)
+
+    inc = dedup.minhash_lsh_pairs_incremental(new, old, threshold=0.5)
+    got = {(r["id_a"], r["id_b"], r["source"]) for r in inc.collect()}
+
+    full = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    new_ids = {r["doc_id"] for r in new.collect()}
+    want = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids and b in new_ids:
+            want.add((a, b, "batch"))
+        elif a in new_ids:
+            want.add((a, b, "corpus"))
+        elif b in new_ids:
+            want.add((b, a, "corpus"))  # batch doc always reported as id_a
+    assert got == want
+    assert any(s == "corpus" for _, _, s in got) and any(s == "batch" for _, _, s in got)
+
+    # supplying a persisted signature index skips corpus re-signing and
+    # must give the identical result
+    idx = dedup.minhash_signatures(old)
+    inc2 = dedup.minhash_lsh_pairs_incremental(new, old, threshold=0.5, corpus_signatures=idx)
+    assert {(r["id_a"], r["id_b"], r["source"]) for r in inc2.collect()} == got
