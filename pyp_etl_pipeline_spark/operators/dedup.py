@@ -283,6 +283,35 @@ def minhash_lsh_pairs(
     return verified
 
 
+def save_minhash_index(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the corpus MinHash signature index as a managed table
+    BUCKETED BY (band, sig) — the incremental dedup join key. Joining a
+    new batch's signatures against this table then shuffles ONLY the
+    batch side: the corpus index's exchange was paid once at write time
+    and is amortized over every subsequent ingest (the property pinned
+    in test_dedup.test_minhash_index_join_shuffles_batch_only). At 100 TB
+    the index is the (id, band, sig) relation — tiny next to the corpus
+    text — and each ingest reads it in place."""
+    from pyp_etl_pipeline_spark.sources.bucketed import write_bucketed  # noqa: PLC0415
+
+    sig = minhash_signatures(docs, id_col, text_col, n)
+    write_bucketed(sig, table, ["band", "sig"], n_buckets=n_buckets)
+
+
+def load_minhash_index(spark, table: str) -> DataFrame:
+    """Catalog read of a ``save_minhash_index`` table (bucket metadata
+    only survives the catalog path) — pass as ``corpus_signatures`` to
+    ``minhash_lsh_pairs_incremental``."""
+    return spark.table(table)
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,

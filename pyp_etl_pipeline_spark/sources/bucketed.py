@@ -21,24 +21,30 @@ Notes for real deployments (all standard Spark semantics):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | Sequence[str],
     n_buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+    ``bucket_col`` may be a single column or a list (composite bucket
+    key — joins must then use ALL bucket columns as equi-keys to skip
+    the exchange).
 
     Sorting within buckets additionally lets sort-merge joins skip their
     sort phase when the hash join is not chosen."""
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *cols)
     if sort:
-        w = w.sortBy(bucket_col)
+        w = w.sortBy(*cols)
     w.saveAsTable(table)
 
 

@@ -121,3 +121,44 @@ def test_incremental_minhash_matches_full_recompute(spark):
     idx = dedup.minhash_signatures(old)
     inc2 = dedup.minhash_lsh_pairs_incremental(new, old, threshold=0.5, corpus_signatures=idx)
     assert {(r["id_a"], r["id_b"], r["source"]) for r in inc2.collect()} == got
+
+
+def test_minhash_index_join_shuffles_batch_only(spark):
+    """The persisted (band, sig)-bucketed signature index joins against a
+    new batch's signatures with NO exchange on the index side — the
+    write-once-shuffle layout that makes per-ingest incremental dedup
+    O(batch). Results must match the unpersisted-signatures path."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "completely different text about spark physical plans",
+        "unrelated third topic entirely on its own",
+    ]
+    df = spark.createDataFrame(
+        [(i, texts[i % len(texts)]) for i in range(12)], "doc_id long, text string"
+    )
+    new = df.filter(F.col("doc_id") % 3 == 0)
+    old = df.filter(F.col("doc_id") % 3 != 0)
+
+    spark.sql("DROP TABLE IF EXISTS mh_index_test")
+    try:
+        dedup.save_minhash_index(old, "mh_index_test", n_buckets=4)
+        idx = dedup.load_minhash_index(spark, "mh_index_test")
+
+        sig_new = dedup.minhash_signatures(new).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = sig_new.join(idx.withColumnRenamed("id", "id_b"), ["band", "sig"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1, plan  # batch side only
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        inc_idx = dedup.minhash_lsh_pairs_incremental(new, old, threshold=0.5, corpus_signatures=idx)
+        inc_raw = dedup.minhash_lsh_pairs_incremental(new, old, threshold=0.5)
+        assert {tuple(r) for r in inc_idx.collect()} == {tuple(r) for r in inc_raw.collect()}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_index_test")
