@@ -1237,6 +1237,7 @@ _DRIVER_PRIORITY = [
     # (a) changed in round 6
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
+    "mx01_corpus_mixture",
     "dd04_dup_clusters",
     "mm05_mp4_metadata",
     "mm04_frame_sample_plan",

@@ -889,6 +889,52 @@ FROM documents
 SP01_SQL = _sp01_sql()
 
 
+MIX_RATES = [("wiki", 0, 2.3), ("web", 1, 0.25), ("code", 2, 1.0)]
+
+
+def mx01_corpus_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-mixture assembly: three pseudo-sources
+    (doc_id % 3 strata of the documents corpus) mixed at rates 2.3 /
+    0.25 / 1.0 — the 'repeat the high-quality corpus, down-sample the
+    crawl' move. Map-only column algebra (``sampling.mix_corpora``):
+    floor(rate) guaranteed copies per doc + a keyed-hash extra for the
+    fractional part; the oracle reproduces every copy decision
+    bit-for-bit."""
+    from pyp_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    sources = [
+        (name, d.filter(F.col("doc_id") % 3 == m).select("doc_id"), rate)
+        for name, m, rate in MIX_RATES
+    ]
+    out = sampling.mix_corpora(sources, "doc_id")
+    return out.select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
+
+
+def _mx01_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.sampling import BUCKETS, sql_hash_bucket  # noqa: PLC0415
+
+    branches = []
+    for name, m, rate in MIX_RATES:
+        whole = int(rate)
+        thresh = int((rate - whole) * BUCKETS)  # computed HERE so float
+        # rounding (e.g. 2.3 - 2 = 0.299...98) matches Spark exactly
+        b = sql_hash_bucket("doc_id", f"mix-v1:{name}")
+        branches.append(
+            f"SELECT doc_id, '{name}' AS source, "
+            f"{whole} + CASE WHEN {b} < {thresh} THEN 1 ELSE 0 END AS n "
+            f"FROM documents WHERE doc_id % 3 = {m}"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+SELECT doc_id, source, unnest(generate_series(0, n - 1))::BIGINT AS copy
+FROM ({union}) WHERE n > 0
+"""
+
+
+MX01_SQL = _mx01_sql()
+
+
 def sp02_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-25-per-event-type stratified sample of events, chosen by
     hash order (deterministic, unbiased within the stratum); plus the
@@ -1054,6 +1100,7 @@ QUERIES3 = {
     "p01_header_mapping": (p01_header_mapping, P01_SQL),
     "sp01_hash_split": (sp01_hash_split, SP01_SQL),
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
+    "mx01_corpus_mixture": (mx01_corpus_mixture, MX01_SQL),
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),
     "mm03_jpeg_decode": (mm03_jpeg_decode, MM03_SQL),
     "mm04_frame_sample_plan": (mm04_frame_sample_plan, MM04_SQL),

@@ -107,3 +107,50 @@ def stratified_fixed_n(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mix_corpora(
+    sources: list[tuple[str, DataFrame, float]],
+    key_col: str,
+    salt: str = "mix-v1",
+    source_col: str = "source",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic training-mixture assembly: each (name, df, rate)
+    source contributes ``rate`` expected copies of every document —
+    rate 0.25 down-samples to a quarter, rate 2.3 emits 2 copies of
+    every doc plus a 3rd for a keyed 30% subset (the standard
+    "repeat the high-quality corpus" mixing move). Per row:
+    ``floor(rate)`` guaranteed copies + one more iff the doc's hash
+    fraction < frac(rate). Pure column algebra + one explode per source
+    — map-only, no shuffle, stable under re-runs and corpus growth, so
+    a 100 TB mixture can be re-materialized (or streamed straight into
+    tokenization) with bit-identical composition. Output adds
+    ``source`` and a 0-based ``copy`` index (downstream shuffles/seeds
+    can mix on (source, key, copy)).
+
+    Columns are unioned by name across sources (missing columns are
+    allowed and null-filled) — schemas should share the key column.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    outs = []
+    for name, df, rate in sources:
+        if rate < 0:
+            raise ValueError(f"rate for {name!r} must be >= 0, got {rate}")
+        whole = int(rate)
+        frac = rate - whole
+        n_copies = F.lit(whole) + (
+            hash_bucket(key_col, f"{salt}:{name}") < int(frac * BUCKETS)
+        ).cast("int")
+        outs.append(
+            df.withColumn(source_col, F.lit(name))
+            .withColumn("__n", n_copies)
+            .filter(F.col("__n") > 0)
+            .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+            .drop("__n")
+        )
+    mixed = outs[0]
+    for o in outs[1:]:
+        mixed = mixed.unionByName(o, allowMissingColumns=True)
+    return mixed

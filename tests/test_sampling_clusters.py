@@ -184,3 +184,30 @@ def test_dup_clusters_unknown_strategy_rejected(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _pytest.raises(ValueError, match="unknown strategy"):
         dup_clusters(df, strategy="bfs")
+
+
+def test_mix_corpora_rates_and_determinism(spark):
+    d = spark.range(0, 600).select(F.col("id").alias("doc_id"))
+    srcs = [("a", d, 2.0), ("b", d, 0.5), ("c", d, 0.0)]
+    m = sampling.mix_corpora(srcs, "doc_id")
+    counts = {r["source"]: r["n"] for r in m.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 1200  # integral rate: exact
+    assert 240 <= counts["b"] <= 360  # keyed-hash half
+    assert "c" not in counts  # rate 0 contributes nothing
+    # deterministic re-run
+    again = {r["source"]: r["n"] for r in sampling.mix_corpora(srcs, "doc_id").groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+    # copy indexes are dense 0..n-1 per doc
+    per_doc = sampling.mix_corpora([("a", d, 2.3)], "doc_id").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy").alias("mx"), F.min("copy").alias("mn")
+    )
+    bad = per_doc.filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)).count()
+    assert bad == 0
+
+
+def test_mix_corpora_unions_by_name_with_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2,)], "doc_id long")
+    out = sampling.mix_corpora([("a", a, 1.0), ("b", b, 1.0)], "doc_id").collect()
+    rows = {(r["doc_id"], r["source"], r["text"]) for r in out}
+    assert rows == {(1, "a", "x"), (2, "b", None)}
