@@ -1238,6 +1238,7 @@ _DRIVER_PRIORITY = [
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",
+    "pk01_sequence_packing",
     "dd04_dup_clusters",
     "mm05_mp4_metadata",
     "mm04_frame_sample_plan",

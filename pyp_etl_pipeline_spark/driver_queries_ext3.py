@@ -935,6 +935,44 @@ FROM ({union}) WHERE n > 0
 MX01_SQL = _mx01_sql()
 
 
+def pk01_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence-packing plan: documents concatenated in doc_id
+    order and chunked into 512-token bins, one row per (bin, doc
+    segment). The Spark side runs the two-pass DISTRIBUTED prefix sum
+    (range repartition + per-partition window + broadcast partition
+    offsets — no single-partition global window); the DuckDB twin runs
+    the sequential single-node cumsum, so the gate proves the
+    distributed scan reproduces sequential packing bit-for-bit."""
+    from pyp_etl_pipeline_spark.operators import packing  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    return packing.pack_sequences(d, max_len=512)
+
+
+_PK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+PK01_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_PK_TOKS}) AS BIGINT) AS n FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS gend
+  FROM t WHERE n > 0
+),
+s AS (SELECT doc_id, n, gend - n AS gstart, gend FROM c),
+b AS (
+  SELECT doc_id, gstart, gend,
+         unnest(generate_series((gstart // 512)::BIGINT, ((gend - 1) // 512)::BIGINT)) AS bin_id
+  FROM s
+)
+SELECT bin_id, doc_id,
+       greatest(bin_id * 512, gstart) - gstart AS doc_offset,
+       least((bin_id + 1) * 512, gend) - greatest(bin_id * 512, gstart) AS seg_len,
+       greatest(bin_id * 512, gstart) - bin_id * 512 AS bin_offset
+FROM b
+"""
+
+
 def sp02_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-25-per-event-type stratified sample of events, chosen by
     hash order (deterministic, unbiased within the stratum); plus the
@@ -1101,6 +1139,7 @@ QUERIES3 = {
     "sp01_hash_split": (sp01_hash_split, SP01_SQL),
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
     "mx01_corpus_mixture": (mx01_corpus_mixture, MX01_SQL),
+    "pk01_sequence_packing": (pk01_sequence_packing, PK01_SQL),
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),
     "mm03_jpeg_decode": (mm03_jpeg_decode, MM03_SQL),
     "mm04_frame_sample_plan": (mm04_frame_sample_plan, MM04_SQL),

@@ -1,0 +1,95 @@
+"""Sequence packing for pretraining: concatenate documents into one
+token stream and split it into fixed-length context windows.
+
+The standard GPT-style packing move — documents are laid end to end in a
+deterministic order (doc id) and the stream is chunked every ``max_len``
+tokens; a document that straddles a chunk boundary is split across the
+two bins. This module plans that layout: one output row per (bin,
+document segment), with the in-document and in-bin offsets a downstream
+tokenizer/writer needs to materialize the packed sequences.
+
+The scale-relevant part is the GLOBAL PREFIX SUM over token counts. A
+naive ``sum() over (order by id)`` window has no partition key, so Spark
+executes it on a single partition — a non-starter on a corpus. Instead
+the classic two-pass distributed scan:
+
+1. range-repartition by id (contiguous id ranges per partition, global
+   order preserved across partitions);
+2. per-partition cumulative sum (window partitioned by the physical
+   partition id — fully parallel);
+3. a per-partition total relation (one row per partition) gets its own
+   tiny exclusive-prefix window and is broadcast back;
+4. global offset = partition offset + local cumulative sum.
+
+Two shuffles total (the range exchange + the #partitions-row
+aggregate), everything else map-side; the bin explosion is pure column
+algebra. The DuckDB oracle runs the single-node window equivalent, so
+the distributed scan is verified bit-for-bit against the sequential
+semantics (pk01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.operators.textan import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Plan the packed layout of ``df``'s documents into ``max_len``-token
+    bins (whitespace tokens, ``textan.token_count`` semantics; empty
+    docs contribute nothing).
+
+    Output: one row per (bin, doc segment) —
+    ``bin_id``, ``doc_id``, ``doc_offset`` (first packed token's index
+    within the doc), ``seg_len``, ``bin_offset`` (segment start within
+    the bin). Every bin except the last is exactly full:
+    sum(seg_len) over a bin = max_len.
+    """
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    toks = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("id"), token_count(text_col).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    # two-pass distributed prefix sum (see module docstring)
+    ranged = toks.repartitionByRange("id").withColumn("pid", F.spark_partition_id())
+    local_w = Window.partitionBy("pid").orderBy("id")
+    ranged = ranged.withColumn("local_end", F.sum("n").over(local_w))
+    pid_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("n").alias("psum"))
+        .withColumn("poffset", F.coalesce(F.sum("psum").over(pid_w), F.lit(0)))
+        .select("pid", "poffset")
+    )
+    spanned = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("gend", F.col("poffset") + F.col("local_end"))
+        .withColumn("gstart", F.col("gend") - F.col("n"))
+    )
+    L = F.lit(max_len).cast("long")
+    first_bin = F.floor(F.col("gstart") / L)
+    last_bin = F.floor((F.col("gend") - 1) / L)
+    seg = spanned.select(
+        "id",
+        "gstart",
+        "gend",
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
+    )
+    seg_start = F.greatest(F.col("bin_id") * L, F.col("gstart"))
+    seg_end = F.least((F.col("bin_id") + 1) * L, F.col("gend"))
+    return seg.select(
+        F.col("bin_id"),
+        F.col("id").alias("doc_id"),
+        (seg_start - F.col("gstart")).alias("doc_offset"),
+        (seg_end - seg_start).alias("seg_len"),
+        (seg_start - F.col("bin_id") * L).alias("bin_offset"),
+    )

@@ -141,3 +141,58 @@ def test_unigram_logprob(spark):
     assert out[2]["mean_logprob"] == round(expect2, 4)
     # common-token doc scores higher (closer to 0) than rare-token doc
     assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: every bin but the last is exactly full; doc
+    segments tile each doc's tokens without gaps; results are identical
+    whatever the input partitioning (the distributed prefix sum must not
+    depend on physical layout)."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.operators import packing
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = packing.pack_sequences(df, max_len=128).collect()
+
+    total_tokens = sum((i * 37) % 90 + 1 for i in range(60))
+    bins = {}
+    for r in out:
+        bins.setdefault(r["bin_id"], []).append(r)
+    n_bins = len(bins)
+    assert set(bins) == set(range(n_bins))
+    for b, segs in bins.items():
+        fill = sum(s["seg_len"] for s in segs)
+        assert fill == 128 or (b == n_bins - 1 and fill == total_tokens - 128 * (n_bins - 1))
+        # segments tile the bin contiguously
+        spans = sorted((s["bin_offset"], s["bin_offset"] + s["seg_len"]) for s in segs)
+        pos = 0
+        for st, en in spans:
+            assert st == pos
+            pos = en
+    # per-doc: segments cover 0..n_tokens contiguously
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["doc_offset"], r["doc_offset"] + r["seg_len"]))
+    for i, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 == s2
+        assert spans[-1][1] == (i * 37) % 90 + 1
+
+    # partition invariance
+    for parts in (1, 7):
+        again = packing.pack_sequences(df.repartition(parts), max_len=128).collect()
+        assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_pack_sequences_rejects_bad_len(spark):
+    import pytest as _pytest
+
+    from pyp_etl_pipeline_spark.operators import packing
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="positive"):
+        packing.pack_sequences(df, max_len=0)
