@@ -1239,6 +1239,7 @@ _DRIVER_PRIORITY = [
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",
     "pk01_sequence_packing",
+    "px01_pii_scrub",
     "dd04_dup_clusters",
     "mm05_mp4_metadata",
     "mm04_frame_sample_plan",

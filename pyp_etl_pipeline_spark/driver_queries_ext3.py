@@ -935,6 +935,61 @@ FROM ({union}) WHERE n > 0
 MX01_SQL = _mx01_sql()
 
 
+def px01_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-corpus PII redaction: deterministic PII payloads (email /
+    phone / ipv4+ssn, keyed on doc_id) are injected into document text,
+    then ``masking.scrub_pii`` replaces every hit with a typed
+    placeholder and ``pii_counts`` tallies per-class hits — all pure
+    JVM-side regex column algebra, map-only. The DuckDB twin applies the
+    identical engine-portable patterns in the identical order, so any
+    dialect drift (greediness, anchor semantics, replace-all behavior)
+    breaks the hash match."""
+    from pyp_etl_pipeline_spark.functions import masking  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(k % 4 == 0, F.concat(F.lit(" contact user"), k, F.lit("@example.com now")))
+        .when(k % 4 == 1, F.concat(F.lit(" call (555) 123-"), F.lpad((k % 10000).cast("string"), 4, "0")))
+        .when(k % 4 == 2, F.concat(F.lit(" from 10.0."), (k % 256).cast("string"), F.lit(".7 ssn 123-45-"), F.lpad((k % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit(" clean suffix")),
+    )
+    pii = masking.pii_counts(injected)
+    return d.select(
+        "doc_id",
+        masking.scrub_pii(injected).alias("scrubbed"),
+        *[pii[n].cast("long").alias(f"n_{n}") for n in ("email", "phone", "ipv4", "ssn")],
+    )
+
+
+def _px01_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.masking import PII_PATTERNS  # noqa: PLC0415
+
+    inj = (
+        "text || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com now' "
+        "WHEN doc_id % 4 = 1 THEN ' call (555) 123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+        "WHEN doc_id % 4 = 2 THEN ' from 10.0.' || (doc_id % 256) || '.7 ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+        "ELSE ' clean suffix' END"
+    )
+    scrub = "inj"
+    for name in ("email", "phone", "ssn", "ipv4"):
+        pat = PII_PATTERNS[name].replace("'", "''")
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(inj, '{PII_PATTERNS[n]}')) AS BIGINT) AS n_{n}"
+        for n in ("email", "phone", "ipv4", "ssn")
+    )
+    return f"""
+WITH i AS (SELECT doc_id, {inj} AS inj FROM documents)
+SELECT doc_id, {scrub} AS scrubbed, {counts}
+FROM i
+"""
+
+
+PX01_SQL = _px01_sql()
+
+
 def pk01_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-style sequence-packing plan: documents concatenated in doc_id
     order and chunked into 512-token bins, one row per (bin, doc
@@ -1140,6 +1195,8 @@ QUERIES3 = {
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
     "mx01_corpus_mixture": (mx01_corpus_mixture, MX01_SQL),
     "pk01_sequence_packing": (pk01_sequence_packing, PK01_SQL),
+    "px01_pii_scrub": (px01_pii_scrub, PX01_SQL),
+
     "mm02_media_decode": (mm02_media_decode, MM02_SQL),
     "mm03_jpeg_decode": (mm03_jpeg_decode, MM03_SQL),
     "mm04_frame_sample_plan": (mm04_frame_sample_plan, MM04_SQL),

@@ -41,3 +41,44 @@ def mask_columns(df: DataFrame, extra_sensitive: tuple[str, ...] = ()) -> DataFr
                 col = mask_base64ish(col)
         out.append(col.alias(f_.name))
     return df.select(*out)
+
+
+# ------------------------------------------------------------------ PII scrub
+#
+# Training-corpus PII redaction as pure column algebra (the scale
+# extension of T9's audit masking): conservative, engine-portable
+# regexes — each pattern uses only syntax that Java regex (Spark) and
+# RE2 (DuckDB) interpret identically, so the px01 oracle reproduces
+# every replacement bit-for-bit. Patterns are deliberately
+# high-precision (anchored shapes, length-bounded runs): at 100 TB a
+# recall-greedy PII pass destroys training text; precision-first with
+# per-class counters lets the pipeline quantify and iterate.
+
+PII_PATTERNS = {
+    # local@domain.tld — no nested quantifiers, no backtracking blowups
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,6}",
+    # 1-555-123-4567 / (555) 123-4567 / 555-123-4567 style NANP shapes
+    "phone": r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    # dotted-quad IPv4
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # 123-45-6789 SSN shape
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-class PII hit counters (regexp_count — JVM-side)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Replace every PII hit with a typed placeholder (<EMAIL>, <PHONE>,
+    <IPV4>, <SSN>). Order matters and is FIXED: email before phone (an
+    address can contain digit runs), ssn before ipv4 is irrelevant but
+    pinned for determinism — the oracle applies the same order."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = c
+    for name in ("email", "phone", "ssn", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out

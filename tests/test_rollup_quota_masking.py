@@ -121,3 +121,35 @@ def test_daily_quota_states():
     q.record("2026-08-13", 200)
     assert q.state("2026-08-13") == "exceeded"
     assert q.state("2026-08-14") == "ok"        # day buckets independent
+
+
+def test_scrub_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.functions import masking
+
+    rows = [
+        (1, "mail me at alice.smith+x@corp.example.com today"),
+        (2, "call (555) 123-4567 or 555-987-6543 now"),
+        (3, "server 192.168.1.200 ssn 123-45-6789"),
+        (4, "nothing sensitive here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    pii = masking.pii_counts(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            masking.scrub_pii("t").alias("s"),
+            *[pii[n].alias(n) for n in ("email", "phone", "ipv4", "ssn")],
+        ).collect()
+    }
+    assert out[1]["s"] == "mail me at <EMAIL> today"
+    assert out[1]["email"] == 1 and out[1]["phone"] == 0
+    assert out[2]["s"] == "call <PHONE> or <PHONE> now"
+    assert out[2]["phone"] == 2
+    assert out[3]["s"] == "server <IPV4> ssn <SSN>"
+    assert out[3]["ipv4"] == 1 and out[3]["ssn"] == 1
+    assert out[4]["s"] == "nothing sensitive here"
+    assert out[5]["s"] is None
