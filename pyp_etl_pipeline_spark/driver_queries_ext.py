@@ -844,6 +844,46 @@ FROM ver WHERE shared / (na + nb - shared) >= 0.5
 DD05_SQL = _dd05_sql()
 
 
+def dd06_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide duplicate-span removal (C4-style line dedup adapted to
+    unstructured text): 10-word spans deduped across the whole corpus,
+    first occurrence kept, documents rebuilt in place
+    (``dedup.span_dedup``). Spark elects first occurrences with a
+    map-side-combinable ``min(struct)`` aggregate; the DuckDB twin uses
+    the single-node ``row_number() OVER (PARTITION BY span)`` — matching
+    rebuilt-text hashes prove the distributed election picks exactly the
+    sequential winners."""
+    out = dedup.span_dedup(_load_corpus(spark, sf, "documents"), k=10)
+    return out.select("doc_id", "n_spans", "n_kept", F.md5("text").alias("text_fp"))
+
+
+DD06_SQL = f"""
+WITH b AS (
+  SELECT doc_id, toks, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) AS n_spans
+  FROM (SELECT doc_id, string_split({core.sql_normalized_text("text")}, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL)
+),
+sp AS (
+  SELECT doc_id, i AS idx, array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ') AS span
+  FROM b, unnest(generate_series(0, n_spans - 1)) AS r(i)
+),
+k AS (
+  SELECT doc_id, idx, span
+  FROM (SELECT doc_id, idx, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn FROM sp)
+  WHERE rn = 1
+),
+r AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(span, ' ' ORDER BY idx) AS txt
+  FROM k GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.txt, '')) AS text_fp
+FROM b LEFT JOIN r USING (doc_id)
+"""
+
+
 def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Arrow pandas-UDF fingerprints). The DuckDB
     twin reproduces the md5 bit-vote fingerprints exactly (verified
@@ -1201,6 +1241,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd03_minhash_lsh_pairs": (dd03_minhash_lsh_pairs, DD03_SQL),
     "dd04_dup_clusters": (dd04_dup_clusters, DD04_SQL),
     "dd05_incremental_minhash": (dd05_incremental_minhash, DD05_SQL),
+    "dd06_span_dedup": (dd06_span_dedup, DD06_SQL),
     "dc01_decontaminate": (dc01_decontaminate, DC01_SQL),
     "sh01_simhash_pairs": (sh01_simhash_pairs, SH01_SQL),
     # ANN
@@ -1235,6 +1276,7 @@ REGISTRY.update(QUERIES3)
 # without a driver-side row.
 _DRIVER_PRIORITY = [
     # (a) changed in round 6
+    "dd06_span_dedup",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

@@ -455,6 +455,77 @@ def simhash_pairs(
     return cands.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicate-SPAN removal — the C4/RefinedWeb
+    "remove duplicate lines across the corpus" step, adapted to
+    unstructured text: each document's normalized text is chunked into
+    consecutive non-overlapping ``k``-word spans, every span whose exact
+    text already occurred earlier in the corpus (first occurrence =
+    smallest ``(doc_id, span_idx)``) is dropped, and the surviving spans
+    are re-joined in order. Unlike document-level dedup (dd01/dd03) this
+    rewrites documents in place, which is how boilerplate (headers,
+    navigation, license blocks) is actually removed from web corpora.
+
+    Physical shape for 100 TB: chunking is map-only; first-occurrence
+    election is ONE groupBy on the span fingerprint with a
+    ``min(struct)`` aggregate — map-side combinable, so a boilerplate
+    span repeated a billion times collapses to one row per map task
+    before the shuffle (a window ``row_number`` over the same key would
+    sort the full billion-row group instead — that is why the election
+    is an aggregate, not a window). Join-back is keyed by fingerprint
+    against the unique-per-fp winner set, then one groupBy(doc) rebuild.
+    No window over corpus-sized groups, no skew bomb.
+
+    Output: one row per input document —
+    (doc_id, n_spans, n_kept, text) with ``text`` rebuilt from the kept
+    spans ('' when every span was seen earlier).
+    """
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.split(normalized_text(text_col), " ").alias("toks")
+    )
+    n_spans = F.ceil(F.size("toks") / F.lit(k)).cast("int")
+    base = docs.select("id", "toks", F.greatest(n_spans, F.lit(1)).alias("n_spans"))
+    spans = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_spans") - 1),
+                lambda i: F.array_join(F.slice("toks", i * k + 1, k), " "),
+            )
+        ).alias("idx", "span"),
+    ).withColumn("fp", F.md5("span"))
+    winners = spans.groupBy("fp").agg(F.min(F.struct("id", "idx")).alias("w"))
+    kept = (
+        spans.join(winners, "fp")
+        .filter((F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx")))
+        .select("id", "idx", "span")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))), lambda s: s["span"]
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return (
+        base.select("id", "n_spans")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ clusters
 
 def _star_components(edges: DataFrame, max_iterations: int, strict: bool) -> DataFrame:

@@ -162,3 +162,37 @@ def test_minhash_index_join_shuffles_batch_only(spark):
         assert {tuple(r) for r in inc_idx.collect()} == {tuple(r) for r in inc_raw.collect()}
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_index_test")
+
+
+def test_span_dedup_removes_corpus_wide_spans(spark):
+    # k=3 spans; doc 1 and doc 2 share an identical 6-word prefix (2 spans),
+    # doc 3 is entirely a copy of doc 1, doc 4 is unique.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique one tail"),
+        (2, "alpha beta gamma delta epsilon zeta other two tail"),
+        (3, "alpha beta gamma delta epsilon zeta unique one tail"),
+        (4, "totally fresh words nobody else uses here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup(df, k=3).collect()}
+
+    assert out[1]["n_spans"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["text"] == rows[0][1]
+    # doc 2 loses the two shared prefix spans, keeps its own suffix
+    assert out[2]["n_spans"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["text"] == "other two tail"
+    # doc 3 is a full duplicate: nothing survives
+    assert out[3]["n_kept"] == 0 and out[3]["text"] == ""
+    # doc 4 untouched (short last span kept as-is)
+    assert out[4]["n_spans"] == 3 and out[4]["n_kept"] == 3
+    assert out[4]["text"] == rows[3][1]
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    # the same 2-word span repeated inside ONE doc: only the first stays
+    df = spark.createDataFrame(
+        [(7, "ping pong ping pong ping pong")], "doc_id long, text string"
+    )
+    row = dedup.span_dedup(df, k=2).collect()[0]
+    assert row["n_spans"] == 3 and row["n_kept"] == 1
+    assert row["text"] == "ping pong"
