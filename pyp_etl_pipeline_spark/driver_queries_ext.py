@@ -1165,6 +1165,45 @@ GROUP BY doc_id
 """
 
 
+def tx07_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021): five
+    structural signals + per-rule booleans + the conjunction, map-only.
+    The twin recomputes every signal AND every threshold comparison on
+    the unrounded doubles, so a dialect drift in division or comparison
+    semantics flips a boolean and breaks the hash."""
+    out = textan.gopher_quality_flags(_load_corpus(spark, sf, "documents"))
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _tx07_sql() -> str:
+    stops = "[" + ", ".join(f"'{s}'" for s in textan.GOPHER_REQUIRED_STOPWORDS) + "]"
+    nw = f"len({_TOKS})"
+    mwl = f"(CASE WHEN {nw} = 0 THEN 0.0 ELSE list_sum(list_transform({_TOKS}, w -> length(w))) / {nw} END)"
+    sym = f"(CASE WHEN {nw} = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '#|\\.\\.\\.')) / {nw} END)"
+    alpha = f"(CASE WHEN {nw} = 0 THEN 0.0 ELSE len(list_filter({_TOKS}, w -> regexp_matches(w, '[A-Za-z]'))) / {nw} END)"
+    stop = f"len(list_filter({_TOKS}, w -> list_contains({stops}, lower(w))))"
+    return f"""
+WITH f AS (
+  SELECT doc_id, CAST({nw} AS BIGINT) AS n_words, {mwl} AS mwl, {sym} AS sym,
+         {alpha} AS alpha, CAST({stop} AS BIGINT) AS n_stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, round(sym, 6) AS symbol_ratio,
+       round(alpha, 6) AS alpha_word_ratio, n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mwl >= 3.0 AND mwl <= 10.0) AS ok_word_len,
+       (sym <= 0.1) AS ok_symbol,
+       (alpha >= 0.8) AS ok_alpha,
+       (n_stop_hits >= 2) AS ok_stopwords,
+       (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND sym <= 0.1 AND alpha >= 0.8 AND n_stop_hits >= 2) AS gopher_pass
+FROM f
+"""
+
+
+TX07_SQL = _tx07_sql()
+
+
 # --------------------------------------------------------------------------
 # ST: structured streaming (batch-equivalent oracle)
 # --------------------------------------------------------------------------
@@ -1250,6 +1289,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "nd01_embed_neardup": (nd01_embed_neardup, ND01_SQL),
     # TX
     "tx01_quality_features": (tx01_quality_features, TX01_SQL),
+    "tx07_gopher_rules": (tx07_gopher_rules, TX07_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1277,6 +1317,7 @@ REGISTRY.update(QUERIES3)
 _DRIVER_PRIORITY = [
     # (a) changed in round 6
     "dd06_span_dedup",
+    "tx07_gopher_rules",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

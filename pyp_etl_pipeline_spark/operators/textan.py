@@ -184,3 +184,84 @@ def unigram_logprob(
         # float avg flips its 4th decimal with partition layout
         aggregates.exact_avg("logp").alias("mean_logprob"),
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021, table A1;
+    the C4/RefinedWeb heuristic family): per document, the five cheap
+    structural signals and a boolean per rule plus the conjunction —
+    the standard first-pass gate of an LLM data pipeline, applied before
+    any model-based scoring.
+
+    Rules (defaults = the published Gopher thresholds where applicable):
+    word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'-or-ellipsis symbol-to-
+    word ratio <= max_symbol_ratio; fraction of words containing an
+    alphabetic character >= min_alpha_ratio; >= min_stop_hits occurrences
+    of the required-stopword list.
+
+    All pure column algebra, map-only, zero shuffle — at 100 TB this is
+    a per-split scan that pipelines into whatever filter consumes
+    ``gopher_pass``. Each heavy input (token array) is projected as its
+    own column so Catalyst evaluates it once (no CSE inside when()).
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    n_stop_hits, ok_* flags, gopher_pass).
+    """
+    sw = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__txt"),
+        whitespace_tokens(text_col).alias("__w"),
+    )
+    n_words = F.size("__w")
+    feats = t.select(
+        "id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(F.aggregate("__w", F.lit(0), lambda a, x: a + F.length(x)) / n_words)
+        .alias("__mwl"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(F.regexp_count("__txt", F.lit(r"#|\.\.\.")) / n_words)
+        .alias("__sym"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(F.size(F.filter("__w", lambda x: x.rlike("[A-Za-z]"))) / n_words)
+        .alias("__alpha"),
+        F.size(F.filter("__w", lambda x: F.array_contains(sw, F.lower(x))))
+        .cast("long")
+        .alias("n_stop_hits"),
+    )
+    return feats.select(
+        "id",
+        "n_words",
+        F.round("__mwl", 6).alias("mean_word_len"),
+        F.round("__sym", 6).alias("symbol_ratio"),
+        F.round("__alpha", 6).alias("alpha_word_ratio"),
+        "n_stop_hits",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias("ok_word_count"),
+        ((F.col("__mwl") >= min_mean_word_len) & (F.col("__mwl") <= max_mean_word_len)).alias("ok_word_len"),
+        (F.col("__sym") <= max_symbol_ratio).alias("ok_symbol"),
+        (F.col("__alpha") >= min_alpha_ratio).alias("ok_alpha"),
+        (F.col("n_stop_hits") >= min_stop_hits).alias("ok_stopwords"),
+        (
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+            & (F.col("__mwl") >= min_mean_word_len) & (F.col("__mwl") <= max_mean_word_len)
+            & (F.col("__sym") <= max_symbol_ratio)
+            & (F.col("__alpha") >= min_alpha_ratio)
+            & (F.col("n_stop_hits") >= min_stop_hits)
+        ).alias("gopher_pass"),
+    )

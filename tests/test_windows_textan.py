@@ -196,3 +196,26 @@ def test_pack_sequences_rejects_bad_len(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="positive"):
         packing.pack_sequences(df, max_len=0)
+
+
+def test_gopher_quality_flags_rules(spark):
+    from pyp_etl_pipeline_spark.operators import textan
+
+    long_good = " ".join(["the", "cat", "sat", "with", "that", "dog"] * 10)  # 60 words
+    rows = [
+        (1, long_good),                                   # passes everything
+        (2, "short text only"),                           # fails word count + stopwords
+        (3, " ".join(["ab"] * 60)),                       # mean word len 2 -> fails
+        (4, " ".join(["the", "of", "####", "..."] * 20)), # symbol-heavy
+        (5, " ".join(["123", "456"] * 40)),               # no alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in textan.gopher_quality_flags(df).collect()}
+
+    assert out[1]["gopher_pass"] is True and out[1]["n_words"] == 60
+    assert out[2]["ok_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["ok_word_len"] is False and out[3]["mean_word_len"] == 2.0
+    assert out[4]["ok_symbol"] is False and out[4]["symbol_ratio"] > 0.1
+    assert out[5]["ok_alpha"] is False and out[5]["alpha_word_ratio"] == 0.0
+    # stopword rule: doc 3 has zero required stopwords
+    assert out[3]["n_stop_hits"] == 0 and out[3]["ok_stopwords"] is False
