@@ -1165,6 +1165,48 @@ GROUP BY doc_id
 """
 
 
+def rj01_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join via bin-bucketed equi-join
+    (``operators/ranges.interval_join``): for every error event, count
+    the same user's click events inside the 15-minute window after the
+    error. A naive BETWEEN theta-join is O(points x intervals) BNLJ;
+    here intervals explode to <=2 bins (bin width == window length) and
+    the join is a shuffled hash join on (user_id, bin). The left-outer
+    accounting (errors with zero clicks) composes on top by joining the
+    aggregated counts back to the interval side."""
+    from pyp_etl_pipeline_spark.operators.ranges import interval_join  # noqa: PLC0415
+
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    matched = interval_join(clicks, errors, bin_width_s=900, keys=["user_id"])
+    counts = matched.groupBy("event_id", "user_id").agg(F.count("*").alias("n_clicks"))
+    return (
+        errors.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left")
+        .select("event_id", "user_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+    )
+
+
+RJ01_SQL = """
+WITH err AS (
+  SELECT event_id, user_id, ts AS start_ts, ts + INTERVAL 15 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT err.event_id, err.user_id,
+       CAST(count(clk.ts) AS BIGINT) AS n_clicks
+FROM err LEFT JOIN clk
+  ON clk.user_id = err.user_id AND clk.ts >= err.start_ts AND clk.ts <= err.end_ts
+GROUP BY 1, 2
+"""
+
+
 def tx07_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style rule-based quality gate (Rae et al. 2021): five
     structural signals + per-rule booleans + the conjunction, map-only.
@@ -1290,6 +1332,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # TX
     "tx01_quality_features": (tx01_quality_features, TX01_SQL),
     "tx07_gopher_rules": (tx07_gopher_rules, TX07_SQL),
+    "rj01_interval_join": (rj01_interval_join, RJ01_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1318,6 +1361,7 @@ _DRIVER_PRIORITY = [
     # (a) changed in round 6
     "dd06_span_dedup",
     "tx07_gopher_rules",
+    "rj01_interval_join",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",
