@@ -1165,6 +1165,38 @@ GROUP BY doc_id
 """
 
 
+def ex01_shard_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic shard export plan (``operators/export``): every doc
+    is assigned to one of 16 shards by a portable md5-prefix hash of its
+    key — membership depends only on the key, never on partitioning or
+    input order. The query returns per-shard counts, total chars, and an
+    order-independent content checksum; the DuckDB twin recomputes the
+    same hash family, so the shard CONTRACT (not just the counts) is
+    what the gate verifies."""
+    from pyp_etl_pipeline_spark.operators import export  # noqa: PLC0415
+
+    d = export.shard_assign(load_table(spark, sf, "documents"), "doc_id", 16)
+    return d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(export.shard_key("doc_id") % F.lit(1_000_000_000)).alias("checksum"),
+    )
+
+
+EX01_SQL = """
+WITH h AS (
+  SELECT n_chars,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hk
+  FROM documents
+)
+SELECT CAST(hk % 16 AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(hk % 1000000000) AS BIGINT) AS checksum
+FROM h GROUP BY 1
+"""
+
+
 def rj01_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval join via bin-bucketed equi-join
     (``operators/ranges.interval_join``): for every error event, count
@@ -1333,6 +1365,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx01_quality_features": (tx01_quality_features, TX01_SQL),
     "tx07_gopher_rules": (tx07_gopher_rules, TX07_SQL),
     "rj01_interval_join": (rj01_interval_join, RJ01_SQL),
+    "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1362,6 +1395,7 @@ _DRIVER_PRIORITY = [
     "dd06_span_dedup",
     "tx07_gopher_rules",
     "rj01_interval_join",
+    "ex01_shard_stats",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

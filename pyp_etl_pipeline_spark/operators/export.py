@@ -1,0 +1,55 @@
+"""Deterministic sharded export of a training corpus.
+
+The last step of a data pipeline: write the corpus as N stable shards
+whose membership depends only on the row key — not on partition count,
+cluster size, or input order — so a re-run, a resumed export, or a
+different cluster produces byte-identical shard membership. Downstream
+trainers then stream shard files independently (one reader per shard)
+and any shard can be re-exported alone.
+
+Hash is the engine-portable md5-prefix integer (same family as the
+MinHash/sampling operators) rather than Spark's internal ``hash()``:
+reproducible in any system that can md5, which is what makes the shard
+layout a durable CONTRACT rather than an engine artifact.
+
+Scale: assignment is map-only; the write is one hash repartition by
+shard (each output task writes exactly one shard directory via
+``partitionBy``) with rows sorted by key inside the shard for
+deterministic file content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_key(c: Column | str) -> Column:
+    """Portable 60-bit integer hash of a key column (md5-prefix)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def shard_assign(df: DataFrame, id_col: str = "doc_id", n_shards: int = 16) -> DataFrame:
+    """Add a deterministic ``shard`` column in [0, n_shards)."""
+    return df.withColumn("shard", (shard_key(id_col) % F.lit(n_shards)).cast("int"))
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``path/shard=K/`` parquet directories: one
+    shuffle keyed by shard, rows sorted by ``id_col`` within each shard
+    so repeated exports of the same data produce identical files."""
+    out = shard_assign(df, id_col, n_shards)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
