@@ -1303,6 +1303,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def st05_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream event-time window join
+    (``streaming.events.streaming_window_join``): errors and clicks read
+    as TWO independent streams, each click joined to same-user errors
+    whose 6-hour window contains it. Watermarks + the two-sided time
+    bound keep join state bounded. Driven to completion over the static
+    parquet; the oracle is the batch inner interval join, so the
+    streaming join must reproduce it exactly."""
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        streaming_window_join,
+    )
+
+    name = "st05_out_" + uuid.uuid4().hex[:8]
+    errors = (
+        read_events_stream(spark, sf)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_event_id"), "user_id", F.col("ts").alias("start_ts"))
+    )
+    clicks = (
+        read_events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_event_id"), "user_id", "ts")
+    )
+    joined = streaming_window_join(errors, clicks, window="6 hours", watermark="12 hours").select(
+        "err_event_id", "user_id", "click_event_id"
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+ST05_SQL = """
+WITH err AS (
+  SELECT event_id AS err_event_id, user_id, ts AS start_ts
+  FROM events WHERE event_type = 'error'
+),
+clk AS (SELECT event_id AS click_event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT err.err_event_id, err.user_id, clk.click_event_id
+FROM err JOIN clk
+  ON clk.user_id = err.user_id
+ AND clk.ts >= err.start_ts AND clk.ts <= err.start_ts + INTERVAL 6 HOUR
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1366,6 +1412,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx07_gopher_rules": (tx07_gopher_rules, TX07_SQL),
     "rj01_interval_join": (rj01_interval_join, RJ01_SQL),
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
+    "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1396,6 +1443,7 @@ _DRIVER_PRIORITY = [
     "tx07_gopher_rules",
     "rj01_interval_join",
     "ex01_shard_stats",
+    "st05_stream_stream_join",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

@@ -61,3 +61,37 @@ def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
     n_events = load_events(spark, sf_dir).count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_streaming_window_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    def legs(df):
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("start_ts")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        return errors, clicks
+
+    s_err, s_clk = legs(stream_ev.read_events_stream(spark, sf_dir))
+    joined = stream_ev.streaming_window_join(
+        s_err, s_clk, interval_ts="start_ts", window="6 hours", watermark="12 hours"
+    ).select("err_id", "click_id")
+    stream_ev.run_to_memory(joined, "t_ssjoin", output_mode="append")
+    got = {(r["err_id"], r["click_id"]) for r in spark.table("t_ssjoin").collect()}
+
+    b_err, b_clk = legs(load_events(spark, sf_dir))
+    want = {
+        (r["err_id"], r["click_id"])
+        for r in b_err.alias("e")
+        .join(
+            b_clk.alias("c"),
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("e.start_ts"))
+            & (F.col("c.ts") <= F.col("e.start_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
