@@ -43,6 +43,10 @@ EXTENDED = [
     # round 6
     "dd05_incremental_minhash",
     "mm05_mp4_metadata",
+    "dd06_span_dedup",
+    "rj01_interval_join",
+    "tx07_gopher_rules",
+    "ex01_shard_stats",
 ]
 
 HEADLINE = [
