@@ -1303,6 +1303,60 @@ FROM events GROUP BY 1, 2
 """
 
 
+def tx08_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-extraction step: deterministic HTML markup (keyed on doc_id)
+    wraps each document, then ``text.extract_html_text`` strips tags,
+    decodes entities (&amp; last — ordering is part of the contract),
+    collapses whitespace. The twin applies the identical regex chain in
+    DuckDB, so tag-regex or replace-order drift breaks the hash."""
+    from pyp_etl_pipeline_spark.functions import text as textfn  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), k, F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.when(k % 3 == 0, F.concat(F.lit('<a href="http://ex.example/'), k, F.lit('">link</a> &amp; more')))
+        .when(k % 3 == 1, F.lit("<ul><li>x&lt;y</li><li>&quot;q&quot;</li></ul>"))
+        .otherwise(F.lit("<br/>")),
+        F.lit("</body></html>"),
+    )
+    # project the built markup ONCE, then derive the three outputs from
+    # the materialized column (no CSE across expressions otherwise)
+    withh = d.select("doc_id", html.alias("__h"))
+    return withh.select(
+        "doc_id",
+        textfn.extract_html_text("__h").alias("extracted"),
+        F.regexp_count("__h", F.lit("<[^>]+>")).cast("long").alias("n_tags"),
+        F.col("__h").contains("<a href").alias("has_link"),
+    )
+
+
+def _tx08_sql() -> str:
+    inj = (
+        "'<html><body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"http://ex.example/' || doc_id || '\">link</a> &amp; more' "
+        "WHEN doc_id % 3 = 1 THEN '<ul><li>x&lt;y</li><li>&quot;q&quot;</li></ul>' "
+        "ELSE '<br/>' END || '</body></html>'"
+    )
+    ext = "regexp_replace(h, '<[^>]+>', '', 'g')"
+    for pat, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;|&#34;", '"'),
+        ("&#x27;|&#39;|&apos;", "''"), ("&amp;", "&"),
+    ):
+        ext = f"regexp_replace({ext}, '{pat}', '{rep}', 'g')"
+    ext = f"trim(regexp_replace({ext}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH h AS (SELECT doc_id, {inj} AS h FROM documents)
+SELECT doc_id, {ext} AS extracted,
+       CAST(len(regexp_extract_all(h, '<[^>]+>')) AS BIGINT) AS n_tags,
+       contains(h, '<a href') AS has_link
+FROM h
+"""
+
+
+TX08_SQL = _tx08_sql()
+
+
 def st05_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream event-time window join
     (``streaming.events.streaming_window_join``): errors and clicks read
@@ -1413,6 +1467,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rj01_interval_join": (rj01_interval_join, RJ01_SQL),
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
+    "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1444,6 +1499,7 @@ _DRIVER_PRIORITY = [
     "rj01_interval_join",
     "ex01_shard_stats",
     "st05_stream_stream_join",
+    "tx08_html_extract",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

@@ -49,6 +49,31 @@ def escape_html_entities(c: Column | str) -> Column:
     return c
 
 
+def decode_html_entities(c: Column | str) -> Column:
+    """Inverse of ``escape_html_entities`` for the five named entities
+    (+ the common numeric forms of quote/apos). ``&amp;`` is decoded
+    LAST so ``&amp;lt;`` round-trips to the literal ``&lt;`` text
+    rather than double-decoding to ``<`` — the same ordering contract
+    as python's ``html.unescape`` for this subset. Full numeric/named
+    entity coverage needs a per-row lookup; web-extraction pipelines
+    normalize the long tail before ingest."""
+    c = _col(c)
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    c = F.regexp_replace(c, "&quot;|&#34;", '"')
+    c = F.regexp_replace(c, "&#x27;|&#39;|&apos;", "'")
+    c = F.regexp_replace(c, "&amp;", "&")
+    return c
+
+
+def extract_html_text(c: Column | str) -> Column:
+    """Web-page -> training-text extraction (trafilatura-lite): drop
+    tags, decode the common entities, collapse whitespace, trim. Pure
+    map-side column algebra — at corpus scale this pipelines into the
+    scan that feeds quality filtering / dedup."""
+    return F.trim(collapse_whitespace(decode_html_entities(strip_html(_col(c)))))
+
+
 def sanitize_string(c: Column | str, escape_entities: bool = True) -> Column:
     """T1: trim, strip tags, optionally escape HTML entities."""
     out = strip_html(F.trim(_col(c)))

@@ -93,3 +93,21 @@ def test_valid_email_optional(spark):
     vals = ["a@b.co", "bad@", "no-at.com", None, "x@y.io"]
     out = one_col(spark, vals, validation.valid_email)
     assert out == [True, False, False, True, True]
+
+
+def test_extract_html_text(spark):
+    from pyp_etl_pipeline_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "<p>hello   <b>world</b></p>"),
+        (2, "x &amp;lt; y"),          # &amp;lt; -> literal "&lt;", NOT "<"
+        (3, "a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; done"),
+        (4, "<a href='u'>link</a>text<br/>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, h string")
+    got = {r["id"]: r["out"] for r in df.select("id", T.extract_html_text("h").alias("out")).collect()}
+    assert got[1] == "hello world"
+    assert got[2] == "x &lt; y"
+    assert got[3] == "a <tag> \"q\" 's' & done"
+    assert got[4] == "linktext"
