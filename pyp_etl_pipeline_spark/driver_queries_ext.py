@@ -1303,6 +1303,69 @@ FROM events GROUP BY 1, 2
 """
 
 
+def ann04_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations) over the
+    embeddings — the trained coarse quantizer for IVF
+    (``similarity.kmeans_fit``). All arithmetic is exact integer math on
+    micro-quantized components, so the DuckDB twin (the same iterations
+    unrolled as CTEs, single-node) reproduces every assignment and
+    distance bit-for-bit: the gate certifies the DISTRIBUTED clustering
+    loop (literal-broadcast assignment pass + one (cluster,dim)-combined
+    shuffle per iteration) against a sequential reference."""
+    emb = _load_corpus(spark, sf, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
+    out = similarity.kmeans_assign(emb, cents)
+    return out.select(F.col("id").alias("vec_id"), "cluster_id", F.col("dist").alias("dist"))
+
+
+def _ann04_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    micro = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding, {micro} AS xm FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, xm AS cm
+  FROM (SELECT vec_id, xm FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    prev = "c0"
+    for t in range(1, n_iter + 1):
+        sql += f""",
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.xm", "c.cm")}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.cid, t.i,
+         CAST(floor(sum(e.xm[t.i]) / count(*) + 0.5) AS BIGINT) AS comp
+  FROM a{t} a JOIN e USING (vec_id) CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT p.cid, coalesce(n.cm, p.cm) AS cm
+  FROM {prev} p LEFT JOIN
+       (SELECT cid, array_agg(comp ORDER BY i) AS cm FROM u{t} GROUP BY cid) n USING (cid)
+)"""
+        prev = f"c{t}"
+    sql += f"""
+SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist FROM (
+  SELECT e.vec_id, c.cid, {dist("e.xm", "c.cm")} AS dist,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.xm", "c.cm")}, c.cid) AS rn
+  FROM e CROSS JOIN {prev} c) WHERE rn = 1
+"""
+    return sql
+
+
+ANN04_SQL = _ann04_sql()
+
+
 def tx08_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Web-extraction step: deterministic HTML markup (keyed on doc_id)
     wraps each document, then ``text.extract_html_text`` strips tags,
@@ -1468,6 +1531,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
+    "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1500,6 +1564,7 @@ _DRIVER_PRIORITY = [
     "ex01_shard_stats",
     "st05_stream_stream_join",
     "tx08_html_extract",
+    "ann04_kmeans_clusters",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

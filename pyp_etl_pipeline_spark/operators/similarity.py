@@ -315,3 +315,108 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------- k-means
+
+def _micro_vec(c: Column) -> Column:
+    """Per-dimension micro-unit quantization (floor(x*1e6 + 0.5) as
+    LONG) — the same engine-portable rounding contract as
+    ``functions/aggregates``. All k-means arithmetic below happens on
+    these integers, so distances and centroid updates are EXACT and
+    bit-identical across engines; the 1e-6 quantization is part of the
+    operator contract (vastly below any embedding's noise floor)."""
+    return F.transform(c, lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"))
+
+
+def _kmeans_dist(xm: Column, centroid: list[int]) -> Column:
+    ca = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(xm, ca, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_argmin(xm: Column, centroids: list[list[int]]) -> Column:
+    """struct(dist, cluster) of the nearest centroid; ``array_min`` on
+    structs compares lexicographically, so equal distances break to the
+    smaller cluster id — the documented tie rule."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_kmeans_dist(xm, c).alias("d"), F.lit(j).alias("c"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[int]]:
+    """Distributed Lloyd's k-means over an embedding column — the real
+    trainer for the IVF coarse quantizer (replacing
+    ``deterministic_centroids``' seed stand-in when cluster quality
+    matters). Returns the final centroids in micro-units.
+
+    Deterministic and engine-portable by construction:
+    - init = the vectors of the ``k`` smallest ids (rank order = cluster
+      id), micro-quantized;
+    - assignment = exact INTEGER squared L2 on micro-units, ties to the
+      smaller cluster id — no IEEE summation-order hazards anywhere;
+    - update = per-dimension mean of the micro values, rounded half-up
+      in a single portable ``floor(sum/cnt + 0.5)``; empty clusters
+      keep their previous centroid.
+
+    Physical shape (the MLlib shape): per iteration one map-only
+    assignment pass with the k x dim centroid table inlined as
+    LITERALS (broadcast-by-constant — no join), then ONE shuffle of
+    (cluster, dim) partial sums (map-side combined: k*dim rows per map
+    task regardless of corpus size), then a k*dim-row collect to the
+    driver. At 100 TB each iteration is a full scan — which is what
+    k-means costs anywhere — with shuffle traffic independent of corpus
+    size."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        _micro_vec(F.col(vec_col)).alias("__xm"),
+    )
+    seeds = v.orderBy("id").limit(k).collect()
+    centroids: list[list[int]] = [list(r["__xm"]) for r in seeds]
+    for _ in range(n_iter):
+        assigned = v.withColumn("__a", _kmeans_argmin(F.col("__xm"), centroids))
+        comps = (
+            assigned.select(F.col("__a.c").alias("cluster"), F.posexplode("__xm").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.floor(F.sum("x") / F.count("*") + F.lit(0.5)).cast("long").alias("comp"))
+        )
+        got: dict[int, dict[int, int]] = {}
+        for r in comps.collect():
+            got.setdefault(r["cluster"], {})[r["i"]] = r["comp"]
+        centroids = [
+            [got[j][i] for i in range(dim)] if j in got else centroids[j] for j in range(k)
+        ]
+    return centroids
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest ``kmeans_fit`` centroid.
+    Output: (id, cluster_id, dist) with ``dist`` the exact integer
+    squared L2 in micro-units — map-only, centroids inlined."""
+    v = vectors.select(F.col(id_col).alias("id"), _micro_vec(F.col(vec_col)).alias("__xm"))
+    a = v.withColumn("__a", _kmeans_argmin(F.col("__xm"), centroids))
+    return a.select(
+        "id",
+        F.col("__a.c").alias("cluster_id"),
+        F.col("__a.d").alias("dist"),
+    )

@@ -155,3 +155,41 @@ def test_estimate_rows_parquet_no_job(spark):
     assert after == before, "estimate_rows launched a Spark job on a file scan"
     true_n = emb.count()
     assert true_n / 10 <= est <= true_n * 10
+
+
+def test_kmeans_separates_blobs(spark):
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    # 3 tight, well-separated 4-d blobs; ids interleaved across blobs
+    base = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0], 2: [0.0, 0.0, 1.0, 0.0]}
+    rows = []
+    for i in range(30):
+        b = i % 3
+        rows.append((i, [v + (0.001 * (i % 5)) for v in base[b]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = similarity.kmeans_fit(df, k=3, n_iter=3, dim=4)
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    out = similarity.kmeans_assign(df, cents).collect()
+    # every blob maps to exactly one cluster and vice versa
+    mapping = {}
+    for r in out:
+        blob = r["id"] % 3
+        mapping.setdefault(blob, set()).add(r["cluster_id"])
+    assert all(len(s) == 1 for s in mapping.values())
+    assert len({next(iter(s)) for s in mapping.values()}) == 3
+    # distances are small within a tight blob (micro-units squared)
+    assert all(r["dist"] < 10**8 for r in out)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    # k=3 over 2 distinct points: one seed cluster ends up empty and
+    # must carry its previous centroid instead of crashing
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=3, n_iter=2, dim=2)
+    assert len(cents) == 3
+    out = similarity.kmeans_assign(df, cents).collect()
+    assert len(out) == 4
