@@ -224,9 +224,11 @@ def deterministic_centroids(
 ) -> DataFrame:
     """Deterministic coarse centroids without k-means: the vectors of the
     ``k`` smallest ids serve as seeds (reproducible across engines, no
-    iterative training — the IVF *structure* is the scale-relevant part;
-    swap in k-means centroids on a real corpus). ``orderBy + limit``
-    compiles to TakeOrdered (no full sort); the window runs over k rows.
+    iterative training — the IVF *structure* is the scale-relevant part).
+    For a TRAINED quantizer use ``kmeans_fit`` + ``kmeans_centroids_df``
+    and pass the result as ``ivf_topk(..., centroids=...)``.
+    ``orderBy + limit`` compiles to TakeOrdered (no full sort); the
+    window runs over k rows.
     """
     # The seed's own id IS the centroid id: bucketing only needs distinct
     # ids, not a dense 0..k-1 numbering — so no global row_number window
@@ -247,13 +249,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are bucketed by nearest
     centroid (nprobe=1); each query probes its ``nprobe`` nearest
     centroid lists and exact-reranks inside them. At scale the corpus
     assignment is one broadcast pass and the search join touches
-    nprobe/n_centroids of the corpus per query."""
-    cents = deterministic_centroids(vectors, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    nprobe/n_centroids of the corpus per query. Pass ``centroids``
+    (e.g. ``kmeans_centroids_df(spark, kmeans_fit(vectors))``) to search
+    a TRAINED quantizer; the default seeds are the untrained stand-in."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(vectors, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    )
     corpus = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col, nprobe=1).select(
         F.col("id").alias("neighbor_id"), F.col("__v"), "centroid_id"
     )
@@ -420,3 +429,10 @@ def kmeans_assign(
         F.col("__a.c").alias("cluster_id"),
         F.col("__a.d").alias("dist"),
     )
+
+
+def kmeans_centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
+    """``kmeans_fit`` output as the (centroid_id, centroid_vec) shape
+    ``ivf_topk``/``ivf_assign`` consume (micro-units back to doubles)."""
+    rows = [(j, [v / 1_000_000.0 for v in c]) for j, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "centroid_id int, centroid_vec array<double>")

@@ -193,3 +193,18 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert len(cents) == 3
     out = similarity.kmeans_assign(df, cents).collect()
     assert len(out) == 4
+
+
+def test_ivf_topk_with_trained_centroids(spark):
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    rows = [(i, [float(i % 4 == j) + 0.01 * (i % 3) for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 4").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+
+    cents = similarity.kmeans_centroids_df(spark, similarity.kmeans_fit(df, k=4, n_iter=2, dim=4))
+    out = similarity.ivf_topk(df, q, k=3, nprobe=2, centroids=cents).collect()
+    assert len(out) == 4 * 3
+    # the nearest neighbor of each query shares its one-hot direction
+    best = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert all((qid % 4) == (nid % 4) for qid, nid in best.items())
