@@ -1303,6 +1303,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def j14_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 validity history (``operators/scd.scd2_history``) over the
+    per-customer order-status change log: one observation per
+    (customer, date) — ties broken to the max orderkey's status — then
+    consecutive equal statuses collapse into [valid_from, valid_to)
+    rows with an is_current flag. One shuffle; both windows share one
+    sort. The twin runs the identical lag/lead SQL single-node."""
+    from pyp_etl_pipeline_spark.operators.scd import scd2_history  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders")
+    log = (
+        o.groupBy(F.col("o_custkey"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max(F.struct("o_orderkey", "o_orderstatus"))["o_orderstatus"].alias("status"))
+    )
+    return scd2_history(log, "o_custkey", "ts", "status").select(
+        "o_custkey", "status", "valid_from", "valid_to", "is_current"
+    )
+
+
+J14_SQL = """
+WITH log AS (
+  SELECT o_custkey, o_orderdate AS ts, max_by(o_orderstatus, o_orderkey) AS status
+  FROM orders GROUP BY 1, 2
+),
+runs AS (
+  SELECT o_custkey, ts, status,
+         (lag(ts) OVER w IS NULL
+          OR NOT (status IS NOT DISTINCT FROM lag(status) OVER w)) AS is_start
+  FROM log WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)
+),
+starts AS (SELECT o_custkey, status, ts AS valid_from FROM runs WHERE is_start)
+SELECT o_custkey, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current
+FROM starts
+"""
+
+
 def ann04_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 iterations) over the
     embeddings — the trained coarse quantizer for IVF
@@ -1532,6 +1570,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
+    "j14_scd2_history": (j14_scd2_history, J14_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1565,6 +1604,7 @@ _DRIVER_PRIORITY = [
     "st05_stream_stream_join",
     "tx08_html_extract",
     "ann04_kmeans_clusters",
+    "j14_scd2_history",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

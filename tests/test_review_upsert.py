@@ -130,3 +130,31 @@ def test_processed_files_gate(spark):
     incoming = spark.createDataFrame([("a.csv", 1), ("b.csv", 2)], "source_file string, v int")
     fresh = upsert.processed_files_gate(incoming, ledger)
     assert [r["source_file"] for r in fresh.collect()] == ["b.csv"]
+
+
+def test_scd2_history_collapses_runs(spark):
+    from datetime import date
+
+    from pyp_etl_pipeline_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, date(2024, 1, 1), "A"),
+        (1, date(2024, 1, 5), "A"),   # unchanged -> same run
+        (1, date(2024, 2, 1), "B"),
+        (1, date(2024, 3, 1), None),  # transition TO null is a real state
+        (1, date(2024, 4, 1), "B"),
+        (2, date(2024, 1, 2), "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts date, v string")
+    out = sorted(
+        ((r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in scd2_history(df, "k", "ts", "v").collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert out == [
+        (1, "A", date(2024, 1, 1), date(2024, 2, 1), False),
+        (1, "B", date(2024, 2, 1), date(2024, 3, 1), False),
+        (1, None, date(2024, 3, 1), date(2024, 4, 1), False),
+        (1, "B", date(2024, 4, 1), None, True),
+        (2, "X", date(2024, 1, 2), None, True),
+    ]
