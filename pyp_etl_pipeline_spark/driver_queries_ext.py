@@ -884,6 +884,51 @@ FROM b LEFT JOIN r USING (doc_id)
 """
 
 
+def dc02_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level decontamination (``dedup.decontaminate_spans``): every
+    25th doc plays the eval set; contaminated 10-word spans are REMOVED
+    from the remaining docs and the text rebuilt — surgical removal vs
+    dc01's doc-level flags. Broadcast bench shingles; corpus never
+    shuffles before the anti-join."""
+    d = _load_corpus(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d.filter(F.col("doc_id") % 25 != 0)
+    out = dedup.decontaminate_spans(corpus, bench)
+    return out.select("doc_id", "n_spans", "n_clean", F.md5("text").alias("text_fp"))
+
+
+def _dc02_sql() -> str:
+    span_toks = "string_split(span, ' ')"
+    return f"""
+WITH t AS (SELECT doc_id, string_split({core.sql_normalized_text("text")}, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+bench AS (
+  SELECT DISTINCT unnest({core.sql_shingles("toks")}) AS shingle FROM t WHERE doc_id % 25 = 0
+),
+b AS (SELECT doc_id, toks, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) AS n_spans
+      FROM t WHERE doc_id % 25 <> 0),
+sp AS (
+  SELECT doc_id, i AS idx, array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ') AS span
+  FROM b, unnest(generate_series(0, n_spans - 1)) AS r(i)
+),
+cont AS (
+  SELECT DISTINCT doc_id, idx
+  FROM (SELECT doc_id, idx, unnest({core.sql_shingles(span_toks)}) AS shingle FROM sp)
+  JOIN bench USING (shingle)
+),
+clean AS (SELECT sp.* FROM sp ANTI JOIN cont USING (doc_id, idx)),
+r AS (SELECT doc_id, count(*) AS n_clean, string_agg(span, ' ' ORDER BY idx) AS txt
+      FROM clean GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(r.n_clean, 0) AS BIGINT) AS n_clean,
+       md5(coalesce(r.txt, '')) AS text_fp
+FROM b LEFT JOIN r USING (doc_id)
+"""
+
+
+DC02_SQL = _dc02_sql()
+
+
 def sh01_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Arrow pandas-UDF fingerprints). The DuckDB
     twin reproduces the md5 bit-vote fingerprints exactly (verified
@@ -1557,6 +1602,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd05_incremental_minhash": (dd05_incremental_minhash, DD05_SQL),
     "dd06_span_dedup": (dd06_span_dedup, DD06_SQL),
     "dc01_decontaminate": (dc01_decontaminate, DC01_SQL),
+    "dc02_decontaminate_spans": (dc02_decontaminate_spans, DC02_SQL),
     "sh01_simhash_pairs": (sh01_simhash_pairs, SH01_SQL),
     # ANN
     "ann01_cosine_topk": (ann01_cosine_topk, ANN01_SQL),
@@ -1605,6 +1651,7 @@ _DRIVER_PRIORITY = [
     "tx08_html_extract",
     "ann04_kmeans_clusters",
     "j14_scd2_history",
+    "dc02_decontaminate_spans",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",

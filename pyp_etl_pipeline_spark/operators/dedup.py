@@ -526,6 +526,79 @@ def span_dedup(
     )
 
 
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 10,
+    n: int = 3,
+) -> DataFrame:
+    """Span-level benchmark decontamination: instead of dropping whole
+    documents that overlap the eval set (``decontaminate``), surgically
+    REMOVE the ``k``-word spans whose word ``n``-grams hit any benchmark
+    document, and rebuild the text from the clean spans — how a pipeline
+    keeps a 10k-word document that quotes one eval question.
+
+    Detection is span-local: an n-gram STRADDLING two spans is not
+    checked (the standard trade-off of chunked removal; halve ``k`` or
+    run doc-level ``decontaminate`` first when absolute recall beats
+    text preservation).
+
+    Physical shape: benchmark shingles broadcast (eval sets are tiny);
+    the corpus maps to spans and span-shingles without shuffling, the
+    contaminated-(id, idx) set comes from the broadcast semi-join, and
+    one anti-join + one groupBy(doc) rebuild the texts.
+
+    Output: (doc_id, n_spans, n_clean, text) — '' when everything was
+    contaminated.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(bench_text_col, n)).alias("shingle")).distinct()
+    )
+    docs = corpus.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.split(normalized_text(text_col), " ").alias("toks")
+    )
+    n_spans = F.greatest(F.ceil(F.size("toks") / F.lit(k)).cast("int"), F.lit(1))
+    base = docs.select("id", "toks", n_spans.alias("n_spans"))
+    spans = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_spans") - 1),
+                lambda i: F.array_join(F.slice("toks", i * k + 1, k), " "),
+            )
+        ).alias("idx", "span"),
+    )
+    contaminated = (
+        spans.select("id", "idx", F.explode(word_shingles(F.col("span"), n)).alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("id", "idx")
+        .distinct()
+    )
+    clean = spans.join(contaminated, ["id", "idx"], "left_anti")
+    rebuilt = clean.groupBy("id").agg(
+        F.count("*").alias("n_clean"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))), lambda s: s["span"]
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return (
+        base.select("id", "n_spans")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ clusters
 
 def _star_components(edges: DataFrame, max_iterations: int, strict: bool) -> DataFrame:

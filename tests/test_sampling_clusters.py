@@ -211,3 +211,24 @@ def test_mix_corpora_unions_by_name_with_missing_columns(spark):
     out = sampling.mix_corpora([("a", a, 1.0), ("b", b, 1.0)], "doc_id").collect()
     rows = {(r["doc_id"], r["source"], r["text"]) for r in out}
     assert rows == {(1, "a", "x"), (2, "b", None)}
+
+
+def test_decontaminate_spans_surgical_removal(spark):
+    from pyp_etl_pipeline_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval question answer key")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # doc 1: one contaminated span (quotes the eval), one clean
+            (1, "the secret eval question answer key padding pad pad pad clean words only here nothing shared at all"),
+            # doc 2: fully clean
+            (2, "completely unrelated text with no overlap whatsoever in any gram"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.decontaminate_spans(corpus, bench, k=10).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_clean"] == 1
+    assert out[1]["text"] == "clean words only here nothing shared at all"
+    assert out[2]["n_clean"] == out[2]["n_spans"] and out[2]["text"] == corpus.collect()[1]["text"]
