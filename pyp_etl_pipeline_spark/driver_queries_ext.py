@@ -1348,6 +1348,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sk01_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted equi-join through the oracle gate: lineitem joins the
+    supplier dim on (l_suppkey, salt) with the dim replicated 8 ways —
+    the plan-level fix for a hot key AQE can't split. The twin is the
+    PLAIN join + rollup, so the gate certifies salting's exact
+    equivalence on real data, not just the unit fixture."""
+    from pyp_etl_pipeline_spark.functions.aggregates import exact_sum  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators.skew import salted_join  # noqa: PLC0415
+
+    li = load_table(spark, sf, "lineitem").select("l_suppkey", "l_quantity")
+    sup = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        exact_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def _sk01_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.aggregates import sql_exact_sum  # noqa: PLC0415
+
+    return f"""
+SELECT s.s_nationkey, count(*) AS n_items, {sql_exact_sum("l.l_quantity")} AS sum_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+"""
+
+
+SK01_SQL = _sk01_sql()
+
+
 def j14_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     """SCD2 validity history (``operators/scd.scd2_history``) over the
     per-customer order-status change log: one observation per
@@ -1617,6 +1650,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
     "j14_scd2_history": (j14_scd2_history, J14_SQL),
+    "sk01_salted_join": (sk01_salted_join, SK01_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1652,6 +1686,7 @@ _DRIVER_PRIORITY = [
     "ann04_kmeans_clusters",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
+    "sk01_salted_join",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",
