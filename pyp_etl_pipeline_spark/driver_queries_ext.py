@@ -1348,6 +1348,60 @@ FROM events GROUP BY 1, 2
 """
 
 
+def tx09_token_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by frequency (ties to the
+    lexicographically smaller token). Map-side-combined count plus
+    TakeOrdered — no global sort. The 100 TB shape for 'what dominates
+    my corpus' diagnostics."""
+    d = _load_corpus(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(dedup.normalized_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+TX09_SQL = f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split({{norm}}, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20
+""".replace("{norm}", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+
+
+def a09_event_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot surface: per-user event counts widened into one column per
+    event type (explicit value list — Spark then skips the extra
+    distinct-values job and the output schema is deterministic). The
+    twin is conditional aggregation, which is exactly what the pivot
+    compiles to: one partial-aggregated shuffle, no transpose."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+A09_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 def sk01_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-salted equi-join through the oracle gate: lineitem joins the
     supplier dim on (l_suppkey, salt) with the dim replicated 8 ways —
@@ -1651,6 +1705,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
     "j14_scd2_history": (j14_scd2_history, J14_SQL),
     "sk01_salted_join": (sk01_salted_join, SK01_SQL),
+    "tx09_token_topk": (tx09_token_topk, TX09_SQL),
+    "a09_event_pivot": (a09_event_pivot, A09_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1687,6 +1743,8 @@ _DRIVER_PRIORITY = [
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
+    "tx09_token_topk",
+    "a09_event_pivot",
     "dd03_minhash_lsh_pairs",
     "dd05_incremental_minhash",
     "mx01_corpus_mixture",
