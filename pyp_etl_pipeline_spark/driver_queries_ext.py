@@ -1536,6 +1536,40 @@ SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist FROM (
 ANN04_SQL = _ann04_sql()
 
 
+def sd01_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (``similarity.semantic_dedup``):
+    the ann04-trained k-means quantizer partitions the embedding space,
+    then each vector with a lower-id same-cluster neighbor at
+    cosine >= 0.25 (the nd01-calibrated corpus threshold) is dropped in
+    favor of that smallest neighbor. The twin replays the identical
+    clustering CTE (exact integer micro math — bit-for-bit assignments)
+    plus the within-cluster pairwise cosine, so BOTH the distributed
+    quantizer and the greedy keep-lowest-id rule are hash-certified."""
+    emb = _load_corpus(spark, sf, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
+    return similarity.semantic_dedup(emb, cents, threshold=0.25).select(
+        F.col("id").alias("vec_id"), "cluster_id", "kept_by", "cos_to_keeper"
+    )
+
+
+SD01_SQL = f"""
+WITH assigned AS ({_ann04_sql()}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT hi.vec_id AS vec_id, hi.cluster_id, lo.vec_id AS id_a,
+         list_cosine_similarity(vl.e, vh.e) AS cos
+  FROM assigned lo JOIN assigned hi
+    ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+  JOIN v vl ON vl.vec_id = lo.vec_id
+  JOIN v vh ON vh.vec_id = hi.vec_id
+  WHERE list_cosine_similarity(vl.e, vh.e) >= 0.25
+)
+SELECT vec_id, cluster_id, min(id_a) AS kept_by,
+       round(arg_min(cos, id_a), 6) AS cos_to_keeper
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def tx08_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Web-extraction step: deterministic HTML markup (keyed on doc_id)
     wraps each document, then ``text.extract_html_text`` strips tags,
@@ -1703,6 +1737,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
+    "sd01_semantic_dedup": (sd01_semantic_dedup, SD01_SQL),
     "j14_scd2_history": (j14_scd2_history, J14_SQL),
     "sk01_salted_join": (sk01_salted_join, SK01_SQL),
     "tx09_token_topk": (tx09_token_topk, TX09_SQL),
@@ -1740,6 +1775,7 @@ _DRIVER_PRIORITY = [
     "st05_stream_stream_join",
     "tx08_html_extract",
     "ann04_kmeans_clusters",
+    "sd01_semantic_dedup",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

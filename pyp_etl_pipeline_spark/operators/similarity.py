@@ -431,6 +431,55 @@ def kmeans_assign(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[int]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with a trained k-means quantizer, then within
+    each cluster drop every vector that has a lower-id neighbor with
+    cosine >= ``threshold``. Returns the DROPPED rows —
+    (id, cluster_id, kept_by, cos_to_keeper) — where ``kept_by`` is the
+    smallest such neighbor id (the greedy keep-lowest-id rule, fully
+    deterministic).
+
+    Physical shape: map-only assignment (centroids inlined as literals,
+    no join), then a cluster-bucketed self-join — quadratic only WITHIN
+    a cluster, which is the whole point of clustering first: at 100 TB
+    the candidate set per row is bounded by cluster occupancy (k scales
+    with corpus size), never the corpus. One shuffle on cluster_id; the
+    keeper choice is a map-side-combinable ``min(struct)`` aggregate,
+    not a window. Cosine runs JVM-side (``zip_with``/``aggregate`` fold
+    in array order — the engine-portable summation-order contract shared
+    with the nd01 oracle)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("__v"),
+        _kmeans_argmin(_micro_vec(F.col(vec_col)), centroids)["c"].alias("cluster_id"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "cluster_id")
+    b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "cluster_id")
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("id"), "cluster_id")
+        .agg(F.min(F.struct("id_a", "cos")).alias("__k"))
+        .select(
+            "id",
+            "cluster_id",
+            F.col("__k.id_a").alias("kept_by"),
+            F.round(F.col("__k.cos"), 6).alias("cos_to_keeper"),
+        )
+    )
+
+
 def kmeans_centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
     """``kmeans_fit`` output as the (centroid_id, centroid_vec) shape
     ``ivf_topk``/``ivf_assign`` consume (micro-units back to doubles)."""

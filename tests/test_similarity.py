@@ -208,3 +208,41 @@ def test_ivf_topk_with_trained_centroids(spark):
     # the nearest neighbor of each query shares its one-hot direction
     best = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert all((qid % 4) == (nid % 4) for qid, nid in best.items())
+
+
+def test_semantic_dedup_drops_higher_id_within_cluster(spark):
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    # two tight blobs (near-dup groups) plus one isolated vector; the
+    # three SMALLEST ids (= the kmeans seeds) span the three groups so
+    # the quantizer starts one centroid per blob
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (6, [0.998, 0.002, 0.0, 0.0]),   # near-dup of 0 and 5
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.0, 0.999, 0.001, 0.0]),   # near-dup of 1
+        (2, [0.0, 0.0, 0.0, 1.0]),       # isolated — must be kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=3, n_iter=2, dim=4)
+    out = similarity.semantic_dedup(df, cents, threshold=0.99).collect()
+
+    dropped = {r["id"]: r for r in out}
+    # lowest id of each group survives; every dropped row names a
+    # LOWER-id keeper in the same cluster
+    assert set(dropped) == {5, 6, 7}
+    assert dropped[5]["kept_by"] == 0 and dropped[6]["kept_by"] == 0
+    assert dropped[7]["kept_by"] == 1
+    assert all(r["kept_by"] < r["id"] for r in out)
+    assert all(r["cos_to_keeper"] >= 0.99 for r in out)
+
+
+def test_semantic_dedup_no_pairs_below_threshold(spark):
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    # orthogonal vectors: nothing is semantically duplicated
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=2, n_iter=1, dim=4)
+    assert similarity.semantic_dedup(df, cents, threshold=0.5).count() == 0
