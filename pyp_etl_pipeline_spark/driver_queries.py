@@ -726,6 +726,36 @@ def _j11_sql() -> str:
 
 J11_SQL = _j11_sql()
 
+# the playground "live" MemberOffering dim for j15: a subset of titles is
+# live (their UID differs from the production fallback), the rest fall back
+_J15_LIVE = [("Design", "0xd0001"), ("Equipment", "0xd0002"), ("Manufacturing", "0xd0003")]
+
+
+def j15_live_uid_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 live-offerings fetch with static fallback: the j11-derived
+    offerings re-keyed through a (tiny, broadcast) live MemberOffering
+    dim — live offering_id when the title is present, production
+    fallback UID otherwise (``offerings.resolve_uids``; reference
+    ``app/etl.py:225-320`` ``offerings_map.get(title, fallback)``)."""
+    derived = j11_offerings_derivation(spark, sf)
+    live = spark.createDataFrame(_J15_LIVE, "title string, offering_id string")
+    return offerings.resolve_uids(derived, live).select(
+        "c_custkey", "title", "uid", "source_field"
+    )
+
+
+def _j15_sql() -> str:
+    vals = ", ".join(f"('{t}', '{u}')" for t, u in _J15_LIVE)
+    return f"""
+WITH derived AS ({J11_SQL}),
+live(title, offering_id) AS (VALUES {vals})
+SELECT d.c_custkey, d.title, coalesce(l.offering_id, d.uid) AS uid, d.source_field
+FROM derived d LEFT JOIN live l ON d.title = l.title
+"""
+
+
+J15_SQL = _j15_sql()
+
 _J08_CASES = [
     ("Vitamin C", "Vitamin C Powder"),
     ("Vitamin D", "Amino Acid Blend"),

@@ -1705,6 +1705,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j09_merge_actions": (core.j09_merge_actions, core.J09_SQL),
     "j10_dim_lookup_or_create": (core.j10_dim_lookup_or_create, core.J10_SQL),
     "j11_offerings_derivation": (core.j11_offerings_derivation, core.J11_SQL),
+    "j15_live_uid_fallback": (core.j15_live_uid_fallback, core.J15_SQL),
     "j12_canonical_backfill": (core.j12_canonical_backfill, core.J12_SQL),
     # A/O
     "a01_band_summary": (a01_band_summary, A01_SQL),
@@ -1776,6 +1777,7 @@ _DRIVER_PRIORITY = [
     "tx08_html_extract",
     "ann04_kmeans_clusters",
     "sd01_semantic_dedup",
+    "j15_live_uid_fallback",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

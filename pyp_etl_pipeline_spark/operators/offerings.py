@@ -64,3 +64,32 @@ def derive_offerings(
         )
     arr = F.filter(F.array(*entries), lambda x: x.isNotNull()) if entries else F.array()
     return df.withColumn(out_col, arr)
+
+
+def resolve_uids(
+    derived: DataFrame,
+    live_dim: DataFrame | None,
+    title_col: str = "title",
+    uid_col: str = "uid",
+) -> DataFrame:
+    """Live-dim UID resolution with static fallback (S6).
+
+    Reference semantics (``app/etl.py:160-320``): the playground fetches
+    the MemberOffering dim live and keys offerings by
+    ``offerings_map.get(title, fallback_uid)`` — i.e. the live
+    offering_id wins when the title exists in the live dim, otherwise
+    the rule's production fallback UID stands. ``live_dim=None`` (the
+    un-configured / fetch-failed path) keeps every fallback, exactly
+    like the reference's empty-map return.
+
+    Spark shape: the dim is tiny (one row per offering title), so this
+    is a broadcast left join + ``coalesce`` — no collect, no shuffle of
+    the derived side."""
+    if live_dim is None:
+        return derived
+    live = live_dim.select(F.col("title").alias("__lt"), F.col("offering_id").alias("__lu"))
+    return (
+        derived.join(F.broadcast(live), F.col(title_col) == F.col("__lt"), "left")
+        .withColumn(uid_col, F.coalesce(F.col("__lu"), F.col(uid_col)))
+        .drop("__lt", "__lu")
+    )

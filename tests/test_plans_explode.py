@@ -115,3 +115,24 @@ def test_derive_offerings_full_rule_table(spark):
     # every emitted uid matches the rule table
     uid_of = {t: u for _, t, u in OFFERING_RULES}
     assert all(o["uid"] == uid_of[o["title"]] for o in out)
+
+
+def test_resolve_uids_live_wins_fallback_stands(spark):
+    from pyp_etl_pipeline_spark.operators.offerings import resolve_uids
+
+    derived = spark.createDataFrame(
+        [(1, "Design", "0xfb1"), (2, "Legal", "0xfb2"), (3, "Design", "0xfb1")],
+        "member_id long, title string, uid string",
+    )
+    live = spark.createDataFrame([("Design", "0xlive")], "title string, offering_id string")
+    out = {(r["member_id"], r["title"]): r["uid"] for r in resolve_uids(derived, live).collect()}
+    # live title re-keyed, un-listed title keeps its production fallback
+    assert out[(1, "Design")] == "0xlive" and out[(3, "Design")] == "0xlive"
+    assert out[(2, "Legal")] == "0xfb2"
+
+
+def test_resolve_uids_none_dim_is_identity(spark):
+    from pyp_etl_pipeline_spark.operators.offerings import resolve_uids
+
+    derived = spark.createDataFrame([(1, "Design", "0xfb1")], "member_id long, title string, uid string")
+    assert resolve_uids(derived, None) is derived
