@@ -1210,6 +1210,37 @@ GROUP BY doc_id
 """
 
 
+def tx10_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (``textan.tfidf_topk``):
+    integer micro-quantized rank key, ties (score desc, term asc). The
+    twin replays the identical tf / document-frequency / ln pipeline
+    single-node, so tokenization, the idf quantization contract, AND the
+    top-k tie rule are all hash-certified."""
+    out = textan.tfidf_topk(_load_corpus(spark, sf, "documents"), k=3)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+TX10_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({core.sql_normalized_text("text")}, ' ')) AS term
+  FROM documents
+),
+ex2 AS (SELECT doc_id, term FROM ex WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex2 GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS ndocs FROM ex2),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+         CAST(floor(tf.tf * ln(ndocs / df_docs) * 1000000 + 0.5) AS BIGINT) AS score_micro
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df_docs, score_micro, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def ex01_shard_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic shard export plan (``operators/export``): every doc
     is assigned to one of 16 shards by a portable md5-prefix hash of its
@@ -1748,6 +1779,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
     "tx05_repetition": (tx05_repetition, TX05_SQL),
     "tx06_unigram_logprob": (tx06_unigram_logprob, TX06_SQL),
+    "tx10_tfidf_topk": (tx10_tfidf_topk, TX10_SQL),
     # ST
     "st01_streaming_tumbling": (st01_streaming_tumbling, ST01_SQL),
 }
@@ -1778,6 +1810,7 @@ _DRIVER_PRIORITY = [
     "ann04_kmeans_clusters",
     "sd01_semantic_dedup",
     "j15_live_uid_fallback",
+    "tx10_tfidf_topk",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

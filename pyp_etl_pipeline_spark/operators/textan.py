@@ -265,3 +265,56 @@ def gopher_quality_flags(
             & (F.col("n_stop_hits") >= min_stop_hits)
         ).alias("gopher_pass"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF keyword extraction — the classic
+    corpus-level term-weighting step (tag/topic surfacing, index
+    pruning, near-dup feature vectors).
+
+    score = tf * ln(N / df), quantized to an integer micro score BEFORE
+    ranking (``floor(x * 1e6 + 0.5)``) so the rank key is a BIGINT and
+    the top-k order is engine-portable: ties break (score desc, term
+    asc), and a sub-micro IEEE wobble in ``ln`` can never flip two
+    different-score terms (same contract as ``unigram_logprob``'s
+    exact_avg).
+
+    Scale shape: tf is one map-side-combined hash-agg on (doc, term);
+    document frequency is a second hash-agg over the FIRST's output
+    (rows = distinct doc-term pairs, far smaller than token stream);
+    N rides as a broadcast 1-row aggregate; the per-doc top-k is a
+    rank-window that AQE executes as WindowGroupLimit (partial top-k on
+    the map side, no full sort of the scored stream).
+
+    Output: (id, term, tf, df_docs, score_micro, rank).
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = ex.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    ndocs = ex.agg(F.count_distinct("id").alias("ndocs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "score_micro",
+            F.floor(
+                F.col("tf") * F.log(F.col("ndocs") / F.col("df_docs")) * 1_000_000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("id").orderBy(F.col("score_micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df_docs", "score_micro", "rank")
+    )

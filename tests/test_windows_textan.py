@@ -219,3 +219,43 @@ def test_gopher_quality_flags_rules(spark):
     assert out[5]["ok_alpha"] is False and out[5]["alpha_word_ratio"] == 0.0
     # stopword rule: doc 3 has zero required stopwords
     assert out[3]["n_stop_hits"] == 0 and out[3]["ok_stopwords"] is False
+
+
+def test_tfidf_topk_ranks_distinctive_terms_first(spark):
+    from pyp_etl_pipeline_spark.operators import textan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra common common common"),
+            (2, "common common apple"),
+            (3, "common banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textan.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> never outranks
+    # a distinctive term; rank 1 is each doc's unique term
+    assert {r["rank"] for rs in by_doc.values() for r in rs} <= {1, 2}
+    assert by_doc[1][0]["term"] == "zebra" and by_doc[1][0]["tf"] == 2
+    assert by_doc[2][0]["term"] == "apple"
+    assert by_doc[3][0]["term"] == "banana"
+    # df of 'common' is 3 (all docs), score_micro exactly 0
+    commons = [r for rs in by_doc.values() for r in rs if r["term"] == "common"]
+    assert all(r["df_docs"] == 3 and r["score_micro"] == 0 for r in commons)
+
+
+def test_tfidf_topk_tie_breaks_term_ascending(spark):
+    from pyp_etl_pipeline_spark.operators import textan
+
+    # two terms with identical tf and df in doc 1 -> identical score;
+    # the tie must break alphabetically
+    docs = spark.createDataFrame(
+        [(1, "beta alpha"), (2, "gamma gamma")],
+        "doc_id long, text string",
+    )
+    out = [r for r in textan.tfidf_topk(docs, k=2).collect() if r["id"] == 1]
+    out.sort(key=lambda r: r["rank"])
+    assert [r["term"] for r in out] == ["alpha", "beta"]
