@@ -123,3 +123,46 @@ def read_excel_upload(
         names.append(name)
     fields = ", ".join(f"`{n}` string" for n in names)
     return spark.createDataFrame(rows, schema=fields)
+
+
+JSONL_EXTENSIONS = {".jsonl", ".ndjson", ".json"}
+
+
+def read_jsonl_upload(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+):
+    """JSONL/NDJSON corpus scan — the interchange format of LLM data
+    pipelines (one JSON document per line; extension tier, no reference
+    counterpart — the reference ingests CSV/Excel uploads only).
+
+    Distributed line-splittable read via ``spark.read.json``; ``.gz``
+    members are decompressed transparently by the Hadoop codec (gzip is
+    not splittable — at 100 TB ship many shard files, which this reader
+    accepts as a directory/glob path, never one giant archive).
+
+    Pass ``schema`` (DDL string) in production: with ``schema=None``
+    Spark runs a FULL extra inference pass over the data before the real
+    scan — fine for an upload-sized file, a wasted 100 TB read on a
+    corpus. PERMISSIVE mode routes malformed lines into ``corrupt_col``
+    (schema reads must declare it to capture them) instead of failing
+    the job, matching the engine's stray-payload contract elsewhere.
+    """
+    base = path
+    for suffix in (".gz",):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    ext = os.path.splitext(base)[1].lower()
+    if ext and ext not in JSONL_EXTENSIONS:
+        raise ValueError(f"not a jsonl upload: {ext}")
+    if ".." in path.split(os.sep):
+        raise ValueError("path traversal detected")
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -150,3 +150,39 @@ def test_build_audit_reports_and_zip(spark, tmp_path):
     reports.zip_reports(out_zip, dirs)
     with zipfile.ZipFile(out_zip) as z:
         assert sorted(z.namelist()) == ["created_nodes.csv", "errors.csv", "processed_rows.csv"]
+
+
+def test_read_jsonl_upload_schema_and_gz(spark, tmp_path):
+    import gzip
+
+    lines = [
+        '{"doc_id": 1, "text": "hello", "lang": "en"}',
+        '{"doc_id": 2, "text": "welt", "lang": "de"}',
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines))
+    gz = tmp_path / "corpus.jsonl.gz"
+    gz.write_bytes(gzip.compress(("\n".join(lines)).encode()))
+
+    ddl = "doc_id long, text string, lang string"
+    for src in (p, gz):
+        df = ingest.read_jsonl_upload(spark, str(src), schema=ddl)
+        rows = {r["doc_id"]: r for r in df.collect()}
+        assert set(rows) == {1, 2} and rows[2]["lang"] == "de"
+
+
+def test_read_jsonl_upload_corrupt_lines_do_not_fail(spark, tmp_path):
+    p = tmp_path / "c.ndjson"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{oops not json\n{"doc_id": 2, "text": "ok2"}')
+    ddl = "doc_id long, text string, _corrupt_record string"
+    out = ingest.read_jsonl_upload(spark, str(p), schema=ddl).collect()
+    good = [r for r in out if r["doc_id"] is not None]
+    bad = [r for r in out if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+
+
+def test_read_jsonl_upload_rejects_wrong_extension(spark, tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="not a jsonl"):
+        ingest.read_jsonl_upload(spark, str(p))
