@@ -1433,6 +1433,82 @@ FROM events GROUP BY 1
 """
 
 
+def a10_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-length histogram with cumulative share — the sizing profile a
+    pipeline reads before choosing pack/truncate budgets. Bins are
+    50-char buckets (map-side-combined hash-agg: output rows = bins, not
+    docs); the cumulative window then runs over the BIN rows only, so
+    its single unbounded partition holds dozens of rows at any corpus
+    scale. Share is integer micro math (portable)."""
+    d = load_table(spark, sf, "documents")
+    bins = (
+        d.select((F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy("bin_lo").rowsBetween(Window.unboundedPreceding, 0)
+    total = bins.agg(F.sum("n_docs").alias("total"))
+    return (
+        bins.join(F.broadcast(total))
+        .withColumn("cum_docs", F.sum("n_docs").over(w).cast("long"))
+        .withColumn(
+            "share_micro",
+            F.floor(F.col("cum_docs") * 1_000_000 / F.col("total") + F.lit(0.5)).cast("long"),
+        )
+        .select("bin_lo", "n_docs", "cum_docs", "share_micro")
+    )
+
+
+A10_SQL = """
+WITH bins AS (
+  SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bin_lo, count(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(n_docs) AS total FROM bins)
+SELECT bin_lo, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY bin_lo) AS BIGINT) AS cum_docs,
+       CAST(floor(sum(n_docs) OVER (ORDER BY bin_lo) * 1000000 / total + 0.5) AS BIGINT) AS share_micro
+FROM bins CROSS JOIN t
+"""
+
+
+def tx11_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-relative quality gate: drop the bottom quartile by token
+    count — the adaptive cousin of tx07's fixed Gopher thresholds (the
+    cut moves with the corpus instead of a constant). The p25 is ONE
+    exact-percentile aggregate (a08-certified == DuckDB quantile_cont)
+    broadcast back over the scored stream; keep/drop is then map-only.
+    At 100 TB exact percentile means one extra sort-based agg over the
+    (doc, n_tokens) pairs — swap in approx_percentile when 1e-3 cut
+    error is acceptable; the gate keeps the exact one to stay
+    hash-certifiable."""
+    d = _load_corpus(spark, sf, "documents")
+    scored = d.select("doc_id", textan.token_count("text").alias("n_tokens"))
+    thr = scored.agg(F.percentile("n_tokens", F.lit(0.25)).alias("thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("thr", 6).alias("thr"),
+            (F.col("n_tokens") >= F.col("thr")).alias("keep"),
+        )
+    )
+
+
+_TX11_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+TX11_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(len({_TX11_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+t AS (SELECT quantile_cont(n_tokens, 0.25) AS thr FROM scored)
+SELECT doc_id, n_tokens, round(thr, 6) AS thr, n_tokens >= thr AS keep
+FROM scored CROSS JOIN t
+"""
+
+
 def sk01_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-salted equi-join through the oracle gate: lineitem joins the
     supplier dim on (l_suppkey, salt) with the dim replicated 8 ways —
@@ -1774,6 +1850,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sk01_salted_join": (sk01_salted_join, SK01_SQL),
     "tx09_token_topk": (tx09_token_topk, TX09_SQL),
     "a09_event_pivot": (a09_event_pivot, A09_SQL),
+    "a10_length_histogram": (a10_length_histogram, A10_SQL),
+    "tx11_quality_percentile_gate": (tx11_quality_percentile_gate, TX11_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
@@ -1811,6 +1889,8 @@ _DRIVER_PRIORITY = [
     "sd01_semantic_dedup",
     "j15_live_uid_fallback",
     "tx10_tfidf_topk",
+    "a10_length_histogram",
+    "tx11_quality_percentile_gate",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
