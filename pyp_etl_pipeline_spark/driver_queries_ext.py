@@ -1433,6 +1433,100 @@ FROM events GROUP BY 1
 """
 
 
+def pp01_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full pretraining-data pipeline composed END-TO-END from the
+    engine's own operators — language-ID gate (``textan.language_scores``,
+    keep engine-predicted 'en'), Gopher rule gate
+    (``textan.gopher_quality_flags``, corpus-calibrated min_words=10),
+    exact dedup (keep the min doc_id per normalized-content fingerprint,
+    computed over the SURVIVING set), benchmark decontamination
+    (``dedup.decontaminate`` against the doc_id%25==0 eval slice,
+    broadcast shingles), then the deterministic train/val/test hash
+    split (``sampling.hash_split``). Every stage is a filter or
+    map-side-combinable agg; the only shuffles are the dedup groupBy and
+    the decontamination overlap count. The twin replays the identical
+    five stages as CTEs, so STAGE ORDER (dedup-over-survivors, not
+    dedup-over-corpus) is part of what the hash certifies."""
+    d = _load_corpus(spark, sf, "documents")
+    en = (
+        textan.language_scores(d)
+        .filter(F.col("lang_guess") == "en")
+        .select("doc_id", "lang_guess")
+    )
+    d1 = d.join(en, "doc_id")
+    passed = (
+        textan.gopher_quality_flags(d1, min_words=10)
+        .filter("gopher_pass")
+        .select(F.col("id").alias("doc_id"))
+    )
+    d2 = d1.join(passed, "doc_id")
+    fps = textan.document_fingerprints(d2)
+    keepers = fps.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    d3 = d2.join(keepers, "doc_id")
+    bench = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d3.filter(F.col("doc_id") % 25 != 0)
+    # min_overlap=5: the synthetic corpus draws from a tiny vocabulary,
+    # so single-3-gram collisions with the eval slice are ubiquitous —
+    # the overlap threshold is the standard knob for that
+    clean = (
+        dedup.decontaminate(corpus, bench, min_overlap=5)
+        .filter(~F.col("contaminated"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    d4 = corpus.join(clean, "doc_id")
+    from pyp_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    out = sampling.hash_split(d4, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select("doc_id", "lang_guess", "split")
+
+
+def _pp01_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.sampling import BUCKETS, sql_hash_bucket  # noqa: PLC0415
+
+    stops = "[" + ", ".join(f"'{s}'" for s in textan.GOPHER_REQUIRED_STOPWORDS) + "]"
+    nw = f"len({_TOKS})"
+    mwl = f"(CASE WHEN {nw} = 0 THEN 0.0 ELSE list_sum(list_transform({_TOKS}, w -> length(w))) / {nw} END)"
+    sym = f"(CASE WHEN {nw} = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '#|\\.\\.\\.')) / {nw} END)"
+    alpha = f"(CASE WHEN {nw} = 0 THEN 0.0 ELSE len(list_filter({_TOKS}, w -> regexp_matches(w, '[A-Za-z]'))) / {nw} END)"
+    stop = f"len(list_filter({_TOKS}, w -> list_contains({stops}, lower(w))))"
+    b = sql_hash_bucket("doc_id", "split-v1")
+    return (
+        _SHINGLE_CTE
+        + f""",
+langs AS (SELECT doc_id FROM ({TX03_SQL}) WHERE lang_guess = 'en'),
+gop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST({nw} AS BIGINT) AS n_words, {mwl} AS mwl, {sym} AS sym,
+           {alpha} AS alpha, {stop} AS n_stop_hits
+    FROM documents)
+  WHERE n_words >= 10 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+    AND sym <= 0.1 AND alpha >= 0.8 AND n_stop_hits >= 2
+),
+surv2 AS (SELECT doc_id FROM langs JOIN gop USING (doc_id)),
+fps AS (SELECT doc_id, md5({core.sql_normalized_text("text")}) AS content_fp
+        FROM documents JOIN surv2 USING (doc_id)),
+keepers AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY content_fp),
+corpus AS (SELECT doc_id FROM keepers WHERE doc_id % 25 <> 0),
+bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 25 = 0),
+cont AS (
+  SELECT c.doc_id
+  FROM (SELECT s.doc_id, unnest(s.sh) AS shingle FROM s JOIN corpus USING (doc_id)) c
+  JOIN bench USING (shingle)
+  GROUP BY 1 HAVING count(*) >= 5
+),
+final AS (SELECT doc_id FROM corpus ANTI JOIN cont USING (doc_id))
+SELECT doc_id, 'en' AS lang_guess,
+       CASE WHEN {b} < {int(0.9 * BUCKETS)} THEN 'train'
+            WHEN {b} < {int(0.95 * BUCKETS)} THEN 'val'
+            ELSE 'test' END AS split
+FROM final
+"""
+    )
+
+
+PP01_SQL = _pp01_sql()
+
+
 def a10_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Doc-length histogram with cumulative share — the sizing profile a
     pipeline reads before choosing pack/truncate budgets. Bins are
@@ -1851,6 +1945,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx09_token_topk": (tx09_token_topk, TX09_SQL),
     "a09_event_pivot": (a09_event_pivot, A09_SQL),
     "a10_length_histogram": (a10_length_histogram, A10_SQL),
+    "pp01_pretraining_pipeline": (pp01_pretraining_pipeline, PP01_SQL),
     "tx11_quality_percentile_gate": (tx11_quality_percentile_gate, TX11_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
@@ -1891,6 +1986,7 @@ _DRIVER_PRIORITY = [
     "tx10_tfidf_topk",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",
+    "pp01_pretraining_pipeline",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
