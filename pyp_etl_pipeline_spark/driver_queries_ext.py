@@ -1433,6 +1433,56 @@ FROM events GROUP BY 1
 """
 
 
+def w05_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile window surface: balance quartiles within market segment.
+    Deterministic total order (balance desc, key asc); ntile's
+    remainder-to-early-buckets rule is identical in both engines and is
+    what the hash certifies."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+
+
+W05_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile
+FROM customer
+"""
+
+
+def u05_status_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime set-op surface (U3's plan-time cousin): customers with
+    BOTH finished and open orders (INTERSECT) vs finished-only (EXCEPT),
+    tagged and unioned. Spark intersect/subtract == SQL INTERSECT/EXCEPT
+    DISTINCT semantics — dedup behavior is part of the certified
+    contract."""
+    o = load_table(spark, sf, "orders")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    opn = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = fin.intersect(opn).withColumn("tag", F.lit("both"))
+    f_only = fin.subtract(opn).withColumn("tag", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+U05_SQL = """
+SELECT o_custkey, 'both' AS tag FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT o_custkey, 'f_only' AS tag FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
 def pp01_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full pretraining-data pipeline composed END-TO-END from the
     engine's own operators — language-ID gate (``textan.language_scores``,
@@ -1946,6 +1996,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a09_event_pivot": (a09_event_pivot, A09_SQL),
     "a10_length_histogram": (a10_length_histogram, A10_SQL),
     "pp01_pretraining_pipeline": (pp01_pretraining_pipeline, PP01_SQL),
+    "w05_ntile_quartiles": (w05_ntile_quartiles, W05_SQL),
+    "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
     "tx11_quality_percentile_gate": (tx11_quality_percentile_gate, TX11_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
@@ -1987,6 +2039,8 @@ _DRIVER_PRIORITY = [
     "a10_length_histogram",
     "tx11_quality_percentile_gate",
     "pp01_pretraining_pipeline",
+    "w05_ntile_quartiles",
+    "u05_status_set_ops",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
