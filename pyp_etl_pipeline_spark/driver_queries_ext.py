@@ -1433,6 +1433,31 @@ FROM events GROUP BY 1
 """
 
 
+def ck01_document_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style sliding-window chunking (``packing.chunk_documents``):
+    64-token windows, 8-token overlap, map-only. The twin replays the
+    identical window arithmetic (chunk count, slice bounds, overlap)
+    with DuckDB list slicing, so the coverage/overlap contract is
+    hash-certified, not just row counts."""
+    from pyp_etl_pipeline_spark.operators import packing  # noqa: PLC0415
+
+    out = packing.chunk_documents(_load_corpus(spark, sf, "documents"), chunk_tokens=64, overlap=8)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+CK01_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id IS NOT NULL),
+x AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(CAST(ceil((n - 8) / 56.0) AS BIGINT), 1) - 1)) AS chunk_idx
+      FROM x)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(least(64, n - chunk_idx * 56) AS BIGINT) AS n_tokens,
+       array_to_string(toks[(chunk_idx * 56 + 1) : (chunk_idx * 56 + 64)], ' ') AS chunk_text
+FROM c
+"""
+
+
 def w05_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
     """ntile window surface: balance quartiles within market segment.
     Deterministic total order (balance desc, key asc); ntile's
@@ -1997,6 +2022,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a10_length_histogram": (a10_length_histogram, A10_SQL),
     "pp01_pretraining_pipeline": (pp01_pretraining_pipeline, PP01_SQL),
     "w05_ntile_quartiles": (w05_ntile_quartiles, W05_SQL),
+    "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
     "tx11_quality_percentile_gate": (tx11_quality_percentile_gate, TX11_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
@@ -2041,6 +2067,7 @@ _DRIVER_PRIORITY = [
     "pp01_pretraining_pipeline",
     "w05_ntile_quartiles",
     "u05_status_set_ops",
+    "ck01_document_chunks",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

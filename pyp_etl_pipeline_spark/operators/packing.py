@@ -93,3 +93,61 @@ def pack_sequences(
         (seg_end - seg_start).alias("seg_len"),
         (seg_start - F.col("bin_id") * L).alias("bin_offset"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens -
+    overlap`` (whitespace tokens, ``textan.whitespace_tokens``
+    semantics). The dual of ``pack_sequences`` — packing concatenates
+    documents into fixed bins, chunking splits documents into
+    overlapping retrieval units.
+
+    chunk count = max(1, ceil((n - overlap) / stride)): every token is
+    covered, consecutive chunks share ``overlap`` tokens, a doc shorter
+    than one chunk yields exactly one chunk, empty docs yield nothing.
+
+    Entirely map-only (sequence + slice + posexplode per row — no
+    shuffle, no data movement beyond the scan), so it pipelines into
+    the read at any corpus size.
+
+    Output: (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    from pyp_etl_pipeline_spark.operators.textan import whitespace_tokens  # noqa: PLC0415
+
+    stride = chunk_tokens - overlap
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), whitespace_tokens(text_col).alias("__toks")
+    )
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    withn = base.filter(n > 0).select("id", "__toks", n_chunks.alias("__nc"))
+    return withn.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nc") - 1),
+                lambda i: F.array_join(
+                    F.slice("__toks", i * stride + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+        F.size("__toks").alias("__n"),
+    ).select(
+        "id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - F.col("chunk_idx") * stride
+        ).cast("long").alias("n_tokens"),
+        "chunk_text",
+    )

@@ -259,3 +259,45 @@ def test_tfidf_topk_tie_breaks_term_ascending(spark):
     out = [r for r in textan.tfidf_topk(docs, k=2).collect() if r["id"] == 1]
     out.sort(key=lambda r: r["rank"])
     assert [r["term"] for r in out] == ["alpha", "beta"]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from pyp_etl_pipeline_spark.operators import packing
+
+    words = " ".join(f"w{i}" for i in range(65))  # chunk=64 -> 2 chunks
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = packing.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r["id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+
+    # empty / null docs emit nothing
+    assert set(by_doc) == {1, 2}
+    # short doc: exactly one full-coverage chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert by_doc[2][0]["n_tokens"] == 3
+    # 65 tokens: chunk0 = w0..w63, chunk1 starts at stride 56 = w56..w64
+    c0, c1 = by_doc[1]
+    assert c0["n_tokens"] == 64 and c0["chunk_text"].split()[0] == "w0"
+    assert c0["chunk_text"].split()[-1] == "w63"
+    assert c1["n_tokens"] == 9 and c1["chunk_text"].split() == [f"w{i}" for i in range(56, 65)]
+    # consecutive chunks share exactly `overlap` tokens
+    assert set(c0["chunk_text"].split()) & set(c1["chunk_text"].split()) == {
+        f"w{i}" for i in range(56, 64)
+    }
+
+
+def test_chunk_documents_param_validation(spark):
+    import pytest as _pytest
+
+    from pyp_etl_pipeline_spark.operators import packing
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        packing.chunk_documents(docs, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        packing.chunk_documents(docs, chunk_tokens=8, overlap=8)
