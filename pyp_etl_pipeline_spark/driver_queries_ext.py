@@ -1433,6 +1433,33 @@ FROM events GROUP BY 1
 """
 
 
+def w06_group_zscores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type z-score outlier screen (``windows.group_zscores``):
+    exact integer centi-unit moments (map-side combined, one small
+    broadcast back), flag |z| > 3. The twin recomputes the identical
+    integer moments and the identical double arithmetic order, so mean,
+    variance, z, AND the flag are hash-certified."""
+    from pyp_etl_pipeline_spark.operators.windows import group_zscores  # noqa: PLC0415
+
+    ev = load_table(spark, sf, "events")
+    return group_zscores(ev, "event_type", "value", "event_id").withColumnRenamed("id", "event_id")
+
+
+W06_SQL = """
+WITH v AS (SELECT event_id, event_type, value,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(q) AS s, sum(q * q) AS s2 FROM v GROUP BY 1),
+j AS (SELECT v.event_id, v.event_type, v.value, v.q,
+             (s.s::DOUBLE / s.n) AS mean,
+             ((s.s2::DOUBLE - (s.s::DOUBLE / s.n) * s.s::DOUBLE) / s.n) AS var
+      FROM v JOIN s USING (event_type))
+SELECT event_id, event_type, value,
+       round(CASE WHEN var <= 0 THEN 0.0 ELSE (q::DOUBLE - mean) / sqrt(var) END, 6) AS z,
+       abs(CASE WHEN var <= 0 THEN 0.0 ELSE (q::DOUBLE - mean) / sqrt(var) END) > 3.0 AS is_anomaly
+FROM j
+"""
+
+
 def ck01_document_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-style sliding-window chunking (``packing.chunk_documents``):
     64-token windows, 8-token overlap, map-only. The twin replays the
@@ -2023,6 +2050,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pp01_pretraining_pipeline": (pp01_pretraining_pipeline, PP01_SQL),
     "w05_ntile_quartiles": (w05_ntile_quartiles, W05_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
+    "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
     "tx11_quality_percentile_gate": (tx11_quality_percentile_gate, TX11_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
@@ -2068,6 +2096,7 @@ _DRIVER_PRIORITY = [
     "w05_ntile_quartiles",
     "u05_status_set_ops",
     "ck01_document_chunks",
+    "w06_group_zscores",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

@@ -123,3 +123,57 @@ def sessionize(
         )
         .withColumn("duration_s", F.col("session_end") - F.col("session_start"))
     )
+
+
+def group_zscores(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 3.0,
+    quant: int = 100,
+) -> DataFrame:
+    """Per-group z-score anomaly flags — the standard outlier screen
+    over metric streams (per event type, per tenant, per sensor).
+
+    Engine-portable by the module's usual trick: values quantize to
+    ``1/quant`` units (centi by default) and the group moments are EXACT
+    integer sums (map-side combinable, order-independent), so mean and
+    variance are identical on any engine/partitioning; only the final
+    mean/var/z arithmetic runs in doubles, on identical integer inputs.
+    With centi units the sum-of-squares stays in int64 up to ~1e9 rows
+    per group at |value| <= 1e5 — beyond that, widen ``quant`` down or
+    pre-aggregate.
+
+    Physical shape: one map-side-combined groupBy for the moments
+    (output rows = groups), broadcast back over the stream; the flag
+    itself is map-only. No window, no sort of the event stream.
+
+    Output: (id, group, value, z, is_anomaly); z = 0 for zero-variance
+    groups, rounded to 6.
+    """
+    q = F.floor(F.col(value_col).cast("double") * quant + F.lit(0.5)).cast("long")
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp"),
+        F.col(value_col).alias("value"), q.alias("__q"),
+    )
+    stats = v.groupBy("grp").agg(
+        F.count("*").alias("__n"),
+        F.sum("__q").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).alias("__s2"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = (F.col("__s2").cast("double") - mean * F.col("__s").cast("double")) / F.col("__n")
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        (F.col("__q").cast("double") - mean) / F.sqrt(var)
+    )
+    return (
+        v.join(F.broadcast(stats), "grp")
+        .select(
+            "id",
+            F.col("grp").alias(group_col),
+            "value",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+        )
+    )

@@ -301,3 +301,20 @@ def test_chunk_documents_param_validation(spark):
         packing.chunk_documents(docs, chunk_tokens=0)
     with _pytest.raises(ValueError):
         packing.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_group_zscores_flags_outlier_and_zero_variance(spark):
+    from pyp_etl_pipeline_spark.operators.windows import group_zscores
+
+    rows = (
+        [(i, "a", 10.0) for i in range(10)]
+        + [(10, "a", 1000.0)]           # wild outlier in group a
+        + [(i, "b", 5.0) for i in range(20, 24)]  # zero-variance group
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["id"]: r for r in group_zscores(df, "event_type", "value", "event_id").collect()}
+    assert len(out) == 15
+    assert out[10]["is_anomaly"] and out[10]["z"] > 3
+    assert all(not out[i]["is_anomaly"] for i in range(10))
+    # zero-variance group: z defined as 0, never anomalous
+    assert all(out[i]["z"] == 0.0 and not out[i]["is_anomaly"] for i in range(20, 24))
