@@ -47,6 +47,11 @@ EXTENDED = [
     "rj01_interval_join",
     "tx07_gopher_rules",
     "ex01_shard_stats",
+    # round 6, third batch
+    "sd01_semantic_dedup",
+    "pp01_pretraining_pipeline",
+    "tx10_tfidf_topk",
+    "ck01_document_chunks",
 ]
 
 HEADLINE = [

@@ -1544,38 +1544,51 @@ def pp01_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     computed over the SURVIVING set), benchmark decontamination
     (``dedup.decontaminate`` against the doc_id%25==0 eval slice,
     broadcast shingles), then the deterministic train/val/test hash
-    split (``sampling.hash_split``). Every stage is a filter or
-    map-side-combinable agg; the only shuffles are the dedup groupBy and
-    the decontamination overlap count. The twin replays the identical
-    five stages as CTEs, so STAGE ORDER (dedup-over-survivors, not
+    split (``sampling.hash_split``). Both gates run in keep-columns mode
+    (map-only column algebra, no corpus join-back); the dedup keeper is
+    ONE map-side-combinable min(struct) aggregate (no join-back either);
+    decontamination is a broadcast shingle semi-join + one overlap
+    groupBy, removed via anti-join on the contaminated (small) side.
+    Total: two aggregate shuffles + one anti-join — at 100 TB the corpus
+    crosses the wire twice. The twin replays the identical five stages
+    as CTEs, so STAGE ORDER (dedup-over-survivors, not
     dedup-over-corpus) is part of what the hash certifies."""
     d = _load_corpus(spark, sf, "documents")
-    en = (
-        textan.language_scores(d)
+    # both gates run in keep-columns mode: pure map-only column algebra
+    # appended to the corpus row — NO join-back against the corpus
+    d1 = (
+        textan.language_scores(d, keep_input_cols=True)
         .filter(F.col("lang_guess") == "en")
-        .select("doc_id", "lang_guess")
+        .select("doc_id", "text", "lang_guess")
     )
-    d1 = d.join(en, "doc_id")
-    passed = (
-        textan.gopher_quality_flags(d1, min_words=10)
+    d2 = (
+        textan.gopher_quality_flags(d1, min_words=10, keep_input_cols=True)
         .filter("gopher_pass")
-        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", "text", "lang_guess")
     )
-    d2 = d1.join(passed, "doc_id")
-    fps = textan.document_fingerprints(d2)
-    keepers = fps.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    d3 = d2.join(keepers, "doc_id")
+    # exact dedup without a join-back: keeper election is ONE map-side-
+    # combinable min(struct) aggregate keyed by the content fingerprint
+    # (doc_id unique -> deterministic winner row)
+    from pyp_etl_pipeline_spark.operators.dedup import fingerprint, normalized_text  # noqa: PLC0415
+
+    d3 = (
+        d2.select(fingerprint(normalized_text("text")).alias("__fp"), "doc_id", "text", "lang_guess")
+        .groupBy("__fp")
+        .agg(F.min(F.struct("doc_id", "text", "lang_guess")).alias("__w"))
+        .select("__w.doc_id", "__w.text", "__w.lang_guess")
+    )
     bench = d.filter(F.col("doc_id") % 25 == 0)
     corpus = d3.filter(F.col("doc_id") % 25 != 0)
     # min_overlap=5: the synthetic corpus draws from a tiny vocabulary,
     # so single-3-gram collisions with the eval slice are ubiquitous —
-    # the overlap threshold is the standard knob for that
-    clean = (
+    # the overlap threshold is the standard knob for that. Anti-join on
+    # the CONTAMINATED ids (the small side), not inner-join on the clean
+    contaminated = (
         dedup.decontaminate(corpus, bench, min_overlap=5)
-        .filter(~F.col("contaminated"))
+        .filter(F.col("contaminated"))
         .select(F.col("id").alias("doc_id"))
     )
-    d4 = corpus.join(clean, "doc_id")
+    d4 = corpus.join(contaminated, "doc_id", "left_anti")
     from pyp_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
 
     out = sampling.hash_split(d4, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})

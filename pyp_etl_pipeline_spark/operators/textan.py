@@ -92,10 +92,23 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return out.withColumn("quality_score", F.round(score, 6))
 
 
-def language_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-word hit counts per language + argmax guess ('und' on tie-0)."""
+def language_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_input_cols: bool = False,
+) -> DataFrame:
+    """Marker-word hit counts per language + argmax guess ('und' on tie-0).
+
+    ``keep_input_cols=True`` appends the scores to the FULL input row
+    (map-only) instead of the narrow (id, scores) projection — the shape
+    pipeline compositions want, so a downstream language filter needs no
+    join-back against the corpus."""
     toks = F.transform(whitespace_tokens(text_col), lambda x: F.lower(x))
-    out = df.select(F.col(id_col), toks.alias("__toks"))
+    if keep_input_cols:
+        out = df.select("*", toks.alias("__toks"))
+    else:
+        out = df.select(F.col(id_col), toks.alias("__toks"))
     for lang, markers in LANGUAGE_MARKERS.items():
         marr = F.array(*[F.lit(m) for m in markers])
         out = out.withColumn(f"hits_{lang}", F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(marr, x))))
@@ -200,6 +213,7 @@ def gopher_quality_flags(
     max_symbol_ratio: float = 0.1,
     min_alpha_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    keep_input_cols: bool = False,
 ) -> DataFrame:
     """Gopher-style rule-based quality filter (Rae et al. 2021, table A1;
     the C4/RefinedWeb heuristic family): per document, the five cheap
@@ -220,17 +234,26 @@ def gopher_quality_flags(
     own column so Catalyst evaluates it once (no CSE inside when()).
 
     Output: (id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
-    n_stop_hits, ok_* flags, gopher_pass).
+    n_stop_hits, ok_* flags, gopher_pass). ``keep_input_cols=True``
+    appends signals+flags to the FULL input row instead (still map-only;
+    input columns must not collide with the signal/flag names) — the
+    composition shape, so a downstream ``gopher_pass`` filter needs no
+    join-back against the corpus.
     """
     sw = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
-    t = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("__txt"),
-        whitespace_tokens(text_col).alias("__w"),
-    )
+    if keep_input_cols:
+        base_cols = list(df.columns)
+        t = df.select("*", F.col(text_col).alias("__txt"), whitespace_tokens(text_col).alias("__w"))
+    else:
+        base_cols = ["id"]
+        t = df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__txt"),
+            whitespace_tokens(text_col).alias("__w"),
+        )
     n_words = F.size("__w")
     feats = t.select(
-        "id",
+        *base_cols,
         n_words.cast("long").alias("n_words"),
         F.when(n_words == 0, F.lit(0.0))
         .otherwise(F.aggregate("__w", F.lit(0), lambda a, x: a + F.length(x)) / n_words)
@@ -246,7 +269,7 @@ def gopher_quality_flags(
         .alias("n_stop_hits"),
     )
     return feats.select(
-        "id",
+        *base_cols,
         "n_words",
         F.round("__mwl", 6).alias("mean_word_len"),
         F.round("__sym", 6).alias("symbol_ratio"),

@@ -52,3 +52,32 @@ def test_band_totality(spark, scores):
     df = spark.createDataFrame([(s,) for s in scores], "s double")
     out = [r[0] for r in df.select(scoring.band("s").alias("b")).collect()]
     assert all(b in ("auto_resolve", "review", "reject") for b in out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_reconstructs_token_stream(spark, n_tokens, chunk, overlap_frac):
+    """Dropping the first `overlap` tokens of every chunk after the first
+    and concatenating reconstructs the original token stream exactly."""
+    from pyp_etl_pipeline_spark.operators.packing import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    words = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    if not words:
+        assert rows == []
+        return
+    rebuilt = []
+    for r in rows:
+        toks = r["chunk_text"].split()
+        assert len(toks) == r["n_tokens"] <= chunk
+        rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+    assert rebuilt == words

@@ -318,3 +318,24 @@ def test_group_zscores_flags_outlier_and_zero_variance(spark):
     assert all(not out[i]["is_anomaly"] for i in range(10))
     # zero-variance group: z defined as 0, never anomalous
     assert all(out[i]["z"] == 0.0 and not out[i]["is_anomaly"] for i in range(20, 24))
+
+
+def test_gate_operators_keep_input_cols_mode(spark):
+    from pyp_etl_pipeline_spark.operators import textan
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", "extra")], "doc_id long, text string, meta string"
+    )
+    lang = textan.language_scores(docs, keep_input_cols=True)
+    # full input row survives, scores appended
+    assert {"doc_id", "text", "meta", "lang_guess"} <= set(lang.columns)
+    gop = textan.gopher_quality_flags(docs, keep_input_cols=True)
+    assert {"doc_id", "text", "meta", "gopher_pass", "n_words"} <= set(gop.columns)
+    r = gop.collect()[0]
+    assert r["meta"] == "extra" and r["n_words"] == 4
+    # default mode schema unchanged (the tx03/tx07 oracle contract)
+    assert set(textan.gopher_quality_flags(docs).columns) == {
+        "id", "n_words", "mean_word_len", "symbol_ratio", "alpha_word_ratio",
+        "n_stop_hits", "ok_word_count", "ok_word_len", "ok_symbol", "ok_alpha",
+        "ok_stopwords", "gopher_pass",
+    }
