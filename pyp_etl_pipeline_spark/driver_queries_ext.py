@@ -1940,6 +1940,44 @@ FROM h
 TX08_SQL = _tx08_sql()
 
 
+def st06_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming MERGE sink (``streaming/upsert_sink``): the event
+    stream drains through a foreachBatch keyed upsert — per-batch
+    ``max(struct)`` winner election merged into an atomically-swapped
+    versioned snapshot, idempotent per epoch. The final published
+    state table (latest event per user) must equal the batch
+    latest-per-user, which the DuckDB twin computes directly — the gate
+    certifies the streaming MERGE path end-to-end."""
+    import tempfile  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.streaming.events import read_events_stream  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.streaming.upsert_sink import (  # noqa: PLC0415
+        read_current_snapshot,
+        run_streaming_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="st06_upsert_")
+    stream = read_events_stream(spark, sf)
+    run_streaming_upsert(stream, root, key_cols=("user_id",), order_cols=("ts", "event_id"))
+    return read_current_snapshot(spark, root).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+ST06_SQL = """
+SELECT user_id, event_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       round(value, 2) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def st05_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream event-time window join
     (``streaming.events.streaming_window_join``): errors and clicks read
@@ -2052,6 +2090,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rj01_interval_join": (rj01_interval_join, RJ01_SQL),
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
+    "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
     "sd01_semantic_dedup": (sd01_semantic_dedup, SD01_SQL),
@@ -2110,6 +2149,7 @@ _DRIVER_PRIORITY = [
     "u05_status_set_ops",
     "ck01_document_chunks",
     "w06_group_zscores",
+    "st06_streaming_upsert",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

@@ -95,3 +95,55 @@ def test_streaming_window_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_upsert_multibatch_matches_batch_latest(spark, sf_dir, tmp_path):
+    """The foreachBatch MERGE sink drains a 2-file watch dir one file per
+    micro-batch; the final published snapshot must equal the batch
+    latest-per-user, and each epoch must publish its own version."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.streaming import upsert_sink
+
+    src = f"{sf_dir}/events.parquet"
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    shutil.copy(src, watch / "part-000.parquet")
+    shutil.copy(src, watch / "part-001.parquet")  # redelivered copy
+
+    stream = stream_ev.read_events_stream(spark, str(watch), glob="*.parquet", max_files_per_trigger=1)
+    root = str(tmp_path / "state")
+    upsert_sink.run_streaming_upsert(stream, root)
+
+    got = upsert_sink.read_current_snapshot(spark, root)
+    ev = load_events(spark, sf_dir)
+    expect = upsert_sink.elect_latest(ev, ("user_id",), ("ts", "event_id"))
+    assert got.count() == expect.count()
+    j = got.alias("g").join(expect.alias("e"), "user_id")
+    assert j.filter(F.col("g.event_id") != F.col("e.event_id")).count() == 0
+    # one snapshot per drained micro-batch, pointer at the last
+    versions = upsert_sink.published_versions(root)
+    assert len(versions) >= 2
+    assert upsert_sink.current_version(root) == versions[-1]
+
+
+def test_streaming_upsert_epoch_replay_is_noop(spark, sf_dir, tmp_path):
+    """Replaying an epoch (restart between sink write and source commit)
+    must not re-publish: the sink detects its own version and skips."""
+    import os
+
+    from pyp_etl_pipeline_spark.streaming import upsert_sink
+
+    root = str(tmp_path / "state")
+    ev = load_events(spark, sf_dir).limit(100)
+    fn = upsert_sink.foreach_batch_upsert(root, ("user_id",), ("ts", "event_id"))
+    fn(ev, 0)
+    v1 = upsert_sink.published_versions(root)
+    mtime = os.path.getmtime(os.path.join(root, "_CURRENT"))
+    fn(ev, 0)  # replay
+    assert upsert_sink.published_versions(root) == v1
+    assert os.path.getmtime(os.path.join(root, "_CURRENT")) == mtime
+    fn(ev, 1)  # next epoch merges and publishes
+    assert len(upsert_sink.published_versions(root)) == 2
