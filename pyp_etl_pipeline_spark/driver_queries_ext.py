@@ -1485,6 +1485,37 @@ FROM c
 """
 
 
+def q06_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds the
+    threshold, joined back to order+customer detail. The heavy agg runs
+    FIRST (map-side combined, one shuffle on orderkey) and its small
+    having-filtered survivor set drives the joins — at scale AQE
+    broadcasts it; quantities are integral doubles, so the sum is exact
+    without the scaled-long machinery."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q06_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem GROUP BY 1
+      HAVING sum(l_quantity) > 250) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def w05_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
     """ntile window surface: balance quartiles within market segment.
     Deterministic total order (balance desc, key asc); ntile's
@@ -2101,6 +2132,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a10_length_histogram": (a10_length_histogram, A10_SQL),
     "pp01_pretraining_pipeline": (pp01_pretraining_pipeline, PP01_SQL),
     "w05_ntile_quartiles": (w05_ntile_quartiles, W05_SQL),
+    "q06_large_volume_customers": (q06_large_volume_customers, Q06_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
@@ -2150,6 +2182,7 @@ _DRIVER_PRIORITY = [
     "ck01_document_chunks",
     "w06_group_zscores",
     "st06_streaming_upsert",
+    "q06_large_volume_customers",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
