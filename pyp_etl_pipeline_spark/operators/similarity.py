@@ -38,6 +38,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the norms precomputed PER ROW instead of per pair
+    — bit-identical values (same subexpressions, same IEEE order), but a
+    pairwise join evaluates one 64-wide array fold per pair instead of
+    three. On an O(pairs) self-join that is ~3x less fold work."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -50,11 +58,18 @@ def brute_force_topk(
     """Exact cosine top-k per query. Queries broadcast against the corpus;
     ties broken by neighbor id for determinism. Self-matches excluded when
     ids collide."""
-    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(query_vec_col).alias("__q"))
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__nv", l2_norm(F.col("__v")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(query_vec_col).alias("__q")
+    ).withColumn("__nq", l2_norm(F.col("__q")))
     scored = (
         corpus.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(F.col("__q"), F.col("__v"), F.col("__nq"), F.col("__nv")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -172,11 +187,14 @@ def lsh_topk(
             n_rows = estimate_rows(vectors, row_width_hint=8 * dim + 16)
         n_planes = derive_n_planes(n_rows, target_bucket_rows)
     planes = _hyperplanes(dim, n_planes)
-    corpus = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")).withColumn(
-        "bucket", lsh_bucket(F.col("__v"), planes)
+    corpus = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v"))
+        .withColumn("bucket", lsh_bucket(F.col("__v"), planes))
+        .withColumn("__nv", l2_norm(F.col("__v")))
     )
     q = (
         queries.select(F.col(query_id_col).alias("query_id"), _as_double(query_vec_col).alias("__q"))
+        .withColumn("__nq", l2_norm(F.col("__q")))
         .withColumn("bucket", F.explode(_probe_buckets(lsh_bucket(F.col("__q"), planes), n_planes, multiprobe)))
     )
     scored = corpus.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
@@ -185,7 +203,9 @@ def lsh_topk(
         # ranking so row_number stays one row per pair (single-probe
         # needs no such shuffle: buckets partition the corpus)
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
-    scored = scored.withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
+    scored = scored.withColumn(
+        "cosine", cosine_with_norms(F.col("__q"), F.col("__v"), F.col("__nq"), F.col("__nv"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -265,14 +285,17 @@ def ivf_topk(
     )
     corpus = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col, nprobe=1).select(
         F.col("id").alias("neighbor_id"), F.col("__v"), "centroid_id"
-    )
+    ).withColumn("__nv", l2_norm(F.col("__v")))
     q = ivf_assign(queries, cents, id_col=query_id_col, vec_col=query_vec_col, nprobe=nprobe).select(
         F.col("id").alias("query_id"), F.col("__v").alias("__q"), "centroid_id"
-    )
+    ).withColumn("__nq", l2_norm(F.col("__q")))
     scored = (
         corpus.join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("__q"), F.col("__v")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(F.col("__q"), F.col("__v"), F.col("__nq"), F.col("__nv")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -304,10 +327,12 @@ def cosine_neardup_pairs(
     at any scale. Sizing uses the ``n_rows`` hint when given, else a
     plan-statistics estimate (``estimate_rows`` — no corpus scan at plan
     time)."""
-    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v")).withColumn(
+        "__n", l2_norm(F.col("__v"))
+    )
     if exact:
-        a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
-        b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
+        a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+        b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if n_planes is None:
@@ -316,11 +341,14 @@ def cosine_neardup_pairs(
             n_planes = derive_n_planes(n_rows, target_bucket_rows)
         planes = _hyperplanes(dim, n_planes)
         vb = v.withColumn("bucket", lsh_bucket(F.col("__v"), planes))
-        a = vb.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "bucket")
-        b = vb.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "bucket")
+        a = vb.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"), "bucket")
+        b = vb.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        pairs.withColumn(
+            "cosine",
+            cosine_with_norms(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -395,21 +423,29 @@ def kmeans_fit(
         F.col(id_col).alias("id"),
         _micro_vec(F.col(vec_col)).alias("__xm"),
     )
-    seeds = v.orderBy("id").limit(k).collect()
-    centroids: list[list[int]] = [list(r["__xm"]) for r in seeds]
-    for _ in range(n_iter):
-        assigned = v.withColumn("__a", _kmeans_argmin(F.col("__xm"), centroids))
-        comps = (
-            assigned.select(F.col("__a.c").alias("cluster"), F.posexplode("__xm").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(F.floor(F.sum("x") / F.count("*") + F.lit(0.5)).cast("long").alias("comp"))
-        )
-        got: dict[int, dict[int, int]] = {}
-        for r in comps.collect():
-            got.setdefault(r["cluster"], {})[r["i"]] = r["comp"]
-        centroids = [
-            [got[j][i] for i in range(dim)] if j in got else centroids[j] for j in range(k)
-        ]
+    # the fit loop runs n_iter+1 jobs over v (seeds + one per iteration)
+    # — persist the projected micro vectors so the scan + quantization
+    # run once, not per job. (At true 100 TB, fit on a deterministic
+    # sample instead of caching the corpus; assignment stays full-scan.)
+    v = v.persist()
+    try:
+        seeds = v.orderBy("id").limit(k).collect()
+        centroids: list[list[int]] = [list(r["__xm"]) for r in seeds]
+        for _ in range(n_iter):
+            assigned = v.withColumn("__a", _kmeans_argmin(F.col("__xm"), centroids))
+            comps = (
+                assigned.select(F.col("__a.c").alias("cluster"), F.posexplode("__xm").alias("i", "x"))
+                .groupBy("cluster", "i")
+                .agg(F.floor(F.sum("x") / F.count("*") + F.lit(0.5)).cast("long").alias("comp"))
+            )
+            got: dict[int, dict[int, int]] = {}
+            for r in comps.collect():
+                got.setdefault(r["cluster"], {})[r["i"]] = r["comp"]
+            centroids = [
+                [got[j][i] for i in range(dim)] if j in got else centroids[j] for j in range(k)
+            ]
+    finally:
+        v.unpersist(blocking=False)
     return centroids
 
 
@@ -459,13 +495,13 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("__v"),
         _kmeans_argmin(_micro_vec(F.col(vec_col)), centroids)["c"].alias("cluster_id"),
-    )
-    a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "cluster_id")
-    b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "cluster_id")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"), "cluster_id")
+    b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"), "cluster_id")
     pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("cos", cosine_with_norms(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")))
         .filter(F.col("cos") >= threshold)
     )
     return (
