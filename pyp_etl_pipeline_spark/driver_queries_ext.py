@@ -1485,6 +1485,58 @@ FROM c
 """
 
 
+def w07_rolling_30d_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame rolling window: per-customer trailing-30-day order
+    revenue + order count. The frame is value-based (29 preceding DAYS,
+    ties are peers), not row-based — the window surface w04's ROWS frame
+    does not cover. The rolling sum runs over micro-unit LONGS
+    (``functions/aggregates``), so it is order-independent and exact;
+    the twin runs the identical integer window + finalize."""
+    from pyp_etl_pipeline_spark.functions import aggregates  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    base = o.select(
+        "o_custkey", "o_orderkey", day.alias("day"),
+        aggregates.micro_col("o_totalprice").alias("__m"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        aggregates.finalize_sum(F.sum("__m").over(w), 2).alias("rolling_30d"),
+        F.count("*").over(w).cast("long").alias("n_orders_30d"),
+    )
+
+
+def _w07_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.aggregates import _sql_micro, sql_finalize_sum  # noqa: PLC0415
+
+    return f"""
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         {_sql_micro("o_totalprice")} AS m
+  FROM orders
+),
+win AS (
+  SELECT o_custkey, o_orderkey, day,
+         sum(m) OVER (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS ms,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY day
+                        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_orders_30d
+  FROM base
+)
+SELECT o_custkey, o_orderkey, day, {sql_finalize_sum("ms", 2)} AS rolling_30d, n_orders_30d
+FROM win
+"""
+
+
+W07_SQL = _w07_sql()
+
+
 def q06_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total lineitem quantity exceeds the
     threshold, joined back to order+customer detail. The heavy agg runs
@@ -2133,6 +2185,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pp01_pretraining_pipeline": (pp01_pretraining_pipeline, PP01_SQL),
     "w05_ntile_quartiles": (w05_ntile_quartiles, W05_SQL),
     "q06_large_volume_customers": (q06_large_volume_customers, Q06_SQL),
+    "w07_rolling_30d_revenue": (w07_rolling_30d_revenue, W07_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
@@ -2183,6 +2236,7 @@ _DRIVER_PRIORITY = [
     "w06_group_zscores",
     "st06_streaming_upsert",
     "q06_large_volume_customers",
+    "w07_rolling_30d_revenue",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

@@ -156,6 +156,16 @@ def sql_exact_sum(e: str, scale: int = 2) -> str:
     return f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} / {float(10 ** scale)} AS DOUBLE)"
 
 
+def sql_finalize_sum(s: str, scale: int = 2) -> str:
+    """SQL twin of ``finalize_sum`` for an ALREADY-aggregated micro-unit
+    sum expression — e.g. a windowed ``sum(micro) OVER (...)`` where the
+    micro conversion and the aggregation are written separately."""
+    down = 10 ** (6 - scale)
+    a = f"(abs({s}) + {down // 2})"
+    q = _sql_int_div(a, str(down))
+    return f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} / {float(10 ** scale)} AS DOUBLE)"
+
+
 def sql_exact_avg(e: str, scale: int = 4) -> str:
     """SQL twin of ``exact_avg`` — dialect-neutral."""
     down = 10 ** (6 - scale)
