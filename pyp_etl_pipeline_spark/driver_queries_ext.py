@@ -1485,6 +1485,45 @@ FROM c
 """
 
 
+def bk01_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join through the oracle gate: lineitem and
+    orders are materialized as 16-bucket tables on the orderkey
+    (``sources/bucketed`` — the write-once-shuffle-never layout), then
+    joined and aggregated per (orderkey, status). Both the join AND the
+    aggregation cluster on the bucket key, so the whole query plans with
+    ZERO exchanges after the write (the no-Exchange property is pinned
+    in tests/test_bucketed.py; this query certifies the bucketed
+    write+read path produces correct DATA on the real tables). The twin
+    is the plain join — storage layout must not change results."""
+    from pyp_etl_pipeline_spark.sources.bucketed import read_table, write_bucketed  # noqa: PLC0415
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    # fixed names + overwrite: repeat invocations replace, never accumulate
+    write_bucketed(li, "bk01_li", "l_orderkey", n_buckets=16)
+    write_bucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "bk01_o", "l_orderkey", n_buckets=16)
+    fact = read_table(spark, "bk01_li")
+    dim = read_table(spark, "bk01_o")
+    return (
+        fact.join(dim, "l_orderkey")
+        .groupBy("l_orderkey", "o_orderstatus")
+        .agg(F.sum("l_quantity").alias("total_qty"), F.count("*").alias("n_items"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderstatus",
+            "total_qty",
+            "n_items",
+        )
+    )
+
+
+BK01_SQL = """
+SELECT o_orderkey, o_orderstatus, sum(l_quantity) AS total_qty, count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 def w07_rolling_30d_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE-frame rolling window: per-customer trailing-30-day order
     revenue + order count. The frame is value-based (29 preceding DAYS,
@@ -2186,6 +2225,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w05_ntile_quartiles": (w05_ntile_quartiles, W05_SQL),
     "q06_large_volume_customers": (q06_large_volume_customers, Q06_SQL),
     "w07_rolling_30d_revenue": (w07_rolling_30d_revenue, W07_SQL),
+    "bk01_bucketed_join": (bk01_bucketed_join, BK01_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
@@ -2237,6 +2277,7 @@ _DRIVER_PRIORITY = [
     "st06_streaming_upsert",
     "q06_large_volume_customers",
     "w07_rolling_30d_revenue",
+    "bk01_bucketed_join",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
