@@ -396,6 +396,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    sample_fraction: float | None = None,
 ) -> list[list[int]]:
     """Distributed Lloyd's k-means over an embedding column — the real
     trainer for the IVF coarse quantizer (replacing
@@ -419,6 +420,16 @@ def kmeans_fit(
     driver. At 100 TB each iteration is a full scan — which is what
     k-means costs anywhere — with shuffle traffic independent of corpus
     size."""
+    if sample_fraction is not None:
+        # the actual 100 TB fit path: train the quantizer on a KEYED
+        # deterministic sample (hash-bucketed — same subset on any
+        # engine/partitioning/rerun), then assign the full corpus with
+        # the trained centroids. Centroid quality converges with the
+        # sample, not the corpus; the full-scan-per-iteration cost
+        # shrinks by 1/fraction.
+        from pyp_etl_pipeline_spark.operators.sampling import deterministic_sample  # noqa: PLC0415
+
+        vectors = deterministic_sample(vectors, id_col, sample_fraction, salt="kmeans-fit-v1")
     v = vectors.select(
         F.col(id_col).alias("id"),
         _micro_vec(F.col(vec_col)).alias("__xm"),

@@ -246,3 +246,23 @@ def test_semantic_dedup_no_pairs_below_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = similarity.kmeans_fit(df, k=2, n_iter=1, dim=4)
     assert similarity.semantic_dedup(df, cents, threshold=0.5).count() == 0
+
+
+def test_kmeans_fit_sample_fraction_trains_usable_quantizer(spark):
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    # 3 tight blobs; a 50% keyed sample still sees every blob, so the
+    # sampled fit must separate them exactly like the full fit
+    base = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0], 2: [0.0, 0.0, 1.0, 0.0]}
+    rows = [(i, [v + 0.001 * (i % 5) for v in base[i % 3]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = similarity.kmeans_fit(df, k=3, n_iter=3, dim=4, sample_fraction=0.5)
+    out = similarity.kmeans_assign(df, cents).collect()
+    mapping = {}
+    for r in out:
+        mapping.setdefault(r["id"] % 3, set()).add(r["cluster_id"])
+    assert all(len(s) == 1 for s in mapping.values())
+    assert len({next(iter(s)) for s in mapping.values()}) == 3
+    # deterministic: the same call yields the same centroids
+    assert cents == similarity.kmeans_fit(df, k=3, n_iter=3, dim=4, sample_fraction=0.5)
