@@ -1911,6 +1911,47 @@ FROM starts
 """
 
 
+def j16_point_in_time_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against the j14 SCD2 history:
+    for every order, the customer's status interval valid 15 days AFTER
+    the order date. Because SCD2 intervals are contiguous per key,
+    interval containment IS an as-of join on the validity starts — so
+    the lookup runs through ``operators/asof.asof_join`` (one shuffle,
+    no BNLJ range join). Probe arithmetic is timestamp + INTERVAL
+    (tz-free); the twin uses DuckDB's native ASOF LEFT JOIN, so two
+    engines' temporal-join semantics certify each other."""
+    from pyp_etl_pipeline_spark.operators.asof import asof_join  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators.scd import scd2_history  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders")
+    log = (
+        o.groupBy(F.col("o_custkey"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max(F.struct("o_orderkey", "o_orderstatus"))["o_orderstatus"].alias("status"))
+    )
+    hist = scd2_history(log, "o_custkey", "ts", "status")
+    probes = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS")).alias("ts"),
+    )
+    right = hist.select("o_custkey", F.col("valid_from").alias("ts"), "status")
+    out = asof_join(probes, right, key="o_custkey", ts="ts", right_value_cols=["status"])
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("ts").alias("probe_ts"),
+        F.col("status_right").alias("status"),
+    )
+
+
+J16_SQL = f"""
+WITH hist AS ({J14_SQL}),
+probes AS (SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 15 DAY AS ts FROM orders)
+SELECT p.o_orderkey, p.o_custkey, p.ts AS probe_ts, h.status
+FROM probes p ASOF LEFT JOIN hist h ON p.o_custkey = h.o_custkey AND p.ts >= h.valid_from
+"""
+
+
 def ann04_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 iterations) over the
     embeddings — the trained coarse quantizer for IVF
@@ -2217,6 +2258,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
     "sd01_semantic_dedup": (sd01_semantic_dedup, SD01_SQL),
     "j14_scd2_history": (j14_scd2_history, J14_SQL),
+    "j16_point_in_time_status": (j16_point_in_time_status, J16_SQL),
     "sk01_salted_join": (sk01_salted_join, SK01_SQL),
     "tx09_token_topk": (tx09_token_topk, TX09_SQL),
     "a09_event_pivot": (a09_event_pivot, A09_SQL),
@@ -2278,6 +2320,7 @@ _DRIVER_PRIORITY = [
     "q06_large_volume_customers",
     "w07_rolling_30d_revenue",
     "bk01_bucketed_join",
+    "j16_point_in_time_status",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
