@@ -1485,6 +1485,78 @@ FROM c
 """
 
 
+def a11_cube_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping-set surface (a07's rollup sibling): all four
+    grouping combinations of (status, priority) in one pass — Spark
+    expands to a single expand+hash-agg, no re-scan per grouping set.
+    Revenue uses the order-independent scaled-long sum."""
+    from pyp_etl_pipeline_spark.functions.aggregates import exact_sum  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice").alias("revenue"))
+    )
+
+
+def _a11_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.aggregates import sql_exact_sum  # noqa: PLC0415
+
+    return f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {sql_exact_sum("o_totalprice")} AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+A11_SQL = _a11_sql()
+
+
+def tx12_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-novelty score: the fraction of a document's distinct word
+    3-grams that appear in NO other document — high novelty separates
+    original text from boilerplate/template mass (the dedup family's
+    analytic cousin). Two map-side-combined shuffles (per-gram doc
+    counts over the already-distinct per-doc shingles, then the per-doc
+    rollup); the score is integer micro math."""
+    d = _load_corpus(spark, sf, "documents")
+    from pyp_etl_pipeline_spark.operators.dedup import word_shingles  # noqa: PLC0415
+
+    sh = d.select(F.col("doc_id"), F.explode(word_shingles("text", 3)).alias("g"))
+    cnt = sh.groupBy("g").agg(F.count("*").alias("nd"))
+    return (
+        sh.join(cnt, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.floor(F.lit(1_000_000.0) * F.col("n_unique") / F.col("n_grams") + F.lit(0.5))
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+    )
+
+
+TX12_SQL = (
+    _SHINGLE_CTE
+    + """,
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+c AS (SELECT g, count(*) AS nd FROM e GROUP BY 1),
+p AS (SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      FROM e JOIN c USING (g) GROUP BY 1)
+SELECT doc_id, n_grams, n_unique,
+       CAST(floor(1000000.0 * n_unique / n_grams + 0.5) AS BIGINT) AS novelty_micro
+FROM p
+"""
+)
+
+
 def bk01_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join through the oracle gate: lineitem and
     orders are materialized as 16-bucket tables on the orderkey
@@ -2268,6 +2340,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q06_large_volume_customers": (q06_large_volume_customers, Q06_SQL),
     "w07_rolling_30d_revenue": (w07_rolling_30d_revenue, W07_SQL),
     "bk01_bucketed_join": (bk01_bucketed_join, BK01_SQL),
+    "a11_cube_summary": (a11_cube_summary, A11_SQL),
+    "tx12_ngram_novelty": (tx12_ngram_novelty, TX12_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
@@ -2321,6 +2395,8 @@ _DRIVER_PRIORITY = [
     "w07_rolling_30d_revenue",
     "bk01_bucketed_join",
     "j16_point_in_time_status",
+    "a11_cube_summary",
+    "tx12_ngram_novelty",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
