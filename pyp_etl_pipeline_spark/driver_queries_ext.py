@@ -1557,6 +1557,57 @@ FROM p
 )
 
 
+def px02_pseudonymization(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic pseudonymization (``masking.pseudonymize``): PII
+    hits become per-VALUE hashed tokens, not generic placeholders —
+    user7@example.com maps to the same ``<EMAIL:xxxxxxxx>`` in every
+    document (identities are injected with doc_id%50 collisions
+    precisely so the referential-integrity property is visible in the
+    output). The twin rebuilds every split/hash/interleave step, so the
+    token derivation contract is hash-certified end to end."""
+    from pyp_etl_pipeline_spark.functions import masking  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), (k % 50).cast("string"), F.lit("@example.com"),
+        F.lit(" ssn 123-45-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    out = masking.pseudonymize(masking.pseudonymize(injected, "email"), "ssn")
+    return d.select("doc_id", out.alias("pseudo"))
+
+
+def _px02_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.masking import PII_PATTERNS  # noqa: PLC0415
+
+    def rebuild(x: str, cls: str) -> str:
+        pat = PII_PATTERNS[cls].replace("'", "''")
+        parts = f"string_split_regex({x}, '{pat}')"
+        matches = f"regexp_extract_all({x}, '{pat}')"
+        tok = (
+            f"'<{cls.upper()}:' || substring(md5({matches}[i] || 'pseudo-v1'), 1, 8) || '>'"
+        )
+        inter = (
+            f"coalesce(array_to_string(list_transform(generate_series(1, len({matches})), "
+            f"i -> {parts}[i] || {tok}), ''), '')"
+        )
+        return f"({inter} || {parts}[len({parts})])"
+
+    inj = (
+        "text || ' contact user' || (doc_id % 50) || '@example.com'"
+        " || ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    return f"""
+WITH i AS (SELECT doc_id, {inj} AS t FROM documents),
+e AS (SELECT doc_id, {rebuild("t", "email")} AS t2 FROM i)
+SELECT doc_id, {rebuild("t2", "ssn")} AS pseudo FROM e
+"""
+
+
+PX02_SQL = _px02_sql()
+
+
 def bk01_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join through the oracle gate: lineitem and
     orders are materialized as 16-bucket tables on the orderkey
@@ -2342,6 +2393,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "bk01_bucketed_join": (bk01_bucketed_join, BK01_SQL),
     "a11_cube_summary": (a11_cube_summary, A11_SQL),
     "tx12_ngram_novelty": (tx12_ngram_novelty, TX12_SQL),
+    "px02_pseudonymization": (px02_pseudonymization, PX02_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
@@ -2397,6 +2449,7 @@ _DRIVER_PRIORITY = [
     "j16_point_in_time_status",
     "a11_cube_summary",
     "tx12_ngram_novelty",
+    "px02_pseudonymization",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

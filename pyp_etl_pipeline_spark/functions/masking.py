@@ -82,3 +82,37 @@ def scrub_pii(c: Column | str) -> Column:
     for name in ("email", "phone", "ssn", "ipv4"):
         out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
     return out
+
+
+def pseudonymize(c: Column | str, cls: str, salt: str = "pseudo-v1") -> Column:
+    """Replace each PII hit of one class with a DETERMINISTIC per-value
+    token — ``<EMAIL:ab12cd34>`` from the md5 of the matched text+salt —
+    instead of ``scrub_pii``'s one-placeholder-fits-all. The property
+    that matters for a training/analytics corpus: the same address maps
+    to the same token everywhere, so identity joins, dedup keys, and
+    frequency analyses survive redaction (referential integrity), while
+    the raw value does not.
+
+    Pure column algebra, map-only: split on the pattern, hash the
+    extracted matches, interleave back. Same engine-portable regexes as
+    ``PII_PATTERNS``; the twin reproduces every token bit-for-bit.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    pat = PII_PATTERNS[cls]
+    parts = F.split(c, pat, -1)
+    matches = F.regexp_extract_all(c, F.lit(pat), 0)
+    toks = F.transform(
+        matches,
+        lambda m: F.concat(
+            F.lit(f"<{cls.upper()}:"),
+            F.substring(F.md5(F.concat(m, F.lit(salt))), 1, 8),
+            F.lit(">"),
+        ),
+    )
+    n = F.size(matches)
+    return F.concat(
+        F.array_join(
+            F.zip_with(F.slice(parts, 1, n), toks, lambda p, t: F.concat(p, t)), ""
+        ),
+        F.element_at(parts, -1),
+    )

@@ -153,3 +153,38 @@ def test_scrub_pii_and_counts(spark):
     assert out[3]["ipv4"] == 1 and out[3]["ssn"] == 1
     assert out[4]["s"] == "nothing sensitive here"
     assert out[5]["s"] is None
+
+
+def test_pseudonymize_deterministic_and_referential(spark):
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.functions import masking
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice@example.com about x"),
+            (2, "alice@example.com and bob@example.com met"),
+            (3, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["p"] for r in df.select("id", masking.pseudonymize("text", "email").alias("p")).collect()}
+    # same identity -> same token across documents (referential integrity)
+    tok1 = out[1].split()[2]
+    assert tok1.startswith("<EMAIL:") and tok1.endswith(">")
+    assert tok1 in out[2]
+    # different identity -> different token
+    toks2 = [w for w in out[2].split() if w.startswith("<EMAIL:")]
+    assert len(set(toks2)) == 2
+    # surrounding text intact, no-match rows unchanged
+    assert out[1] == f"write to {tok1} about x"
+    assert out[3] == "no pii here"
+
+
+def test_pseudonymize_salt_changes_tokens(spark):
+    from pyp_etl_pipeline_spark.functions import masking
+
+    df = spark.createDataFrame([(1, "alice@example.com")], "id long, text string")
+    a = df.select(masking.pseudonymize("text", "email", salt="s1").alias("p")).collect()[0]["p"]
+    b = df.select(masking.pseudonymize("text", "email", salt="s2").alias("p")).collect()[0]["p"]
+    assert a != b and a.startswith("<EMAIL:") and b.startswith("<EMAIL:")
