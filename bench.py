@@ -52,6 +52,10 @@ EXTENDED = [
     "pp01_pretraining_pipeline",
     "tx10_tfidf_topk",
     "ck01_document_chunks",
+    # round 6, final batch
+    "q06_large_volume_customers",
+    "j16_point_in_time_status",
+    "tx12_ngram_novelty",
 ]
 
 HEADLINE = [

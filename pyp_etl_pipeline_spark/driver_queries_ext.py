@@ -1618,11 +1618,22 @@ def bk01_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     in tests/test_bucketed.py; this query certifies the bucketed
     write+read path produces correct DATA on the real tables). The twin
     is the plain join — storage layout must not change results."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    from urllib.parse import urlparse  # noqa: PLC0415
+
     from pyp_etl_pipeline_spark.sources.bucketed import read_table, write_bucketed  # noqa: PLC0415
 
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
-    # fixed names + overwrite: repeat invocations replace, never accumulate
+    # fixed names + overwrite: repeat invocations replace, never
+    # accumulate. A FRESH session can inherit the previous session's
+    # warehouse DIRECTORY without its catalog entry — saveAsTable then
+    # fails with LOCATION_ALREADY_EXISTS — so clear both first.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path or "spark-warehouse"
+    for t in ("bk01_li", "bk01_o"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     write_bucketed(li, "bk01_li", "l_orderkey", n_buckets=16)
     write_bucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "bk01_o", "l_orderkey", n_buckets=16)
     fact = read_table(spark, "bk01_li")
