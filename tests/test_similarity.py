@@ -266,3 +266,32 @@ def test_kmeans_fit_sample_fraction_trains_usable_quantizer(spark):
     assert len({next(iter(s)) for s in mapping.values()}) == 3
     # deterministic: the same call yields the same centroids
     assert cents == similarity.kmeans_fit(df, k=3, n_iter=3, dim=4, sample_fraction=0.5)
+
+
+def test_semantic_dedup_single_cluster_equals_exact_pair_rule(spark):
+    """With k=1 (one cluster) semantic_dedup must equal the plain
+    pairwise rule: drop exactly the ids that have ANY lower-id neighbor
+    with cosine >= t, keeping the minimal such neighbor."""
+    import random
+
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    random.seed(3)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(4)]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=1, n_iter=1, dim=4)
+    got = {r["id"]: r["kept_by"] for r in similarity.semantic_dedup(df, cents, threshold=0.8).collect()}
+
+    # reference computation in python
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expect = {}
+    for i, vi in rows:
+        lows = [j for j, vj in rows if j < i and cos(vj, vi) >= 0.8]
+        if lows:
+            expect[i] = min(lows)
+    assert got == expect
