@@ -1557,6 +1557,89 @@ FROM p
 )
 
 
+def dq01_expectation_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-contract gate (``operators/quality``): null-rate /
+    uniqueness / range expectations on customer ride ONE map-side-
+    combined aggregate pass, plus an FK-integrity rule
+    (orders.o_custkey -> customer.c_custkey, one anti-join). The twin
+    recomputes every metric as plain SQL aggregates — thresholds,
+    fractions, and pass booleans all hash-certified."""
+    from pyp_etl_pipeline_spark.operators import quality  # noqa: PLC0415
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    rep = quality.expectation_report(
+        c,
+        not_null={"c_name": 0.0, "c_mktsegment": 0.05},
+        unique=("c_custkey",),
+        ranges={"c_acctbal": (-1000.0, 10000.0)},
+    )
+    fk = quality.referential_report(o, c, "o_custkey", "c_custkey")
+    return rep.unionByName(fk)
+
+
+DQ01_SQL = """
+SELECT 'not_null:c_name' AS rule, CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS metric,
+       0.0 AS threshold, (CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) <= 0.0 AS ok FROM customer
+UNION ALL
+SELECT 'not_null:c_mktsegment', CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+       0.05, (CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) <= 0.05 FROM customer
+UNION ALL
+SELECT 'unique:c_custkey', CAST(count(*) - count(DISTINCT c_custkey) AS DOUBLE) / count(*),
+       0.0, (count(*) - count(DISTINCT c_custkey)) <= 0 FROM customer
+UNION ALL
+SELECT 'range:c_acctbal', CAST(sum(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+       1.0, (CAST(sum(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) >= 1.0 FROM customer
+UNION ALL
+SELECT 'fk:o_custkey->c_custkey',
+       CAST(count(*) - sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+       1.0, sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
+"""
+
+
+def cd01_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed CDC between two snapshot versions
+    (``quality.diff_snapshots``): v1 = orders missing every 10th key,
+    v2 = orders missing every 7th key with every 5th price re-stated —
+    so all three change kinds appear. One full-outer join on the key;
+    UPDATE detection is null-safe per tracked column. The twin runs the
+    identical full-outer + IS DISTINCT FROM logic."""
+    from pyp_etl_pipeline_spark.operators import quality  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    old = o.filter(k % 10 != 0).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = o.filter(k % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(k % 5 == 0, F.col("o_totalprice") * 1.1).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return quality.diff_snapshots(old, new, ("o_orderkey",))
+
+
+CD01_SQL = """
+WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+new AS (SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0),
+j AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old.o_orderkey IS NOT NULL AS in_old, new.o_orderkey IS NOT NULL AS in_new,
+         old.o_orderstatus AS old_o_orderstatus, old.o_totalprice AS old_o_totalprice,
+         new.o_orderstatus AS new_o_orderstatus, new.o_totalprice AS new_o_totalprice
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'insert' WHEN NOT in_new THEN 'delete' ELSE 'update' END AS change,
+       old_o_orderstatus, old_o_totalprice, new_o_orderstatus, new_o_totalprice
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR (old_o_orderstatus IS DISTINCT FROM new_o_orderstatus)
+   OR (old_o_totalprice IS DISTINCT FROM new_o_totalprice)
+"""
+
+
 def px02_pseudonymization(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic pseudonymization (``masking.pseudonymize``): PII
     hits become per-VALUE hashed tokens, not generic placeholders —
@@ -2405,6 +2488,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a11_cube_summary": (a11_cube_summary, A11_SQL),
     "tx12_ngram_novelty": (tx12_ngram_novelty, TX12_SQL),
     "px02_pseudonymization": (px02_pseudonymization, PX02_SQL),
+    "dq01_expectation_report": (dq01_expectation_report, DQ01_SQL),
+    "cd01_snapshot_diff": (cd01_snapshot_diff, CD01_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
@@ -2461,6 +2546,8 @@ _DRIVER_PRIORITY = [
     "a11_cube_summary",
     "tx12_ngram_novelty",
     "px02_pseudonymization",
+    "dq01_expectation_report",
+    "cd01_snapshot_diff",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

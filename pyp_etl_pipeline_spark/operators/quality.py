@@ -1,0 +1,138 @@
+"""Data-quality expectations and snapshot diffing.
+
+Two classic pipeline-hardening operators (extension tier — the
+reference's F-family validates ROWS; these validate TABLES and table
+VERSIONS):
+
+- ``expectation_report``: declarative table-level checks (null rate,
+  uniqueness, value range, referential integrity) evaluated in ONE
+  aggregate pass per table + one small semi-join per FK rule, producing
+  a (rule, metric, threshold, ok) report — the Great-Expectations-style
+  contract gate a pipeline runs before publishing a table.
+- ``diff_snapshots``: keyed change-data capture between two table
+  versions — INSERT / DELETE / UPDATE rows from one full-outer join,
+  with UPDATE detected by null-safe comparison over the tracked
+  columns. The standard way to turn periodic full snapshots into an
+  incremental feed.
+
+Both are pure DataFrame algebra: the report is map-side-combinable
+aggregates (output rows = number of rules); the diff is one shuffle on
+the key (or zero if both snapshots are bucketed/co-partitioned on it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rule_row(name: str, metric, threshold, ok) -> F.Column:
+    return F.struct(
+        F.lit(name).alias("rule"),
+        metric.cast("double").alias("metric"),
+        F.lit(float(threshold)).alias("threshold"),
+        ok.alias("ok"),
+    )
+
+
+def expectation_report(
+    df: DataFrame,
+    not_null: dict[str, float] | None = None,
+    unique: tuple[str, ...] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Evaluate table-level expectations in one aggregate pass.
+
+    - ``not_null``: {column: max allowed null fraction}
+    - ``unique``: columns whose values must be globally unique
+    - ``ranges``: {column: (lo, hi)} — metric is the IN-RANGE fraction,
+      threshold 1.0
+
+    Output: (rule, metric, threshold, ok), one row per rule. All rules
+    ride ONE map-side-combined aggregate (null counts, distinct counts,
+    range counts); the report explodes from a single aggregated row, so
+    the operator costs one scan regardless of rule count.
+    """
+    not_null = not_null or {}
+    ranges = ranges or {}
+    n = F.count(F.lit(1))
+    rules = []
+    for col, max_frac in not_null.items():
+        frac = F.sum(F.col(col).isNull().cast("long")) / n
+        rules.append(_rule_row(f"not_null:{col}", frac, max_frac, frac <= max_frac))
+    for col in unique:
+        # distinct == total -> unique; metric is the duplicate fraction
+        dup = (n - F.count_distinct(F.col(col))) / n
+        rules.append(_rule_row(f"unique:{col}", dup, 0.0, dup <= 0))
+    for col, (lo, hi) in ranges.items():
+        inr = F.sum(F.col(col).between(lo, hi).cast("long")) / n
+        rules.append(_rule_row(f"range:{col}", inr, 1.0, inr >= 1.0))
+    agg = df.agg(F.array(*rules).alias("__rules"))
+    return agg.select(F.explode("__rules").alias("r")).select("r.rule", "r.metric", "r.threshold", "r.ok")
+
+
+def referential_report(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """FK integrity as a rule row: fraction of child rows whose ``fk``
+    exists in ``parent.pk`` (nulls count as misses). One anti-join."""
+    total = child.count()
+    orphans = child.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    ).count()
+    frac = (total - orphans) / total if total else 1.0
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(f"fk:{fk}->{pk}", float(frac), 1.0, orphans == 0)],
+        "rule string, metric double, threshold double, ok boolean",
+    )
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    compare_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Keyed CDC between two snapshots: one full-outer join on the key.
+
+    Output: key columns + ``change`` ('insert' | 'delete' | 'update')
+    + old_/new_ prefixed tracked columns; unchanged rows are dropped.
+    UPDATE uses null-safe comparison per tracked column (NULL -> value
+    and value -> NULL are real changes). One shuffle on the key — or
+    none when both snapshots are bucketed on it (``sources/bucketed``).
+    """
+    if compare_cols is None:
+        compare_cols = tuple(c for c in new.columns if c not in key_cols)
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    nw = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(nw, list(key_cols), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *key_cols,
+            "change",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -1,0 +1,50 @@
+"""Data-quality expectations + snapshot diff (operators/quality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.operators import quality
+
+
+def test_expectation_report_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (3, "c", -3.0), (3, "d", 2.0)],
+        "id long, name string, val double",
+    )
+    rep = {r["rule"]: r for r in quality.expectation_report(
+        df,
+        not_null={"name": 0.3, "id": 0.0},
+        unique=("id",),
+        ranges={"val": (0.0, 10.0)},
+    ).collect()}
+    assert rep["not_null:name"]["ok"] and rep["not_null:name"]["metric"] == 0.25
+    assert rep["not_null:id"]["ok"]
+    # id=3 duplicated -> unique fails with duplicate fraction 1/4
+    assert not rep["unique:id"]["ok"] and rep["unique:id"]["metric"] == 0.25
+    # 50.0 and -3.0 out of range -> in-range fraction 0.5, fails
+    assert not rep["range:val"]["ok"] and rep["range:val"]["metric"] == 0.5
+
+
+def test_referential_report_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = quality.referential_report(child, parent, "fk", "pk").collect()[0]
+    assert not r["ok"] and abs(r["metric"] - 2 / 3) < 1e-12
+
+
+def test_diff_snapshots_all_change_kinds(spark):
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "C", 31.0), (4, "D", 40.0), (5, "E", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in quality.diff_snapshots(old, new, ("k",)).collect()}
+    # 1 deleted, 5 inserted, 3 value-updated, 4 null->value updated, 2 unchanged (absent)
+    assert set(out) == {1, 3, 4, 5}
+    assert out[1]["change"] == "delete" and out[5]["change"] == "insert"
+    assert out[3]["change"] == "update" and out[3]["old_v"] == 30.0 and out[3]["new_v"] == 31.0
+    assert out[4]["change"] == "update" and out[4]["old_s"] is None and out[4]["new_s"] == "D"
