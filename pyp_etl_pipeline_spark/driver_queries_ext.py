@@ -1557,6 +1557,62 @@ FROM p
 )
 
 
+def mm06_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio feature extraction beyond RMS: zero-crossing rate and
+    peak amplitude from actual PCM bytes (``codecs.wav_decode`` —
+    RIFF walk, no metadata trust). The synthesized ramp clips make every
+    feature analytically predictable from doc_id, so the DuckDB twin
+    recomputes ZCR/peak/RMS/duration in closed form — an endianness,
+    sign, or off-by-one bug in the PCM path breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT, decode_features  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 2 == 1)
+    repo_root = REPO_ROOT
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import wav_encode_pcm16  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = 1 + i % 7
+                n = 100 + i % 50
+                samples = [(((j * k) % 256) - 128) * 64 for j in range(n)]
+                payloads.append(wav_encode_pcm16(samples, 8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    out = decode_features(media)
+    return out.select(
+        "media_id",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "peak",
+    )
+
+
+MM06_SQL = """
+WITH odd AS (
+  SELECT doc_id, (1 + doc_id % 7)::BIGINT AS k, (100 + doc_id % 50)::BIGINT AS n
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id AS media_id,
+  round(n * 1000.0 / 8000.0, 4) AS duration_ms,
+  round(sqrt(list_avg(list_transform(range(0, n), j -> power((((j * k) % 256 - 128) * 64)::DOUBLE, 2)))), 4) AS rms,
+  round(len(list_filter(range(1, n), j -> (((j * k) % 256) >= 128) <> ((((j - 1) * k) % 256) >= 128)))::DOUBLE / (n - 1), 6) AS zcr,
+  CAST(list_max(list_transform(range(0, n), j -> abs(((j * k) % 256 - 128) * 64))) AS INT) AS peak
+FROM odd
+"""
+
+
 def dq01_expectation_report(spark: SparkSession, sf: str) -> DataFrame:
     """Table-contract gate (``operators/quality``): null-rate /
     uniqueness / range expectations on customer ride ONE map-side-
@@ -2489,6 +2545,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx12_ngram_novelty": (tx12_ngram_novelty, TX12_SQL),
     "px02_pseudonymization": (px02_pseudonymization, PX02_SQL),
     "dq01_expectation_report": (dq01_expectation_report, DQ01_SQL),
+    "mm06_audio_features": (mm06_audio_features, MM06_SQL),
     "cd01_snapshot_diff": (cd01_snapshot_diff, CD01_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
@@ -2548,6 +2605,7 @@ _DRIVER_PRIORITY = [
     "px02_pseudonymization",
     "dq01_expectation_report",
     "cd01_snapshot_diff",
+    "mm06_audio_features",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

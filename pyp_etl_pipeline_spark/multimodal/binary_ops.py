@@ -97,7 +97,7 @@ def decode_real(payload: bytes, kind: str) -> dict:
 
 DECODE_SCHEMA = (
     "media_id long, format string, width int, height int, "
-    "duration_ms double, mean_val double, rms double"
+    "duration_ms double, mean_val double, rms double, zcr double, peak int"
 )
 
 
@@ -133,6 +133,8 @@ def decode_features(df: DataFrame) -> DataFrame:
                     "duration_ms": None,
                     "mean_val": None,
                     "rms": None,
+                    "zcr": None,
+                    "peak": None,
                 }
                 # magic bytes don't guarantee a well-formed body: a
                 # truncated/desynced payload raises from the codec, and
@@ -144,7 +146,10 @@ def decode_features(df: DataFrame) -> DataFrame:
                         row.update(width=d["width"], height=d["height"], mean_val=d["mean_val"])
                     elif fmt == "wav":
                         d = codecs.wav_decode(p)
-                        row.update(duration_ms=d["duration_ms"], rms=d["rms"])
+                        row.update(
+                            duration_ms=d["duration_ms"], rms=d["rms"],
+                            zcr=d["zcr"], peak=d["peak"],
+                        )
                     elif fmt == "jpeg":
                         d = codecs.jpeg_decode(p)
                         row.update(width=d["width"], height=d["height"], mean_val=d["mean_val"])

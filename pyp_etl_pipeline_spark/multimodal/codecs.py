@@ -201,12 +201,23 @@ def wav_decode(payload: bytes) -> dict:
     samples = np.frombuffer(data, dtype="<i2")
     n_frames = samples.size // n_channels
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if samples.size else 0.0
+    # zero-crossing rate: fraction of consecutive-sample sign changes
+    # ((s >= 0) flips), a standard cheap audio feature (speech/music/
+    # silence screens); peak = max |sample| (clipping detection)
+    if samples.size >= 2:
+        nonneg = samples >= 0
+        zcr = float(np.count_nonzero(nonneg[1:] != nonneg[:-1])) / (samples.size - 1)
+    else:
+        zcr = 0.0
+    peak = int(np.max(np.abs(samples.astype(np.int32)))) if samples.size else 0
     return {
         "n_channels": int(n_channels),
         "sample_rate": int(rate),
         "n_samples": int(n_frames),
         "duration_ms": 1000.0 * n_frames / rate,
         "rms": rms,
+        "zcr": zcr,
+        "peak": peak,
     }
 
 

@@ -263,3 +263,17 @@ def test_frame_sample_decoded_from_payload(spark):
         for r in binary_ops.frame_sample_decoded(df, every_ms=1000).collect()
     )
     assert out == [(1, 0), (1, 1000), (1, 2000), (2, 0)]
+
+
+def test_wav_decode_zcr_and_peak():
+    from pyp_etl_pipeline_spark.multimodal.codecs import wav_decode, wav_encode_pcm16
+
+    # alternating sign every sample -> zcr 1.0; peak = 300
+    d = wav_decode(wav_encode_pcm16([100, -200, 300, -100], 8000))
+    assert d["zcr"] == 1.0 and d["peak"] == 300
+    # constant positive -> zcr 0.0
+    d = wav_decode(wav_encode_pcm16([5, 5, 5], 8000))
+    assert d["zcr"] == 0.0 and d["peak"] == 5
+    # zero counts as non-negative: 0 -> -1 is a crossing, -1 -> 0 too
+    d = wav_decode(wav_encode_pcm16([0, -1, 0], 8000))
+    assert d["zcr"] == 1.0
