@@ -1557,6 +1557,67 @@ FROM p
 )
 
 
+def tx13_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 PMI collocations over the corpus bigram stream
+    (``textan.pmi_bigrams``, min_count=5): the classic phrase detector.
+    Integer micro-quantized rank key, ties bigram-ascending; the twin
+    replays counts, probabilities, and ln in closed SQL form."""
+    return textan.pmi_bigrams(_load_corpus(spark, sf, "documents"), k=20, min_count=5)
+
+
+def _tx13_sql() -> str:
+    toks = f"string_split({core.sql_normalized_text('text')}, ' ')"
+    return f"""
+WITH t AS (SELECT {toks} AS tk FROM documents WHERE len({toks}) > 0),
+uni AS (SELECT unnest(tk) AS w FROM t),
+uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+bg AS (
+  SELECT tk[i] AS a, tk[i + 1] AS b
+  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t WHERE len(tk) >= 2)
+),
+bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+nu AS (SELECT sum(n_w) AS n_uni FROM uc),
+nb AS (SELECT sum(greatest(len(tk) - 1, 0)) AS n_big FROM t)
+SELECT a || ' ' || b AS bigram, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+       CAST(floor(ln((n_ab / n_big) / ((ua.n_w / n_uni) * (ub.n_w / n_uni))) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+FROM bc JOIN uc ua ON bc.a = ua.w JOIN uc ub ON bc.b = ub.w
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
+"""
+
+
+TX13_SQL = _tx13_sql()
+
+
+def o08_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scalable alternative to
+    OFFSET: the next page is every row strictly AFTER the cursor in the
+    total order (o_orderdate, o_orderkey), fetched with a tuple
+    comparison that rides the scan as a filter, then a top-k (no global
+    offset scan). Spark expresses the row-value comparison as a struct
+    comparison; the twin uses SQL row-value syntax — both engines'
+    lexicographic tuple semantics certify each other."""
+    o = load_table(spark, sf, "orders")
+    cursor = F.struct(
+        F.lit("1995-06-01 00:00:00").cast("timestamp").alias("o_orderdate"),
+        F.lit(1000).cast("long").alias("o_orderkey"),
+    )
+    return (
+        o.filter(F.struct("o_orderdate", "o_orderkey") > cursor)
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+    )
+
+
+O08_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus
+FROM orders
+WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1995-06-01 00:00:00', 1000)
+ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50
+"""
+
+
 def mm06_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio feature extraction beyond RMS: zero-crossing rate and
     peak amplitude from actual PCM bytes (``codecs.wav_decode`` —
@@ -2546,6 +2607,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "px02_pseudonymization": (px02_pseudonymization, PX02_SQL),
     "dq01_expectation_report": (dq01_expectation_report, DQ01_SQL),
     "mm06_audio_features": (mm06_audio_features, MM06_SQL),
+    "tx13_pmi_collocations": (tx13_pmi_collocations, TX13_SQL),
+    "o08_keyset_pagination": (o08_keyset_pagination, O08_SQL),
     "cd01_snapshot_diff": (cd01_snapshot_diff, CD01_SQL),
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
@@ -2606,6 +2669,8 @@ _DRIVER_PRIORITY = [
     "dq01_expectation_report",
     "cd01_snapshot_diff",
     "mm06_audio_features",
+    "tx13_pmi_collocations",
+    "o08_keyset_pagination",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",

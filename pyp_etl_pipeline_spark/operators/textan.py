@@ -341,3 +341,81 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tf", "df_docs", "score_micro", "rank")
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent-word bigrams by
+    pointwise mutual information — the classic phrase detector
+    (word2vec-style phrase merging, index phrase extraction).
+
+    PMI = ln( p(ab) / (p(a) p(b)) ) with p(ab) over the bigram stream
+    and p(a) over the unigram stream; ``min_count`` suppresses the
+    low-count noise PMI is notorious for. The score quantizes to an
+    integer micro value BEFORE ranking (the engine-portable rank-key
+    contract, as ``tfidf_topk``), ties break bigram-ascending.
+
+    Scale shape: unigram and bigram counts are both map-side-combined
+    hash-aggs; the two join-backs are on the (small) distinct-bigram
+    stream, not the token stream; corpus totals ride as broadcast 1-row
+    aggregates; the final top-k is a TakeOrdered, never a full sort.
+
+    Output: (bigram, n_ab, n_a, n_b, pmi_micro) — k rows.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    t = df.select(F.col(id_col).alias("id"), toks.alias("__t")).filter(F.size("__t") > 0)
+    uni = t.select(F.explode("__t").alias("w")).groupBy("w").agg(F.count("*").alias("n_w"))
+    big = (
+        t.select(
+            F.explode(
+                F.when(
+                    F.size("__t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__t") - 2),
+                        lambda i: F.struct(
+                            F.element_at("__t", i + 1).alias("a"),
+                            F.element_at("__t", i + 2).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("n_w").alias("n_uni"))
+    n_big_total = (
+        t.select((F.greatest(F.size("__t") - 1, F.lit(0))).alias("nb")).agg(F.sum("nb").alias("n_big"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n_w").alias("n_b"))
+    scored = (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_big_total))
+        .withColumn(
+            "pmi_micro",
+            F.floor(
+                F.log(
+                    (F.col("n_ab") / F.col("n_big"))
+                    / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .withColumn("bigram", F.concat_ws(" ", "a", "b"))
+    )
+    return (
+        scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
+        .limit(k)
+        .select("bigram", "n_ab", "n_a", "n_b", "pmi_micro")
+    )
