@@ -2475,6 +2475,47 @@ WHERE rn = 1
 """
 
 
+def st07_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming session windows (``streaming_session_agg``,
+    built-in ``session_window``): 30-minute-gap sessions per user over
+    the drained stream. Spark's session range is HALF-OPEN
+    [first, last + gap) — an event exactly ``gap`` after the previous
+    one starts a NEW session — so the batch twin breaks sessions at
+    delta >= 1800, not > 1800; that boundary semantic is exactly what
+    the hash certifies (w03's batch sessionize uses the > convention,
+    which is why it is a separate query)."""
+    import uuid  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        run_to_memory,
+        streaming_session_agg,
+    )
+
+    name = "st07_" + uuid.uuid4().hex[:8]
+    stream = read_events_stream(spark, sf)
+    agg = streaming_session_agg(stream, gap="30 minutes", watermark="2 hours")
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+ST07_SQL = """
+WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+     l AS (SELECT *, ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap FROM e),
+     s AS (SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM l)
+SELECT user_id, min(ep) AS session_start, max(ep) + 1800 AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def st05_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream event-time window join
     (``streaming.events.streaming_window_join``): errors and clicks read
@@ -2588,6 +2629,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
+    "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
     "sd01_semantic_dedup": (sd01_semantic_dedup, SD01_SQL),
@@ -2671,6 +2713,7 @@ _DRIVER_PRIORITY = [
     "mm06_audio_features",
     "tx13_pmi_collocations",
     "o08_keyset_pagination",
+    "st07_streaming_sessions",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
