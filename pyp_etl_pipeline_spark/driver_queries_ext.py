@@ -2475,6 +2475,104 @@ WHERE rn = 1
 """
 
 
+def w08_funnel_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts a
+    stage only with an event AT OR AFTER their previous stage's first
+    event — the order constraint is what separates a funnel from three
+    independent counts. Three chained per-user conditional aggs (each
+    map-side combined, keyed on user) then one tiny stage rollup; no
+    windows, no self-join of the event stream. Conversion is integer
+    micro math vs the stage-1 population."""
+    ev = load_table(spark, sf, "events")
+    e = ev.select("user_id", "event_type", F.unix_timestamp("ts").alias("ep"))
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ep").alias("t1"))
+    t2 = (
+        e.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ep") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t2"))
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ep") >= F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t3"))
+    )
+    base = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    agg = base.agg(
+        F.count("*").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("n_view").alias("n_users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("n_click").alias("n_users")),
+                F.struct(F.lit("3_purchase").alias("stage"), F.col("n_purchase").alias("n_users")),
+            )
+        ).alias("s"),
+        F.col("n_view").alias("__base"),
+    )
+    return stages.select(
+        "s.stage",
+        F.col("s.n_users").cast("long").alias("n_users"),
+        F.floor(F.col("s.n_users") * 1_000_000 / F.col("__base") + F.lit(0.5)).cast("long").alias("conv_micro"),
+    )
+
+
+W08_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+t1 AS (SELECT user_id, min(ep) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(ep) AS t2 FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND ep >= t1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(ep) AS t3 FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND ep >= t2 GROUP BY 1),
+agg AS (
+  SELECT count(*) AS n_view, count(t2.t2) AS n_click, count(t3.t3) AS n_purchase
+  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+)
+SELECT '1_view' AS stage, CAST(n_view AS BIGINT) AS n_users,
+       CAST(floor(n_view * 1000000.0 / n_view + 0.5) AS BIGINT) AS conv_micro FROM agg
+UNION ALL
+SELECT '2_click', CAST(n_click AS BIGINT),
+       CAST(floor(n_click * 1000000.0 / n_view + 0.5) AS BIGINT) FROM agg
+UNION ALL
+SELECT '3_purchase', CAST(n_purchase AS BIGINT),
+       CAST(floor(n_purchase * 1000000.0 / n_view + 0.5) AS BIGINT) FROM agg
+"""
+
+
+def a12_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users keyed by first-active week, one
+    row per (cohort_week, week_offset) with the count of cohort users
+    active that week. Two map-side-combined aggs (distinct user-weeks,
+    then first week per user) + one join back on user — the standard
+    cohort matrix, no window over the event stream."""
+    ev = load_table(spark, sf, "events")
+    weeks = (
+        ev.select("user_id", F.expr("unix_timestamp(ts) DIV 604800").alias("wk"))
+        .distinct()
+    )
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+A12_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY 1)
+SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
+FROM weeks JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def st07_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful streaming session windows (``streaming_session_agg``,
     built-in ``session_window``): 30-minute-gap sessions per user over
@@ -2630,6 +2728,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
+    "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
+    "a12_cohort_retention": (a12_cohort_retention, A12_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
     "sd01_semantic_dedup": (sd01_semantic_dedup, SD01_SQL),
@@ -2714,6 +2814,8 @@ _DRIVER_PRIORITY = [
     "tx13_pmi_collocations",
     "o08_keyset_pagination",
     "st07_streaming_sessions",
+    "w08_funnel_analysis",
+    "a12_cohort_retention",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
