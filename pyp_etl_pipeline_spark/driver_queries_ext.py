@@ -2796,8 +2796,6 @@ _DRIVER_PRIORITY = [
     "a10_length_histogram",
     "tx11_quality_percentile_gate",
     "pp01_pretraining_pipeline",
-    "w05_ntile_quartiles",
-    "u05_status_set_ops",
     "ck01_document_chunks",
     "w06_group_zscores",
     "st06_streaming_upsert",
@@ -2835,6 +2833,9 @@ _DRIVER_PRIORITY = [
     "ann02_lsh_topk",
     "ann03_ivf_topk",
     "nd01_embed_neardup",
+    # textbook surfaces, lowest regression risk — first to rotate out
+    "w05_ntile_quartiles",
+    "u05_status_set_ops",
     # (b) outside the driver's r5 window
     "o01_topk_orders_per_customer",
     "o04_latest_order_per_customer",
