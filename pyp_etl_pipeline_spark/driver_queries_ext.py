@@ -707,6 +707,43 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 )
 
 
+def dd07_neardup_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The production near-dup dedup flow composed END-TO-END: Jaccard
+    candidate pairs (dd02) -> connected components (dd04) -> keep ONE
+    representative per cluster (the hash-min label IS the min member id,
+    so representative election is a filter, not another aggregate) ->
+    rebuild the surviving corpus (cluster reps + untouched singletons
+    via anti-join). Output: every surviving doc with the size of the
+    duplicate cluster it represents (1 = was never a candidate). The
+    twin composes the identical stages over the recursive-CTE closure,
+    so the composition semantics — who survives, with what cluster
+    size — are hash-certified."""
+    d = _load_corpus(spark, sf, "documents")
+    pairs = dedup.shingle_pairs_jaccard(d, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    reps = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_size")
+    )
+    singles = d.join(clusters, "doc_id", "left_anti").select(
+        "doc_id", F.lit(1).cast("long").alias("cluster_size")
+    )
+    return singles.unionByName(reps)
+
+
+DD07_SQL = f"""
+WITH c AS ({DD04_SQL}),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1)
+SELECT d.doc_id, CAST(1 AS BIGINT) AS cluster_size
+FROM documents d ANTI JOIN c ON d.doc_id = c.doc_id
+UNION ALL
+SELECT c.doc_id, CAST(sizes.cluster_size AS BIGINT)
+FROM c JOIN sizes USING (cluster_id) WHERE c.doc_id = c.cluster_id
+"""
+
+
 def dc01_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: every 25th document plays the eval set;
     the rest of the corpus is flagged when it shares >= 1 word 3-gram
@@ -2713,6 +2750,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd04_dup_clusters": (dd04_dup_clusters, DD04_SQL),
     "dd05_incremental_minhash": (dd05_incremental_minhash, DD05_SQL),
     "dd06_span_dedup": (dd06_span_dedup, DD06_SQL),
+    "dd07_neardup_dedup": (dd07_neardup_dedup, DD07_SQL),
     "dc01_decontaminate": (dc01_decontaminate, DC01_SQL),
     "dc02_decontaminate_spans": (dc02_decontaminate_spans, DC02_SQL),
     "sh01_simhash_pairs": (sh01_simhash_pairs, SH01_SQL),
@@ -2814,6 +2852,7 @@ _DRIVER_PRIORITY = [
     "st07_streaming_sessions",
     "w08_funnel_analysis",
     "a12_cohort_retention",
+    "dd07_neardup_dedup",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
