@@ -196,3 +196,25 @@ def test_span_dedup_within_doc_repeat(spark):
     row = dedup.span_dedup(df, k=2).collect()[0]
     assert row["n_spans"] == 3 and row["n_kept"] == 1
     assert row["text"] == "ping pong"
+
+
+def test_dup_clusters_composition_keeps_singletons_and_reps(spark):
+    """dd07's composition invariants: with no qualifying pairs every doc
+    survives with cluster_size 1; with one duplicate pair only the min
+    id survives, carrying the cluster size."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.shingle_pairs_jaccard(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).join(sizes, "cluster_id").select("doc_id", "cluster_size")
+    singles = docs.join(clusters, "doc_id", "left_anti").select("doc_id", F.lit(1).cast("long").alias("cluster_size"))
+    out = {r["doc_id"]: r["cluster_size"] for r in singles.unionByName(reps).collect()}
+    # docs 1+2 are dups -> 1 survives with size 2; doc 3 is a singleton
+    assert out == {1: 2, 3: 1}
