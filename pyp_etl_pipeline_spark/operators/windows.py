@@ -153,7 +153,10 @@ def group_zscores(
     groups, rounded to 6.
     """
     q = F.floor(F.col(value_col).cast("double") * quant + F.lit(0.5)).cast("long")
-    v = df.select(
+    # null metrics are excluded OUTRIGHT (not just from the sums): a
+    # null would otherwise inflate count(*) while F.sum skips it,
+    # silently biasing mean/variance
+    v = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(group_col).alias("grp"),
         F.col(value_col).alias("value"), q.alias("__q"),
     )

@@ -339,3 +339,16 @@ def test_gate_operators_keep_input_cols_mode(spark):
         "n_stop_hits", "ok_word_count", "ok_word_len", "ok_symbol", "ok_alpha",
         "ok_stopwords", "gopher_pass",
     }
+
+
+def test_group_zscores_ignores_null_values(spark):
+    from pyp_etl_pipeline_spark.operators.windows import group_zscores
+
+    rows = [(1, "a", 10.0), (2, "a", 12.0), (3, "a", None), (4, "a", 11.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = group_zscores(df, "event_type", "value", "event_id").collect()
+    # the null row is excluded entirely; the others score against the
+    # 3-value moments, not a 4-row count
+    assert len(out) == 3
+    assert all(r["id"] != 3 for r in out)
+    assert all(abs(r["z"]) < 3 for r in out)
