@@ -2512,6 +2512,70 @@ WHERE rn = 1
 """
 
 
+def ml01_linear_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed closed-form OLS (y = a + b*x): per event type, the
+    value trend over hours-since-corpus-start, via the normal equations
+    on EXACT integer moments — x in whole hours (small ints), y in
+    centi units, so n/Sx/Sy/Sxy/Sxx are overflow-safe int64 sums
+    (map-side combined, order-independent); only the final two
+    divisions run in doubles, on identical integers in both engines.
+    The corpus start rides as a broadcast 1-row min. This is the
+    trend-fitting shape that scales: one agg pass, no matrix library,
+    exact at any partitioning."""
+    ev = load_table(spark, sf, "events")
+    e = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ep"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
+    ).filter(F.col("yc").isNotNull())
+    t0 = e.agg(F.min("ep").alias("ep0"))
+    x = F.expr("(ep - ep0) DIV 3600")
+    m = (
+        e.join(F.broadcast(t0))
+        .select("event_type", x.alias("x"), "yc")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_centi_per_h"),
+        F.round(intercept, 4).alias("intercept_centi"),
+    )
+
+
+ML01_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+  FROM events WHERE value IS NOT NULL
+),
+t0 AS (SELECT min(ep) AS ep0 FROM e),
+m AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(yc) AS sy,
+         sum(x * yc) AS sxy, sum(x * x) AS sxx
+  FROM (SELECT event_type, (ep - ep0) // 3600 AS x, yc FROM e CROSS JOIN t0)
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+             ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END, 6) AS slope_centi_per_h,
+       round((sy::DOUBLE - (CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+             ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END) * sx::DOUBLE) / n, 4) AS intercept_centi
+FROM m
+"""
+
+
 def w08_funnel_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): a user converts a
     stage only with an event AT OR AFTER their previous stage's first
@@ -2767,6 +2831,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
+    "ml01_linear_trend": (ml01_linear_trend, ML01_SQL),
     "a12_cohort_retention": (a12_cohort_retention, A12_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
@@ -2831,8 +2896,6 @@ _DRIVER_PRIORITY = [
     "sd01_semantic_dedup",
     "j15_live_uid_fallback",
     "tx10_tfidf_topk",
-    "a10_length_histogram",
-    "tx11_quality_percentile_gate",
     "pp01_pretraining_pipeline",
     "ck01_document_chunks",
     "w06_group_zscores",
@@ -2853,6 +2916,7 @@ _DRIVER_PRIORITY = [
     "w08_funnel_analysis",
     "a12_cohort_retention",
     "dd07_neardup_dedup",
+    "ml01_linear_trend",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
@@ -2873,6 +2937,8 @@ _DRIVER_PRIORITY = [
     "ann03_ivf_topk",
     "nd01_embed_neardup",
     # textbook surfaces, lowest regression risk — first to rotate out
+    "a10_length_histogram",
+    "tx11_quality_percentile_gate",
     "w05_ntile_quartiles",
     "u05_status_set_ops",
     # (b) outside the driver's r5 window
