@@ -1247,6 +1247,29 @@ GROUP BY doc_id
 """
 
 
+def ex02_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Physical export round-trip: the corpus is WRITTEN through
+    ``export.write_sharded`` (shard-keyed shuffle, in-shard sort,
+    shard=K parquet layout) into a scratch dir, READ BACK from disk,
+    and summarized per shard — against the same analytic oracle as
+    ex01. What the hash certifies here that ex01 cannot: the bytes that
+    physically landed on disk carry the full corpus, the right rows in
+    the right shard dirs, with nothing lost or duplicated by the
+    write/read cycle."""
+    import tempfile  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.operators import export  # noqa: PLC0415
+
+    path = tempfile.mkdtemp(prefix="ex02_shards_")
+    export.write_sharded(load_table(spark, sf, "documents"), path, "doc_id", 16)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(export.shard_key("doc_id") % F.lit(1_000_000_000)).alias("checksum"),
+    )
+
+
 def tx10_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (``textan.tfidf_topk``):
     integer micro-quantized rank key, ties (score desc, term asc). The
@@ -1308,6 +1331,10 @@ SELECT CAST(hk % 16 AS INT) AS shard,
        CAST(sum(hk % 1000000000) AS BIGINT) AS checksum
 FROM h GROUP BY 1
 """
+
+# ex02 reads the physically-written shards back; the CONTRACT it must
+# reproduce is identical to ex01's analytic one
+EX02_SQL = EX01_SQL
 
 
 def rj01_interval_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -2827,6 +2854,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx07_gopher_rules": (tx07_gopher_rules, TX07_SQL),
     "rj01_interval_join": (rj01_interval_join, RJ01_SQL),
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
+    "ex02_export_roundtrip": (ex02_export_roundtrip, EX02_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
@@ -2911,12 +2939,12 @@ _DRIVER_PRIORITY = [
     "cd01_snapshot_diff",
     "mm06_audio_features",
     "tx13_pmi_collocations",
-    "o08_keyset_pagination",
     "st07_streaming_sessions",
     "w08_funnel_analysis",
     "a12_cohort_retention",
     "dd07_neardup_dedup",
     "ml01_linear_trend",
+    "ex02_export_roundtrip",
     "j14_scd2_history",
     "dc02_decontaminate_spans",
     "sk01_salted_join",
@@ -2937,6 +2965,7 @@ _DRIVER_PRIORITY = [
     "ann03_ivf_topk",
     "nd01_embed_neardup",
     # textbook surfaces, lowest regression risk — first to rotate out
+    "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",
     "w05_ntile_quartiles",
