@@ -2055,6 +2055,35 @@ SELECT o_custkey, 'f_only' AS tag FROM (
 """
 
 
+def u06_multiset_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset set-op surface (u05's bag-semantics sibling): per
+    customer, finished-order DATES minus open-order dates with
+    MULTIPLICITY preserved (EXCEPT ALL — a customer with three finished
+    orders on a date and one open order keeps two copies), plus the
+    INTERSECT ALL leg. Spark exceptAll/intersectAll == SQL EXCEPT
+    ALL/INTERSECT ALL; the duplicate-count arithmetic is exactly what
+    the hash certifies."""
+    o = load_table(spark, sf, "orders")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderdate")
+    opn = o.filter(F.col("o_orderstatus") == "O").select("o_custkey", "o_orderdate")
+    ex = fin.exceptAll(opn).withColumn("tag", F.lit("f_minus_o"))
+    inter = fin.intersectAll(opn).withColumn("tag", F.lit("both"))
+    return ex.unionByName(inter)
+
+
+U06_SQL = """
+SELECT o_custkey, o_orderdate, 'f_minus_o' AS tag FROM (
+  SELECT o_custkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_custkey, o_orderdate FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT o_custkey, o_orderdate, 'both' AS tag FROM (
+  SELECT o_custkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey, o_orderdate FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
 def pp01_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full pretraining-data pipeline composed END-TO-END from the
     engine's own operators — language-ID gate (``textan.language_scores``,
@@ -2886,6 +2915,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ck01_document_chunks": (ck01_document_chunks, CK01_SQL),
     "w06_group_zscores": (w06_group_zscores, W06_SQL),
     "u05_status_set_ops": (u05_status_set_ops, U05_SQL),
+    "u06_multiset_ops": (u06_multiset_ops, U06_SQL),
     "tx11_quality_percentile_gate": (tx11_quality_percentile_gate, TX11_SQL),
     "tx02_token_counts": (tx02_token_counts, TX02_SQL),
     "tx03_language_id": (tx03_language_id, TX03_SQL),
