@@ -1256,11 +1256,16 @@ def ex02_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     physically landed on disk carry the full corpus, the right rows in
     the right shard dirs, with nothing lost or duplicated by the
     write/read cycle."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     from pyp_etl_pipeline_spark.operators import export  # noqa: PLC0415
 
-    path = tempfile.mkdtemp(prefix="ex02_shards_")
+    # fixed scratch path + pre-clean: repeat gate/bench invocations
+    # replace the shard dir instead of accumulating mkdtemp orphans
+    path = os.path.join(tempfile.gettempdir(), "ex02_shards")
+    shutil.rmtree(path, ignore_errors=True)
     export.write_sharded(load_table(spark, sf, "documents"), path, "doc_id", 16)
     back = spark.read.parquet(path)
     return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
@@ -1511,7 +1516,8 @@ def w06_group_zscores(spark: SparkSession, sf: str) -> DataFrame:
 
 W06_SQL = """
 WITH v AS (SELECT event_id, event_type, value,
-                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q FROM events),
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q FROM events
+           WHERE value IS NOT NULL),
 s AS (SELECT event_type, count(*) AS n, sum(q) AS s, sum(q * q) AS s2 FROM v GROUP BY 1),
 j AS (SELECT v.event_id, v.event_type, v.value, v.q,
              (s.s::DOUBLE / s.n) AS mean,
@@ -2546,7 +2552,13 @@ def st06_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
         run_streaming_upsert,
     )
 
-    root = tempfile.mkdtemp(prefix="st06_upsert_")
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    # fixed scratch path + pre-clean (also wipes the stream checkpoint —
+    # a stale one would skip the replayed input as already-processed)
+    root = os.path.join(tempfile.gettempdir(), "st06_upsert")
+    shutil.rmtree(root, ignore_errors=True)
     stream = read_events_stream(spark, sf)
     run_streaming_upsert(stream, root, key_cols=("user_id",), order_cols=("ts", "event_id"))
     return read_current_snapshot(spark, root).select(

@@ -13,19 +13,30 @@ naive ``sum() over (order by id)`` window has no partition key, so Spark
 executes it on a single partition — a non-starter on a corpus. Instead
 the classic two-pass distributed scan:
 
-1. range-repartition by id (contiguous id ranges per partition, global
-   order preserved across partitions);
-2. per-partition cumulative sum (window partitioned by the physical
-   partition id — fully parallel);
-3. a per-partition total relation (one row per partition) gets its own
-   tiny exclusive-prefix window and is broadcast back;
-4. global offset = partition offset + local cumulative sum.
+1. assign each row a DETERMINISTIC contiguous bucket: bucket =
+   floor((id - min_id) / span * n_buckets), with the (min, max) bounds
+   computed once and broadcast (1-row cross join, stays lazy). Buckets
+   are monotone in id, so bucket boundaries respect the global order;
+2. per-bucket cumulative sum (window partitioned by bucket — fully
+   parallel after a hash repartition on the bucket key);
+3. a per-bucket total relation (one row per bucket) gets its own tiny
+   exclusive-prefix window and is broadcast back;
+4. global offset = bucket offset + local cumulative sum.
 
-Two shuffles total (the range exchange + the #partitions-row
-aggregate), everything else map-side; the bin explosion is pure column
-algebra. The DuckDB oracle runs the single-node window equivalent, so
-the distributed scan is verified bit-for-bit against the sequential
-semantics (pk01).
+The bucket key is a pure function of the DATA, never of physical
+placement: an earlier revision keyed on ``spark_partition_id()`` after
+a ``repartitionByRange``, and because both are nondeterministic under
+recompute (task retry, AQE re-plan) the two consumer branches of the
+ranged relation could observe different pids and corrupt every global
+offset downstream — exactly the kind of bug that is rare on local[32]
+and routine on a 1000-executor cluster. (Root-caused in round 6:
+pk01 driver hash mismatch.)
+
+Three cheap exchanges total (1-row bounds aggregate + the bucket hash
+repartition + the #buckets-row aggregate), everything else map-side;
+the bin explosion is pure column algebra. The DuckDB oracle runs the
+single-node window equivalent, so the distributed scan is verified
+bit-for-bit against the sequential semantics (pk01).
 """
 
 from __future__ import annotations
@@ -59,8 +70,33 @@ def pack_sequences(
         .select(F.col(id_col).alias("id"), token_count(text_col).cast("long").alias("n"))
         .filter(F.col("n") > 0)
     )
-    # two-pass distributed prefix sum (see module docstring)
-    ranged = toks.repartitionByRange("id").withColumn("pid", F.spark_partition_id())
+    # two-pass distributed prefix sum (see module docstring). The bucket
+    # key must be deterministic — a pure function of id, never of
+    # physical partition placement.
+    from pyspark.sql.types import NumericType  # noqa: PLC0415
+
+    try:
+        n_buckets = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        n_buckets = 200
+    if isinstance(toks.schema["id"].dataType, NumericType) and n_buckets > 1:
+        idd = F.col("id").cast("double")
+        bounds = toks.agg(F.min(idd).alias("__lo"), F.max(idd).alias("__hi"))
+        span = F.col("__hi") - F.col("__lo") + F.lit(1.0)
+        # monotone in id; least() clamps the hi endpoint when span
+        # rounds to (hi - lo) at double precision
+        bucket = F.least(
+            F.floor((idd - F.col("__lo")) / span * F.lit(float(n_buckets))),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        bucketed = toks.crossJoin(F.broadcast(bounds)).select(
+            "id", "n", bucket.alias("pid")
+        )
+    else:
+        # non-numeric ids: no order-preserving bucket function — fall
+        # back to a single bucket (correct, serial scan)
+        bucketed = toks.select("id", "n", F.lit(0).alias("pid"))
+    ranged = bucketed.repartition(n_buckets, "pid")
     local_w = Window.partitionBy("pid").orderBy("id")
     ranged = ranged.withColumn("local_end", F.sum("n").over(local_w))
     pid_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

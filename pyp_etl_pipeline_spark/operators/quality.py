@@ -52,20 +52,31 @@ def expectation_report(
     ride ONE map-side-combined aggregate (null counts, distinct counts,
     range counts); the report explodes from a single aggregated row, so
     the operator costs one scan regardless of rule count.
+
+    Uniqueness is over NON-NULL values (SQL-UNIQUE-constraint
+    semantics: nulls are neither duplicates of each other nor of
+    anything) — pair with a ``not_null`` rule when nulls themselves are
+    a defect. An empty table passes every rule with defined metrics
+    (never NULL ok flags).
     """
     not_null = not_null or {}
     ranges = ranges or {}
     n = F.count(F.lit(1))
     rules = []
     for col, max_frac in not_null.items():
-        frac = F.sum(F.col(col).isNull().cast("long")) / n
+        frac = F.when(n > 0, F.sum(F.col(col).isNull().cast("long")) / n).otherwise(0.0)
         rules.append(_rule_row(f"not_null:{col}", frac, max_frac, frac <= max_frac))
     for col in unique:
-        # distinct == total -> unique; metric is the duplicate fraction
-        dup = (n - F.count_distinct(F.col(col))) / n
+        # metric = excess-duplicate fraction among non-null values:
+        # count(col) skips nulls, so all-distinct-plus-nulls scores 0
+        dup = F.when(
+            n > 0, (F.count(F.col(col)) - F.count_distinct(F.col(col))) / n
+        ).otherwise(0.0)
         rules.append(_rule_row(f"unique:{col}", dup, 0.0, dup <= 0))
     for col, (lo, hi) in ranges.items():
-        inr = F.sum(F.col(col).between(lo, hi).cast("long")) / n
+        inr = F.when(
+            n > 0, F.coalesce(F.sum(F.col(col).between(lo, hi).cast("long")), F.lit(0)) / n
+        ).otherwise(1.0)
         rules.append(_rule_row(f"range:{col}", inr, 1.0, inr >= 1.0))
     agg = df.agg(F.array(*rules).alias("__rules"))
     return agg.select(F.explode("__rules").alias("r")).select("r.rule", "r.metric", "r.threshold", "r.ok")

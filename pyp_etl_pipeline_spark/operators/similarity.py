@@ -395,7 +395,7 @@ def kmeans_fit(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = 64,  # ignored: derived from the seed vectors
     sample_fraction: float | None = None,
 ) -> list[list[int]]:
     """Distributed Lloyd's k-means over an embedding column — the real
@@ -441,7 +441,20 @@ def kmeans_fit(
     v = v.persist()
     try:
         seeds = v.orderBy("id").limit(k).collect()
+        if len(seeds) < k:
+            hint = " (after sampling)" if sample_fraction is not None else ""
+            raise ValueError(
+                f"kmeans_fit: need at least k={k} vectors to seed, got {len(seeds)}{hint}"
+            )
         centroids: list[list[int]] = [list(r["__xm"]) for r in seeds]
+        # the authoritative dimensionality is the data's, not the arg's —
+        # a mismatched `dim` would KeyError deep in the rebuild below
+        dim = len(centroids[0])
+        bad = next((c for c in centroids if len(c) != dim), None)
+        if bad is not None:
+            raise ValueError(
+                f"kmeans_fit: ragged embeddings — seed lengths {len(bad)} vs {dim}"
+            )
         for _ in range(n_iter):
             assigned = v.withColumn("__a", _kmeans_argmin(F.col("__xm"), centroids))
             comps = (

@@ -27,16 +27,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with an N-way salt.
 
-    big side: salt = pmod(hash(whole row id-ish), N) — deterministic
-    spread; small side: replicated once per salt value. The join key
-    becomes (key, salt), so a hot key occupies N shuffle partitions
-    instead of one. Use when a specific key's row count dwarfs the rest
-    and the small side is replicable (dimension-sized).
+    big side: salt = pmod(hash(all columns), N) — a pure function of the
+    row, so recomputes (task retry, AQE re-plan) assign the same salt;
+    small side: replicated once per salt value. The join key becomes
+    (key, salt), so a hot key occupies N shuffle partitions instead of
+    one. Use when a specific key's row count dwarfs the rest and the
+    small side is replicable (dimension-sized). Caveat: fully identical
+    duplicate rows share a salt — hot keys whose rows differ in any
+    other column (the normal case) spread evenly.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left equi-joins")
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
-    b = big.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"))
+    b = big.withColumn("__salt", F.pmod(F.hash(*big.columns), F.lit(n_salts)).cast("int"))
     s = small.withColumn("__salt", F.explode(salts))
     out = b.join(s, [key, "__salt"], how)
     return out.drop("__salt")

@@ -11,8 +11,14 @@ foreachBatch skeleton is identical.
 
 Exactly-once: the snapshot version is keyed by the micro-batch epoch id,
 and a replayed epoch (restart after a sink write but before the source
-commit) detects its own already-published version and SKIPS — the
-documented idempotent-foreachBatch contract.
+commit) detects that the ``_CURRENT`` pointer already covers it and
+SKIPS — the documented idempotent-foreachBatch contract. Detection must
+key on the POINTER (flipped only after the parquet write commits), not
+on the data directory: Spark creates ``v=epochN/`` before the write
+commits, so a crash mid-write leaves the directory present but
+unpublished — a directory-existence check would skip the replay and
+silently lose the batch. A leftover partial directory is instead
+removed and rewritten.
 
 Scale envelope: the state table is rewritten per batch, so it must be
 dimension-sized (latest-per-user, device registry), not corpus-sized —
@@ -54,8 +60,17 @@ def foreach_batch_upsert(
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         version = f"epoch{epoch_id:010d}"
-        if os.path.exists(os.path.join(root, f"v={version}")):
-            return  # replayed epoch: already published, exactly-once skip
+        # Replay detection via the committed pointer, NOT the data dir:
+        # versions are zero-padded, so string order == epoch order, and
+        # _CURRENT only ever advances after a completed write.
+        published = current_version(root)
+        if published is not None and published >= version:
+            return  # replayed epoch: pointer proves the publish committed
+        snap = os.path.join(root, f"v={version}")
+        if os.path.exists(snap):
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(snap)  # partial write from a crashed attempt
         spark = batch_df.sparkSession
         winners = elect_latest(batch_df, key_cols, order_cols)
         if os.path.exists(os.path.join(root, "_CURRENT")):

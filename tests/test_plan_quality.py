@@ -103,3 +103,34 @@ def test_no_row_python_eval_registry_wide(spark, sf_dir):
         if n:
             offenders[name] = n
     assert not offenders, f"row-at-a-time Python UDFs in plans: {offenders}"
+
+
+def test_no_nondeterministic_expressions_registry_wide(spark, sf_dir):
+    """No registry query may plan a nondeterministic expression.
+
+    Round 6's one driver failure (pk01) was a two-pass prefix sum keyed
+    on spark_partition_id(): nondeterministic under recompute, so the
+    two consumer branches of the ranged relation could observe different
+    pids after a task retry or AQE re-plan and silently corrupt every
+    offset. On a 1000-executor cluster task retries are routine — any
+    result that depends on physical placement or an unseeded RNG is a
+    latent wrong-answer bug, so the whole registry is pinned to zero.
+    Analyzed-plan string sweep (no execution); streaming entries are
+    skipped (building their DataFrame drains a streaming query)."""
+    import re as _re
+
+    banned = _re.compile(
+        r"spark_partition_id\(|monotonically_increasing_id\(|\brand\(|"
+        r"\brandn\(|\buuid\(|\bshuffle\(|input_file_name\("
+    )
+    streaming = {"st01_streaming_tumbling", "st02_streaming_sliding",
+                 "st03_stateful_running_totals", "st04_streaming_dedup"}
+    offenders = {}
+    for name, (fn, _) in sorted(REGISTRY.items()):
+        if name in streaming:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        hits = sorted(set(banned.findall(plan)))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"nondeterministic expressions in plans: {offenders}"

@@ -48,3 +48,30 @@ def test_diff_snapshots_all_change_kinds(spark):
     assert out[1]["change"] == "delete" and out[5]["change"] == "insert"
     assert out[3]["change"] == "update" and out[3]["old_v"] == 30.0 and out[3]["new_v"] == 31.0
     assert out[4]["change"] == "update" and out[4]["old_s"] is None and out[4]["new_s"] == "D"
+
+
+def test_expectation_report_nulls_not_duplicates_and_empty_table(spark):
+    """SQL-UNIQUE semantics: nulls are not duplicates — a distinct column
+    plus nulls passes uniqueness. An empty table passes every rule with
+    defined (non-NULL) metrics and booleans."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id long, name string"
+    )
+    rep = {r["rule"]: r for r in quality.expectation_report(
+        df, unique=("id", "name")
+    ).collect()}
+    assert rep["unique:id"]["ok"] and rep["unique:id"]["metric"] == 0.0
+    # 'a' distinct, two nulls ignored
+    assert rep["unique:name"]["ok"] and rep["unique:name"]["metric"] == 0.0
+
+    empty = df.filter(F.lit(False))
+    rep0 = quality.expectation_report(
+        empty,
+        not_null={"name": 0.0},
+        unique=("id",),
+        ranges={"id": (0.0, 10.0)},
+    ).collect()
+    assert len(rep0) == 3
+    for r in rep0:
+        assert r["ok"] is True, r
+        assert r["metric"] is not None

@@ -295,3 +295,20 @@ def test_semantic_dedup_single_cluster_equals_exact_pair_rule(spark):
         if lows:
             expect[i] = min(lows)
     assert got == expect
+
+
+def test_kmeans_fit_validates_inputs(spark):
+    """Too few vectors for k seeds must raise a clear ValueError (not an
+    IndexError deep in the fit loop), and a wrong `dim` argument must be
+    harmless: the dimensionality is derived from the data."""
+    import pytest as _pytest
+
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    rows = [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="at least k=5"):
+        similarity.kmeans_fit(df, k=5, n_iter=1)
+    # dim=64 vs actual 4 components: derived, no KeyError
+    cents = similarity.kmeans_fit(df, k=2, n_iter=1, dim=64)
+    assert all(len(c) == 4 for c in cents)

@@ -147,3 +147,34 @@ def test_streaming_upsert_epoch_replay_is_noop(spark, sf_dir, tmp_path):
     assert os.path.getmtime(os.path.join(root, "_CURRENT")) == mtime
     fn(ev, 1)  # next epoch merges and publishes
     assert len(upsert_sink.published_versions(root)) == 2
+
+
+def test_streaming_upsert_recovers_partial_write(spark, sf_dir, tmp_path):
+    """A crash mid-parquet-write leaves v=epochN/ on disk but _CURRENT
+    unflipped. The replay must treat that epoch as UNpublished — rewrite
+    the partial directory instead of skipping it (the directory-existence
+    check this sink originally used silently lost the batch)."""
+    import os
+
+    from pyp_etl_pipeline_spark.streaming import upsert_sink
+
+    root = str(tmp_path / "state")
+    ev = load_events(spark, sf_dir).limit(100)
+    fn = upsert_sink.foreach_batch_upsert(root, ("user_id",), ("ts", "event_id"))
+    fn(ev, 0)
+    # simulate a crashed epoch-1 attempt: directory created, junk inside,
+    # no pointer flip
+    partial = os.path.join(root, "v=epoch0000000001")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "w") as f:
+        f.write("truncated")
+    assert upsert_sink.current_version(root) == "epoch0000000000"
+    fn(ev, 1)  # replayed epoch 1 must publish for real
+    assert upsert_sink.current_version(root) == "epoch0000000001"
+    got = upsert_sink.read_current_snapshot(spark, root)
+    expect = upsert_sink.elect_latest(ev, ("user_id",), ("ts", "event_id"))
+    assert got.count() == expect.count()
+    # and a genuine replay of a COMMITTED epoch still skips
+    mtime = os.path.getmtime(os.path.join(root, "_CURRENT"))
+    fn(ev, 1)
+    assert os.path.getmtime(os.path.join(root, "_CURRENT")) == mtime

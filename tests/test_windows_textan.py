@@ -187,6 +187,20 @@ def test_pack_sequences_invariants(spark):
         again = packing.pack_sequences(df.repartition(parts), max_len=128).collect()
         assert {tuple(r) for r in again} == {tuple(r) for r in out}
 
+    # invariance under shuffle-partition count and repeated execution
+    # (fresh builds each time — the round-6 driver failure was a
+    # nondeterministic spark_partition_id() bucket key that could
+    # diverge between consumer branches on recompute)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for sp in ("2", "8", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            for _ in range(2):
+                again = packing.pack_sequences(df, max_len=128).collect()
+                assert {tuple(r) for r in again} == {tuple(r) for r in out}, sp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 def test_pack_sequences_rejects_bad_len(spark):
     import pytest as _pytest
