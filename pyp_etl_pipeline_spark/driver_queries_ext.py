@@ -2946,93 +2946,136 @@ from pyp_etl_pipeline_spark.driver_queries_ext3 import QUERIES3  # noqa: E402
 REGISTRY.update(QUERIES3)
 
 # The driver's correctness gate only covers the first 50 registry entries.
-# Round-6 rotation: (a) everything whose implementation changed this
-# round — the minhash in-row-fold rewrite (dd03, plus new incremental
-# dd05), the MP4 decode (new mm05, rewritten mm04, and mm02/mm03 whose
-# decode dispatch gained stray-tolerance), the ANN plan-stats sizing
-# (ann01-03, nd01), the dup_clusters strategy switch (dd04); then
-# (b) every query that fell OUTSIDE the driver's round-5 window (its
-# last driver check is r4 or older), so no query goes two rounds
-# without a driver-side row.
+# Round-7 rotation: (a) the six queries NO driver round has ever sampled
+# (green in the local gate, zero driver evidence — VERDICT r6 #4);
+# (b) everything whose implementation or twin changed this round: the
+# pk01 deterministic-bucket prefix-sum fix (THE red row of r6), the w06
+# twin null filter, the st06/ex02 scratch-path rework, the
+# expectation-report null/empty semantics (dq01), the salted-join
+# deterministic salt (sk01), and the kmeans-validated ann04/sd01;
+# (c) everything else, stalest driver row first, so no query's last
+# driver check keeps aging.
 _DRIVER_PRIORITY = [
-    # (a) changed in round 6
-    "dd06_span_dedup",
-    "tx07_gopher_rules",
-    "rj01_interval_join",
-    "ex01_shard_stats",
-    "st05_stream_stream_join",
-    "tx08_html_extract",
-    "ann04_kmeans_clusters",
-    "sd01_semantic_dedup",
-    "j15_live_uid_fallback",
-    "tx10_tfidf_topk",
-    "pp01_pretraining_pipeline",
-    "ck01_document_chunks",
-    "w06_group_zscores",
-    "st06_streaming_upsert",
-    "q06_large_volume_customers",
-    "w07_rolling_30d_revenue",
-    "bk01_bucketed_join",
-    "j16_point_in_time_status",
-    "a11_cube_summary",
-    "tx12_ngram_novelty",
-    "px02_pseudonymization",
-    "dq01_expectation_report",
-    "cd01_snapshot_diff",
-    "mm06_audio_features",
-    "tx13_pmi_collocations",
-    "st07_streaming_sessions",
-    "w08_funnel_analysis",
-    "a12_cohort_retention",
-    "dd07_neardup_dedup",
-    "ml01_linear_trend",
-    "ex02_export_roundtrip",
-    "j14_scd2_history",
-    "dc02_decontaminate_spans",
-    "sk01_salted_join",
-    "tx09_token_topk",
-    "a09_event_pivot",
-    "dd03_minhash_lsh_pairs",
-    "dd05_incremental_minhash",
-    "mx01_corpus_mixture",
-    "pk01_sequence_packing",
-    "px01_pii_scrub",
-    "dd04_dup_clusters",
-    "mm05_mp4_metadata",
-    "mm04_frame_sample_plan",
-    "mm02_media_decode",
-    "mm03_jpeg_decode",
-    "ann01_cosine_topk",
-    "ann02_lsh_topk",
-    "ann03_ivf_topk",
-    "nd01_embed_neardup",
-    # textbook surfaces, lowest regression risk — first to rotate out
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",
     "w05_ntile_quartiles",
     "u05_status_set_ops",
-    # (b) outside the driver's r5 window
+    "u06_multiset_ops",
+    "pk01_sequence_packing",
+    "w06_group_zscores",
+    "st06_streaming_upsert",
+    "ex02_export_roundtrip",
+    "dq01_expectation_report",
+    "sk01_salted_join",
+    "ann04_kmeans_clusters",
+    "sd01_semantic_dedup",
+    "dc01_decontaminate",
+    "e03_crosslink_dedup",
     "o01_topk_orders_per_customer",
     "o04_latest_order_per_customer",
+    "p01_header_mapping",
+    "sp01_hash_split",
+    "t09_masking",
+    "tx05_repetition",
+    "tx06_unigram_logprob",
+    "a03_push_summary",
     "dd01_exact_dup_histogram",
-    "dc01_decontaminate",
+    "f03_name_email_validation",
+    "f05_country_whitelist",
+    "o07_distinct_sorted_filters",
     "sh01_simhash_pairs",
+    "t03_punct_lower_key",
     "tx01_quality_features",
     "tx02_token_counts",
     "tx03_language_id",
     "tx04_fingerprints",
-    "tx05_repetition",
-    "tx06_unigram_logprob",
-    "t09_masking",
-    "p01_header_mapping",
-    "sp01_hash_split",
-    "f03_name_email_validation",
-    "f05_country_whitelist",
-    "t03_punct_lower_key",
-    "o07_distinct_sorted_filters",
-    "a03_push_summary",
-    "e03_crosslink_dedup",
+    "a01_band_summary",
+    "a02_member_rollup",
+    "a05_error_summary_24h",
+    "a07_status_priority_rollup",
+    "a08_percentile_summary",
+    "aj01_asof_purchase_view",
+    "dd02_ngram_jaccard_pairs",
+    "e01_explode_multivalue",
+    "e02_explode_dedup",
+    "f01_sentinel_nulls",
+    "f02_row_validation",
+    "flagship_band_rollup",
+    "j01_exact_resolution",
+    "j02_fuzzy_topk",
+    "j02b_typo_fallback",
+    "j04_penalty_bands",
+    "j07_alternatives",
+    "j08_semantic_guard",
+    "j09_merge_actions",
+    "j10_dim_lookup_or_create",
+    "j11_offerings_derivation",
+    "j12_canonical_backfill",
+    "j13_reject_payload",
+    "mm01_media_features",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_region_revenue",
+    "q04_mktsegment_summary",
+    "q05_sql_interface",
+    "rv01_review_workflow",
+    "sp02_stratified_sample",
+    "st01_streaming_tumbling",
+    "st02_streaming_sliding",
+    "st03_stateful_running_totals",
+    "st04_streaming_dedup",
+    "t01_sanitize_collapse",
+    "t02_variant_normalize",
+    "t05_capital_case",
+    "u01_union_kinds",
+    "u02_idarray_union",
+    "w01_tumbling_hourly",
+    "w02_sliding_1h_15m",
+    "w03_sessionize_30m",
+    "w04_lag_delta",
+    "a09_event_pivot",
+    "a11_cube_summary",
+    "a12_cohort_retention",
+    "ann01_cosine_topk",
+    "ann02_lsh_topk",
+    "ann03_ivf_topk",
+    "bk01_bucketed_join",
+    "cd01_snapshot_diff",
+    "ck01_document_chunks",
+    "dc02_decontaminate_spans",
+    "dd03_minhash_lsh_pairs",
+    "dd04_dup_clusters",
+    "dd05_incremental_minhash",
+    "dd06_span_dedup",
+    "dd07_neardup_dedup",
+    "ex01_shard_stats",
+    "j14_scd2_history",
+    "j15_live_uid_fallback",
+    "j16_point_in_time_status",
+    "ml01_linear_trend",
+    "mm02_media_decode",
+    "mm03_jpeg_decode",
+    "mm04_frame_sample_plan",
+    "mm05_mp4_metadata",
+    "mm06_audio_features",
+    "mx01_corpus_mixture",
+    "nd01_embed_neardup",
+    "pp01_pretraining_pipeline",
+    "px01_pii_scrub",
+    "px02_pseudonymization",
+    "q06_large_volume_customers",
+    "rj01_interval_join",
+    "st05_stream_stream_join",
+    "st07_streaming_sessions",
+    "tx07_gopher_rules",
+    "tx08_html_extract",
+    "tx09_token_topk",
+    "tx10_tfidf_topk",
+    "tx12_ngram_novelty",
+    "tx13_pmi_collocations",
+    "w07_rolling_30d_revenue",
+    "w08_funnel_analysis",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},
