@@ -152,6 +152,84 @@ def _cell_value(cell: ElementTree.Element, shared: list[str]) -> str | None:
     return _format_number(v_text)
 
 
+def _row_values(row: ElementTree.Element, shared: list[str]) -> list[str | None]:
+    """Materialize one <row> element into a value list (gap cells -> None)."""
+    values: list[str | None] = []
+    next_idx = 0
+    for cell in row:
+        if _local(cell.tag) != "c":
+            continue
+        idx = _col_index(cell.get("r"))
+        if idx is None:
+            idx = next_idx
+        while len(values) < idx:
+            values.append(None)
+        val = _cell_value(cell, shared)
+        if len(values) == idx:
+            values.append(val)
+        else:
+            values[idx] = val
+        next_idx = idx + 1
+    return values
+
+
+def _iter_sheet_rows(fileobj, shared: list[str]):
+    """Stream a worksheet part's <row> elements in document order via
+    ``iterparse``, yielding one value list per row. Each row element is
+    cleared after materialization, so memory stays bounded to one row's
+    cells (plus the cleared-element skeletons, negligible per row)."""
+    for _, elem in ElementTree.iterparse(fileobj, events=("end",)):
+        if _local(elem.tag) == "row":
+            yield _row_values(elem, shared)
+            elem.clear()
+
+
+def resolve_sheet_part(path: str, sheet: int | str = 0) -> str:
+    """Resolve a sheet selector (0-based index or name) to its zip member
+    path. Default 0 mirrors the reference's ``wb.active``."""
+    with zipfile.ZipFile(path) as z:
+        sheets = _sheet_parts(z)
+    if not sheets:
+        raise ValueError("xlsx contains no worksheets")
+    if isinstance(sheet, str):
+        part = next((p for name, p in sheets if name == sheet), None)
+        if part is None:
+            raise ValueError(f"no sheet named {sheet!r}; have {[n for n, _ in sheets]}")
+        return part
+    if sheet >= len(sheets):
+        raise ValueError(f"sheet index {sheet} out of range ({len(sheets)} sheets)")
+    return sheets[sheet][1]
+
+
+def count_sheet_rows(path: str, part: str) -> int:
+    """Total <row> elements in a worksheet part (header included), by a
+    streaming scan — no values materialized, no shared-strings load."""
+    n = 0
+    with zipfile.ZipFile(path) as z, z.open(part) as f:
+        for _, elem in ElementTree.iterparse(f, events=("end",)):
+            if _local(elem.tag) == "row":
+                n += 1
+                elem.clear()
+    return n
+
+
+def read_rows_slice(path: str, part: str, start: int, end: int) -> list[list[str | None]]:
+    """Rows ``start <= i < end`` of a worksheet part, ``i`` being the
+    0-based document-order row index (0 = the header row). Streams and
+    stops at ``end`` — a task never materializes rows outside its range.
+    This is the executor-side unit of ``read_excel_distributed``."""
+    out: list[list[str | None]] = []
+    with zipfile.ZipFile(path) as z:
+        shared = _shared_strings(z)
+        with z.open(part) as f:
+            for i, values in enumerate(_iter_sheet_rows(f, shared)):
+                if i >= end:
+                    break
+                if i >= start:
+                    out.append(values)
+    return out
+
+
 def parse_xlsx(path: str, sheet: int | str = 0) -> tuple[list[str], list[list[str | None]]]:
     """Parse one worksheet into (headers, data_rows).
 
@@ -160,42 +238,11 @@ def parse_xlsx(path: str, sheet: int | str = 0) -> tuple[list[str], list[list[st
     row verbatim (empty header cells stay ''); data rows are padded /
     truncated to the header width, missing cells -> None.
     """
+    part = resolve_sheet_part(path, sheet)
     with zipfile.ZipFile(path) as z:
         shared = _shared_strings(z)
-        sheets = _sheet_parts(z)
-        if not sheets:
-            raise ValueError("xlsx contains no worksheets")
-        if isinstance(sheet, str):
-            part = next((p for name, p in sheets if name == sheet), None)
-            if part is None:
-                raise ValueError(f"no sheet named {sheet!r}; have {[n for n, _ in sheets]}")
-        else:
-            if sheet >= len(sheets):
-                raise ValueError(f"sheet index {sheet} out of range ({len(sheets)} sheets)")
-            part = sheets[sheet][1]
-
-        rows: list[list[str | None]] = []
-        root = ElementTree.fromstring(z.read(part))
-        for row in root.iter():
-            if _local(row.tag) != "row":
-                continue
-            values: list[str | None] = []
-            next_idx = 0
-            for cell in row:
-                if _local(cell.tag) != "c":
-                    continue
-                idx = _col_index(cell.get("r"))
-                if idx is None:
-                    idx = next_idx
-                while len(values) < idx:
-                    values.append(None)
-                val = _cell_value(cell, shared)
-                if len(values) == idx:
-                    values.append(val)
-                else:
-                    values[idx] = val
-                next_idx = idx + 1
-            rows.append(values)
+        with z.open(part) as f:
+            rows = list(_iter_sheet_rows(f, shared))
 
     if not rows:
         return [], []

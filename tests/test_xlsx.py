@@ -174,3 +174,52 @@ def test_excel_upload_envelope_enforced(spark, tmp_path):
     p.write_bytes(b"PK\x03\x04" + b"\x00" * 128)
     with pytest.raises(ValueError, match="upload envelope"):
         ingest.read_excel_upload(spark, str(p), max_bytes=64)
+
+
+def _bulk_xlsx(tmp_path, n_rows=57):
+    """Two-sheet workbook; the second sheet has enough rows to span
+    multiple distributed tasks, with shared strings, gaps, booleans,
+    numbers, and duplicate/empty headers in the mix."""
+    shared = [f"<si><t>name {i}</t></si>" for i in range(n_rows)]
+    head = (
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>name</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t></t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>id</t></is></c></row>'
+    )
+    body_rows = []
+    for i in range(n_rows):
+        r = i + 2
+        cells = [f'<c r="A{r}"><v>{i}</v></c>', f'<c r="B{r}" t="s"><v>{i}</v></c>']
+        if i % 3 != 0:  # gap in C on every third row
+            cells.append(f'<c r="C{r}"><v>{i}.5</v></c>')
+        cells.append(f'<c r="D{r}" t="b"><v>{i % 2}</v></c>')
+        body_rows.append(f'<row r="{r}">' + "".join(cells) + "</row>")
+    p = tmp_path / "bulk.xlsx"
+    _write_xlsx(p, [("First", '<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c></row>'),
+                    ("Data", head + "".join(body_rows))], shared)
+    return str(p)
+
+
+def test_read_excel_distributed_identical_to_driver_path(spark, tmp_path):
+    """The distributed row-range path must produce exactly the driver
+    path's rows and schema — same header dedup, same gap/None handling —
+    with rows_per_task small enough to force several tasks."""
+    p = _bulk_xlsx(tmp_path)
+    drv = ingest.read_excel_upload(spark, p, sheet="Data")
+    dist = ingest.read_excel_distributed(spark, p, sheet="Data", rows_per_task=10)
+    assert dist.schema == drv.schema
+    drv_rows = sorted(map(tuple, drv.collect()))
+    dist_rows = sorted(map(tuple, dist.collect()))
+    assert dist_rows == drv_rows
+    # sheet selection by index matches too, and a single-task read works
+    assert sorted(map(tuple, ingest.read_excel_distributed(spark, p, sheet=1,
+                      rows_per_task=10_000).collect())) == drv_rows
+
+
+def test_read_excel_distributed_header_only_sheet(spark, tmp_path):
+    p = tmp_path / "tiny.xlsx"
+    _write_xlsx(p, [("S", '<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>')])
+    df = ingest.read_excel_distributed(spark, str(p))
+    assert df.columns == ["only"]
+    assert df.count() == 0
