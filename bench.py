@@ -56,6 +56,9 @@ EXTENDED = [
     "q06_large_volume_customers",
     "j16_point_in_time_status",
     "tx12_ngram_novelty",
+    # round 7
+    "mm07_mjpeg_frames",
+    "pk01_sequence_packing",
 ]
 
 HEADLINE = [

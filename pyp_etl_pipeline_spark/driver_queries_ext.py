@@ -2962,6 +2962,7 @@ _DRIVER_PRIORITY = [
     "w05_ntile_quartiles",
     "u05_status_set_ops",
     "u06_multiset_ops",
+    "mm07_mjpeg_frames",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

@@ -862,6 +862,81 @@ FROM documents
 """
 
 
+def mm07_mjpeg_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame decode, end to end: per doc_id an MJPEG-in-AVI
+    file is synthesized (``codecs.avi_mjpeg_encode`` — RIFF hdrl/strl/
+    movi with 1 + doc_id % 6 real baseline-JPEG frames at 4 fps, frame
+    j's solid fill = (doc_id*31 + j*17) % 256), then
+    ``sample_frames_decoded`` walks the container bytes back (vids
+    stream header -> fps, movi chunks -> frame slices) and PIXEL-decodes
+    the frame at each 500 ms grid point via the pure-python JPEG
+    entropy decoder. The DuckDB twin reproduces the grid arithmetic and
+    fill values analytically from doc_id, so a container-walk, fps-math,
+    frame-indexing, or JPEG-decode bug breaks the hash. This closes the
+    round-6 'video decode is a stub' gap for intra-frame video; only
+    inter-frame codecs (H.264 etc.) still require libav."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        sample_frames_decoded,
+    )
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import avi_mjpeg_encode  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rows["media_id"].append(i)
+                rows["kind"].append("video")
+                rows["payload"].append(
+                    avi_mjpeg_encode(
+                        1 + i % 16,
+                        1 + i % 8,
+                        [(i * 31 + j * 17) % 256 for j in range(1 + i % 6)],
+                        fps=4,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(synth, "media_id long, kind string, payload binary")
+    out = sample_frames_decoded(media, every_ms=500)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        "width",
+        "height",
+        F.round("mean_val", 4).alias("mean_val"),
+    )
+
+
+MM07_SQL = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+         (1 + doc_id % 6)::BIGINT AS nf
+  FROM documents
+),
+g AS (SELECT *, greatest((nf * 250) // 500, 1) AS ns FROM p),
+s AS (SELECT doc_id, w, h, nf, unnest(range(0, ns)) AS k FROM g)
+SELECT doc_id AS media_id,
+       least(nf - 1, (k * 500 * 4) // 1000)::INT AS frame_idx,
+       (k * 500)::BIGINT AS frame_ts_ms,
+       w::INT AS width, h::INT AS height,
+       round(((doc_id * 31 + least(nf - 1, (k * 500 * 4) // 1000) * 17) % 256)::DOUBLE, 4) AS mean_val
+FROM s
+"""
+
+
 def sp01_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split of the documents corpus keyed
     on doc_id (map-only md5-bucket routing, stable across runs and
@@ -1201,6 +1276,7 @@ QUERIES3 = {
     "mm03_jpeg_decode": (mm03_jpeg_decode, MM03_SQL),
     "mm04_frame_sample_plan": (mm04_frame_sample_plan, MM04_SQL),
     "mm05_mp4_metadata": (mm05_mp4_metadata, MM05_SQL),
+    "mm07_mjpeg_frames": (mm07_mjpeg_frames, MM07_SQL),
     "q05_sql_interface": (q05_sql_interface, Q05_SQL),
     "f03_name_email_validation": (f03_name_email_validation, F03_SQL),
     "f05_country_whitelist": (f05_country_whitelist, F05_SQL),

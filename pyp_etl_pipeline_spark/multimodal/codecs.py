@@ -36,12 +36,14 @@ WAV_MAGIC = b"RIFF"
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """'png' / 'wav' / 'jpeg' / 'mp4' when the magic bytes match, else
-    None."""
+    """'png' / 'wav' / 'avi' / 'jpeg' / 'mp4' when the magic bytes
+    match, else None."""
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == WAV_MAGIC and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[4:8] == b"ftyp":
@@ -621,3 +623,117 @@ def mp4_decode(payload: bytes) -> dict:
                     out["width"] = w16 >> 16
                     out["height"] = h16 >> 16
     return out
+
+
+# ------------------------------------------------------- AVI (MJPEG video)
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    """One RIFF chunk, word-aligned (chunks pad to even length)."""
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(subtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", subtype + body)
+
+
+def avi_mjpeg_encode(
+    width: int, height: int, frame_values: list[int], fps: int = 4
+) -> bytes:
+    """Minimal spec-shaped MJPEG-in-AVI writer: RIFF 'AVI ' with hdrl
+    (avih main header, strl with a 'vids'/'MJPG' stream header + a
+    BITMAPINFOHEADER strf) and a movi LIST of one '00dc' chunk per
+    frame, each a real baseline JPEG from ``jpeg_encode_gray``. One
+    solid-gray frame per ``frame_values`` entry. Motion JPEG is the one
+    video codec with NO inter-frame state — every frame is an
+    independent JPEG — which is exactly why it decodes with the
+    pure-python JPEG codec while H.264/VP9 genuinely need libav."""
+    frames = [jpeg_encode_gray(width, height, v) for v in frame_values]
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _iter_riff_chunks(payload: bytes, start: int, end: int):
+    """(tag, body_start, body_end) over a RIFF chunk run; LIST chunks
+    yield their subtype as tag with the body start AFTER the subtype."""
+    pos = start
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = pos + 8
+        body_end = min(body + length, end)
+        if tag == b"LIST" and length >= 4:
+            yield payload[body : body + 4], body + 4, body_end
+        else:
+            yield tag, body, body_end
+        pos = body + length + (length & 1)
+
+
+def avi_mjpeg_decode(payload: bytes) -> dict:
+    """Real AVI container decode + per-frame access: RIFF walk to the
+    'vids' stream header (dwScale/dwRate -> fps), the strf
+    BITMAPINFOHEADER (dims), and the movi '00dc'/'00db' frame chunks —
+    each an independent JPEG slice ready for ``jpeg_decode``.
+
+    Returns {width, height, fps_num, fps_den, n_frames, duration_ms,
+    codec, frames} with ``frames`` the raw per-frame byte slices. All
+    values come from the BYTES (the header frame count is
+    cross-checked against the movi chunks actually present; the chunk
+    walk wins)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI header mismatch)")
+    width = height = None
+    rate = scale = None
+    codec = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int, in_vids: bool = False) -> None:
+        nonlocal width, height, rate, scale, codec
+        vids_stream = in_vids
+        for tag, body, body_end in _iter_riff_chunks(payload, start, end):
+            if tag in (b"hdrl", b"strl", b"movi", b"rec "):
+                walk(body, body_end, vids_stream)
+            elif tag == b"strh" and body_end - body >= 48:
+                if payload[body : body + 4] == b"vids":
+                    vids_stream = True
+                    codec = payload[body + 4 : body + 8].decode("ascii", "replace")
+                    _, _, _, _, scale, rate = struct.unpack(
+                        "<IHHIII", payload[body + 8 : body + 28]
+                    )
+            elif tag == b"strf" and vids_stream and width is None and body_end - body >= 16:
+                _, w, h = struct.unpack("<Iii", payload[body : body + 12])
+                width, height = abs(w), abs(h)
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(payload[body:body_end])
+
+    walk(12, len(payload))
+    if rate in (None, 0) or scale in (None, 0):
+        raise ValueError("AVI missing a usable vids stream header")
+    n = len(frames)
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": int(rate),
+        "fps_den": int(scale),
+        "n_frames": n,
+        "duration_ms": 1000.0 * n * scale / rate,
+        "codec": codec,
+        "frames": frames,
+    }

@@ -10,7 +10,7 @@ import zlib
 import numpy as np
 import pytest
 
-from pyp_etl_pipeline_spark.multimodal import codecs
+from pyp_etl_pipeline_spark.multimodal import binary_ops, codecs
 from pyp_etl_pipeline_spark.multimodal.binary_ops import decode_features, decode_real
 
 
@@ -277,3 +277,45 @@ def test_wav_decode_zcr_and_peak():
     # zero counts as non-negative: 0 -> -1 is a crossing, -1 -> 0 too
     d = wav_decode(wav_encode_pcm16([0, -1, 0], 8000))
     assert d["zcr"] == 1.0
+
+
+def test_avi_mjpeg_roundtrip_golden():
+    """Golden values through the full container + frame decode chain:
+    encode known solid fills -> RIFF walk -> per-frame JPEG decode."""
+    p = codecs.avi_mjpeg_encode(16, 8, [10, 200, 37], fps=4)
+    assert codecs.sniff_kind(p) == "avi"
+    d = codecs.avi_mjpeg_decode(p)
+    assert (d["width"], d["height"], d["codec"]) == (16, 8, "MJPG")
+    assert (d["fps_num"], d["fps_den"], d["n_frames"]) == (4, 1, 3)
+    assert d["duration_ms"] == pytest.approx(750.0)
+    means = [codecs.jpeg_decode(f)["mean_val"] for f in d["frames"]]
+    assert means == [10.0, 200.0, 37.0]
+    # decode_real dispatches AVI natively now (no frames key in features)
+    feat = decode_real(p, "video")
+    assert feat["format"] == "avi" and feat["duration_ms"] == pytest.approx(750.0)
+    # truncated AVI-ish stream is a decode error, not unsupported
+    with pytest.raises(ValueError, match="AVI"):
+        codecs.avi_mjpeg_decode(b"RIFF\x00\x00\x00\x00AVX ")
+
+
+def test_sample_frames_decoded_golden(spark):
+    """The sampled-frame operator must pick the grid-aligned frame and
+    decode its true pixels: 6 frames at 4 fps sampled every 500 ms ->
+    ts 0/500/1000 -> frame idx 0/2/4; strays and inter-frame video skip."""
+    fills = [11, 22, 33, 44, 55, 66]
+    rows = [
+        (1, "video", codecs.avi_mjpeg_encode(6, 4, fills, fps=4)),
+        (2, "video", codecs.mp4_encode(8, 6, 2000)),  # inter-frame: skipped
+        (3, "video", b"junk"),
+        (4, "image", codecs.png_encode_gray(2, 2, 9)),  # not video: filtered
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = sorted(
+        (r["media_id"], r["frame_idx"], r["frame_ts_ms"], r["width"], r["height"], r["mean_val"])
+        for r in binary_ops.sample_frames_decoded(df, every_ms=500).collect()
+    )
+    assert got == [
+        (1, 0, 0, 6, 4, 11.0),
+        (1, 2, 500, 6, 4, 33.0),
+        (1, 4, 1000, 6, 4, 55.0),
+    ]
