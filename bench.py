@@ -58,6 +58,7 @@ EXTENDED = [
     "tx12_ngram_novelty",
     # round 7
     "mm07_mjpeg_frames",
+    "ann05_pq_topk",
     "pk01_sequence_packing",
 ]
 

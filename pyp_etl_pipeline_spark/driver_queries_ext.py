@@ -2482,6 +2482,118 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def ann05_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (``similarity.pq_fit/pq_topk``): the
+    64-dim embeddings train 4 subspace codebooks of 8 codes each (exact
+    integer Lloyd's per subspace), the corpus encodes to 4 codes per
+    vector, and each query ranks the corpus by asymmetric distance — a
+    per-query LUT of integer sub-distances, summed by 4 table lookups
+    per vector. The FAISS-style compressed-search path: scan cost
+    independent of dimensionality, 512 B/vector -> 4 B/vector. The twin
+    unrolls the per-subspace training, encoding, LUT build, and ADC
+    ranking in SQL on the same exact integers, so codebooks, codes, and
+    every ADC distance are hash-certified bit-for-bit."""
+    emb = _load_corpus(spark, sf, "embeddings")
+    books = similarity.pq_fit(emb, m=4, ksub=8, n_iter=1)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.pq_topk(emb, q, books, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("match_rank"), "adc_dist"
+    )
+
+
+def _ann05_sql(m: int = 4, ksub: int = 8, n_iter: int = 1, dim: int = 64, k: int = 5) -> str:
+    """ann05's sequential reference: per-subspace integer Lloyd's
+    (the ``_ann04_sql`` CTE pattern, sliced), argmin encoding, per-query
+    LUTs, ADC ranking — all on the same micro-unit integers as Spark."""
+    dsub = dim // m
+    micro = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [f"WITH e AS (SELECT vec_id, {micro} AS xm FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"e{s} AS (SELECT vec_id, xm[{lo}:{hi}] AS sm FROM e)")
+        parts.append(
+            f"""c0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, sm AS cm
+  FROM (SELECT vec_id, sm FROM e{s} ORDER BY vec_id LIMIT {ksub}))"""
+        )
+        prev = f"c0_{s}"
+        for t in range(1, n_iter + 1):
+            parts.append(
+                f"""a{t}_{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.sm", "c.cm")}, c.cid) AS rn
+    FROM e{s} e CROSS JOIN {prev} c) WHERE rn = 1)"""
+            )
+            parts.append(
+                f"""u{t}_{s} AS (
+  SELECT a.cid, t.i,
+         CAST(floor(sum(e.sm[t.i]) / count(*) + 0.5) AS BIGINT) AS comp
+  FROM a{t}_{s} a JOIN e{s} e USING (vec_id) CROSS JOIN generate_series(1, {dsub}) t(i)
+  GROUP BY 1, 2)"""
+            )
+            parts.append(
+                f"""c{t}_{s} AS (
+  SELECT p.cid, coalesce(n.cm, p.cm) AS cm
+  FROM {prev} p LEFT JOIN
+       (SELECT cid, array_agg(comp ORDER BY i) AS cm FROM u{t}_{s} GROUP BY cid) n USING (cid))"""
+            )
+            prev = f"c{t}_{s}"
+        parts.append(
+            f"""f{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.sm", "c.cm")}, c.cid) AS rn
+    FROM e{s} e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""lut{s} AS (
+  SELECT q.vec_id AS qid, c.cid, {dist("eq.sm", "c.cm")} AS d
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+  JOIN e{s} eq USING (vec_id) CROSS JOIN {prev} c)"""
+        )
+    code_joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+    code_cols = ", ".join(f"f{s}.cid AS k{s}" for s in range(m))
+    parts.append(
+        f"codes AS (SELECT f0.vec_id, {code_cols} FROM f0 {code_joins})"
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.qid = l0.qid AND l{s}.cid = cd.k{s}" for s in range(1, m)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    parts.append(
+        f"""scored AS (
+  SELECT l0.qid AS query_id, cd.vec_id AS neighbor_id, {adc} AS adc_dist
+  FROM codes cd JOIN lut0 l0 ON l0.cid = cd.k0 {lut_joins}
+  WHERE cd.vec_id <> l0.qid)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS match_rank,
+       adc_dist
+FROM scored
+QUALIFY match_rank <= {k}
+"""
+    )
+
+
+ANN05_SQL = _ann05_sql()
+
+
 def tx08_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Web-extraction step: deterministic HTML markup (keyed on doc_id)
     wraps each document, then ``text.extract_html_text`` strips tags,
@@ -2904,6 +3016,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a12_cohort_retention": (a12_cohort_retention, A12_SQL),
     "tx08_html_extract": (tx08_html_extract, TX08_SQL),
     "ann04_kmeans_clusters": (ann04_kmeans_clusters, ANN04_SQL),
+    "ann05_pq_topk": (ann05_pq_topk, ANN05_SQL),
     "sd01_semantic_dedup": (sd01_semantic_dedup, SD01_SQL),
     "j14_scd2_history": (j14_scd2_history, J14_SQL),
     "j16_point_in_time_status": (j16_point_in_time_status, J16_SQL),
@@ -2963,6 +3076,7 @@ _DRIVER_PRIORITY = [
     "u05_status_set_ops",
     "u06_multiset_ops",
     "mm07_mjpeg_frames",
+    "ann05_pq_topk",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

@@ -545,3 +545,195 @@ def kmeans_centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
     ``ivf_topk``/``ivf_assign`` consume (micro-units back to doubles)."""
     rows = [(j, [v / 1_000_000.0 for v in c]) for j, c in enumerate(centroids)]
     return spark.createDataFrame(rows, "centroid_id int, centroid_vec array<double>")
+
+
+# ------------------------------------------------------ product quantization
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks: the embedding splits into ``m``
+    equal subspaces and each subspace trains its own ``ksub``-centroid
+    quantizer with the exact-integer Lloyd's trainer (``kmeans_fit`` —
+    same seeding, tie, and rounding contract, so every codebook is
+    bit-reproducible on any engine). Returns ``m`` codebooks of
+    ``ksub`` micro-unit centroids, each of length dim/m.
+
+    This is the FAISS-style memory move for corpus-scale ANN: a
+    64-dim float vector (512 B) compresses to m code bytes, so the
+    search set fits in memory at 100 TB corpus sizes where raw
+    vectors cannot.
+
+    All m subspaces train in the SAME pass: per iteration one map-only
+    assignment scan (codebooks inlined as literals) plus ONE shuffle of
+    (subspace, cluster, dim) partial sums — m*ksub*dsub rows per map
+    task regardless of corpus size — then an m*ksub*dsub-row collect.
+    Training per-subspace sequentially would cost m scans per
+    iteration; at true scale additionally pass ``sample_fraction``
+    (codebook quality converges with the sample, as with the IVF
+    coarse quantizer). Semantics per subspace are EXACTLY
+    ``kmeans_fit``'s: seeds = the ksub smallest ids' sub-vectors,
+    integer micro distances with ties to the smaller code, floor-half-up
+    centroid means, empty clusters keep their previous centroid.
+    """
+    if sample_fraction is not None:
+        from pyp_etl_pipeline_spark.operators.sampling import deterministic_sample  # noqa: PLC0415
+
+        vectors = deterministic_sample(vectors, id_col, sample_fraction, salt="pq-fit-v1")
+    v = vectors.select(
+        F.col(id_col).alias("id"), _micro_vec(F.col(vec_col)).alias("__xm")
+    ).persist()
+    try:
+        seeds = v.orderBy("id").limit(ksub).collect()
+        if len(seeds) < ksub:
+            raise ValueError(f"pq_fit: need at least ksub={ksub} vectors to seed, got {len(seeds)}")
+        dim = len(seeds[0]["__xm"])
+        if dim % m != 0:
+            raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        books: list[list[list[int]]] = [
+            [list(r["__xm"])[s * dsub : (s + 1) * dsub] for r in seeds] for s in range(m)
+        ]
+        for _ in range(n_iter):
+            codes = F.array(
+                *[
+                    _kmeans_argmin(F.slice(F.col("__xm"), s * dsub + 1, dsub), books[s])["c"]
+                    for s in range(m)
+                ]
+            )
+            # two selects: a generator (posexplode) alongside the
+            # struct-indexing codes expression in ONE projection makes
+            # Catalyst re-resolve the argmin struct with positional
+            # col1/col2 names and the ["c"] access fails analysis
+            assigned = v.select(codes.alias("__codes"), F.col("__xm"))
+            exploded = assigned.select("__codes", F.posexplode("__xm").alias("i", "x"))
+            s_col = (F.col("i") / dsub).cast("int")
+            comps = (
+                exploded.select(
+                    s_col.alias("s"),
+                    F.element_at("__codes", s_col + 1).alias("cluster"),
+                    (F.col("i") % dsub).alias("j"),
+                    "x",
+                )
+                .groupBy("s", "cluster", "j")
+                .agg(F.floor(F.sum("x") / F.count("*") + F.lit(0.5)).cast("long").alias("comp"))
+            )
+            got = {(r["s"], r["cluster"], r["j"]): r["comp"] for r in comps.collect()}
+            books = [
+                [
+                    [got.get((s, c, j), books[s][c][j]) for j in range(dsub)]
+                    for c in range(ksub)
+                ]
+                for s in range(m)
+            ]
+    finally:
+        v.unpersist(blocking=False)
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — per subspace the nearest codebook centroid (exact
+    integer L2 on micro-units, ties to the smaller code, the
+    ``_kmeans_argmin`` contract). Map-only: codebooks ride inline as
+    literals; one pass over the corpus, no shuffle, no join."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    xm = _micro_vec(F.col(vec_col))
+    codes = F.array(
+        *[
+            _kmeans_argmin(F.slice(xm, s * dsub + 1, dsub), codebooks[s])["c"]
+            for s in range(m)
+        ]
+    )
+    return vectors.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): each query precomputes a
+    lookup table of exact integer L2 distances from its micro sub-vectors
+    to every codebook centroid (m x ksub longs), and a corpus vector's
+    approximate distance is then m table lookups summed — no per-pair
+    vector math at all.
+
+    Physical shape: the corpus encodes once (map-only, codebooks as
+    literals); the per-query LUT builds from a broadcast m*ksub-row
+    codebook relation and collapses to one flat array per query; the
+    scan joins the (small) LUT side broadcast against the encoded corpus
+    and ranks with a per-query window. Per (query, vector) work is m
+    element_at lookups on a 64-long array — the classic ADC trade: scan
+    cost independent of the original dimensionality. Distances are
+    exact integers end to end, so results are engine-portable and
+    oracle-checkable (ann05).
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = vectors.sparkSession
+    cb_rows = [
+        (s, c, codebooks[s][c]) for s in range(m) for c in range(ksub)
+    ]
+    cb = spark.createDataFrame(cb_rows, "s int, c int, cm array<long>")
+
+    qm = queries.select(
+        F.col(query_id_col).alias("query_id"), _micro_vec(F.col(query_vec_col)).alias("__qm")
+    )
+    sub_dist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__qm"), F.col("s") * dsub + 1, dsub),
+            F.col("cm"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # flat LUT ordered by (s, c): entry s*ksub + c — array_sort on
+    # (s, c, d) structs makes the order explicit, not shuffle-dependent
+    luts = (
+        qm.join(F.broadcast(cb))
+        .select("query_id", F.struct("s", "c", sub_dist.alias("d")).alias("e"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("e")), lambda e: e["d"]).alias("__lut")
+        )
+    )
+    enc = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    adc = F.aggregate(
+        F.transform(
+            F.col("codes"), lambda c, i: F.element_at(F.col("__lut"), i * ksub + c + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.join(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -312,3 +312,58 @@ def test_kmeans_fit_validates_inputs(spark):
     # dim=64 vs actual 4 components: derived, no KeyError
     cents = similarity.kmeans_fit(df, k=2, n_iter=1, dim=64)
     assert all(len(c) == 4 for c in cents)
+
+
+def test_pq_fit_encode_adc_exact_small(spark):
+    """PQ end-to-end on a hand-checkable corpus: codebooks replay the
+    per-subspace integer Lloyd's contract, encoding picks the nearest
+    code (ties to smaller), and every ADC distance equals the exact
+    integer L2 between the query's micro vector and the RECONSTRUCTED
+    (codebook-decoded) neighbor — the defining PQ identity."""
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i % 3), float((i * 7) % 5), float(i % 2), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_fit(df, m=2, ksub=2, n_iter=1)
+    assert len(books) == 2 and all(len(b) == 2 and len(b[0]) == 2 for b in books)
+
+    q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {r["neighbor_id"]: r for r in similarity.pq_topk(df, q, books, k=11).collect()}
+    assert len(got) == 11 and 0 not in got  # self excluded, all ranked
+
+    # python reference: encode + ADC
+    def micro(v):
+        import math
+        return [int(math.floor(x * 1_000_000 + 0.5)) for x in v]
+
+    def code_of(sub, book):
+        ds = [(sum((a - b) ** 2 for a, b in zip(sub, c)), j) for j, c in enumerate(book)]
+        return min(ds)[1]
+
+    qm = micro(rows[0][1])
+    for i, emb in rows[1:]:
+        xm = micro(emb)
+        adc = 0
+        for s in range(2):
+            c = code_of(xm[s * 2 : (s + 1) * 2], books[s])
+            adc += sum((a - b) ** 2 for a, b in zip(qm[s * 2 : (s + 1) * 2], books[s][c]))
+        assert got[i]["adc_dist"] == adc, i
+    # ranks ordered by (adc, id)
+    ordered = sorted(got.values(), key=lambda r: (r["adc_dist"], r["neighbor_id"]))
+    assert [r["rank"] for r in ordered] == list(range(1, 12))
+
+
+def test_pq_fit_validations(spark):
+    import pytest as _pytest
+
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_fit(df, m=2, ksub=1, n_iter=1)
+    with _pytest.raises(ValueError, match="at least ksub"):
+        similarity.pq_fit(df, m=3, ksub=4, n_iter=1)
