@@ -1223,6 +1223,35 @@ FROM g
 TX05_SQL = _tx05_sql()
 
 
+def tx14_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """KenLM-perplexity-gate analog (``textan.bigram_logprob``): per-doc
+    mean MLE bigram conditional log-probability — token ORDER matters,
+    unlike tx06's unigram score. The twin replays the pairing (positional
+    list indexing), both count models, and the micro-quantized exact
+    mean, so the whole bigram chain is hash-certified."""
+    out = textan.bigram_logprob(_load_corpus(spark, sf, "documents"))
+    return out.withColumnRenamed("id", "doc_id")
+
+
+TX14_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         list_filter(string_split({core.sql_normalized_text("text")}, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM ex)
+),
+cb AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {core.sql_exact_avg("ln(cb / c1)")} AS mean_logprob
+FROM pairs JOIN cb USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
 def tx06_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Perplexity-filter analog: per-doc mean unigram log-probability
     under the corpus's own unigram model (rare-token-heavy docs score
@@ -2941,6 +2970,42 @@ FROM err JOIN clk
 """
 
 
+def st08_stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join (``streaming.events.streaming_static_enrich``):
+    the event stream enriches against the static customer dimension
+    (broadcast per micro-batch, NO join state — the canonical streaming
+    enrichment shape) and aggregates spend per (market segment, event
+    type). Driven to completion over the static parquet; the oracle is
+    the plain batch join+rollup, so the per-batch broadcast-join path
+    must reproduce batch semantics exactly. Completes the streaming
+    join matrix: st05 covers stream-stream, this covers stream-static."""
+    from pyp_etl_pipeline_spark.functions import aggregates  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        streaming_static_enrich,
+    )
+
+    name = "st08_out_" + uuid.uuid4().hex[:8]
+    dim = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    enriched = streaming_static_enrich(read_events_stream(spark, sf), dim)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        aggregates.exact_sum("value").alias("sum_value"),
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+ST08_SQL = f"""
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events, {core.sql_exact_sum("e.value")} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3009,6 +3074,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
     "ex02_export_roundtrip": (ex02_export_roundtrip, EX02_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
+    "st08_stream_static_enrich": (st08_stream_static_enrich, ST08_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
@@ -3047,6 +3113,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tx04_fingerprints": (tx04_fingerprints, TX04_SQL),
     "tx05_repetition": (tx05_repetition, TX05_SQL),
     "tx06_unigram_logprob": (tx06_unigram_logprob, TX06_SQL),
+    "tx14_bigram_logprob": (tx14_bigram_logprob, TX14_SQL),
     "tx10_tfidf_topk": (tx10_tfidf_topk, TX10_SQL),
     # ST
     "st01_streaming_tumbling": (st01_streaming_tumbling, ST01_SQL),
@@ -3077,6 +3144,8 @@ _DRIVER_PRIORITY = [
     "u06_multiset_ops",
     "mm07_mjpeg_frames",
     "ann05_pq_topk",
+    "st08_stream_static_enrich",
+    "tx14_bigram_logprob",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

@@ -199,6 +199,56 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    ``ln P(w2|w1) = ln(C(w1,w2) / C1(w1))`` under the corpus's own MLE
+    bigram model (``C1`` counts bigram LEFT positions, so the
+    conditionals are a proper distribution). One step up from
+    ``unigram_logprob``'s vocabulary filter: token ORDER now matters,
+    so shuffled/templated/boilerplate text scores low even when every
+    individual token is common — the cheap stand-in for a KenLM-style
+    perplexity gate.
+
+    Same physical shape as the unigram scorer: the pair explosion is
+    map-only column algebra (two slices zipped per row), then two
+    map-side-combined count aggregates and two joins of the exploded
+    pairs (bigram tables for natural corpora are AQE-broadcastable).
+    Output: (id, n_bigrams, mean_logprob); docs with < 2 tokens have no
+    bigram and drop out, matching the n>0 contract of the unigram op.
+    """
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t")).filter(F.size("__t") >= 2)
+    n = F.size("__t")
+    # two selects: a generator next to struct-building lambdas in one
+    # projection makes Catalyst re-resolve struct fields positionally
+    zipped = base.select(
+        "id",
+        F.zip_with(
+            F.slice("__t", 1, n - 1),
+            F.slice("__t", 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ).alias("__pairs"),
+    )
+    ex = zipped.select("id", F.explode("__pairs").alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = ex.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    c1 = ex.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        ex.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn("logp", F.log(F.col("cb") / F.col("c1")))
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        aggregates.exact_avg("logp").alias("mean_logprob"),
+    )
+
+
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -157,3 +157,23 @@ def streaming_window_join(
         & (r[point_ts] <= l[interval_ts] + F.expr(f"INTERVAL {window}"))
     )
     return l.join(r, cond).drop(r[key])
+
+
+def streaming_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich an unbounded event stream with a
+    bounded dimension table — the canonical streaming-enrichment shape.
+
+    Unlike a stream-stream join this holds NO join state: the static
+    side is (re-)planned per micro-batch, so a broadcast-sized dim costs
+    one broadcast per batch and an updated dim table is picked up on the
+    next batch automatically. No watermark is required for inner joins.
+    At 100 TB/day stream volume the per-batch cost is the batch scan +
+    one broadcast hash join — the same plan as the batch equivalent."""
+    d = dim.withColumnRenamed(dim_key, stream_key) if dim_key != stream_key else dim
+    return events.join(F.broadcast(d), stream_key, how)

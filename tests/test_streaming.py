@@ -178,3 +178,38 @@ def test_streaming_upsert_recovers_partial_write(spark, sf_dir, tmp_path):
     mtime = os.path.getmtime(os.path.join(root, "_CURRENT"))
     fn(ev, 1)
     assert os.path.getmtime(os.path.join(root, "_CURRENT")) == mtime
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
+    """The stream-static broadcast enrichment must equal the batch join
+    row-for-row, and a left join must keep unmatched stream rows."""
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = stream_ev.read_events_stream(spark, sf_dir)
+    joined = stream_ev.streaming_static_enrich(stream, dim).select(
+        "event_id", "c_mktsegment"
+    )
+    stream_ev.run_to_memory(joined, "t_enrich", output_mode="append")
+    got = sorted(map(tuple, spark.table("t_enrich").collect()))
+
+    ev = load_events(spark, sf_dir)
+    want = sorted(
+        map(
+            tuple,
+            ev.join(
+                dim.withColumnRenamed("c_custkey", "user_id"), "user_id"
+            ).select("event_id", "c_mktsegment").collect(),
+        )
+    )
+    assert got == want and len(got) == ev.count()  # every user_id resolves
+
+    # left join keeps stream rows with no dim match
+    tiny = dim.filter("c_custkey < 5")
+    left = stream_ev.streaming_static_enrich(stream, tiny, how="left").select(
+        "event_id", "c_mktsegment"
+    )
+    stream_ev.run_to_memory(left, "t_enrich_left", output_mode="append")
+    rows = spark.table("t_enrich_left").collect()
+    assert len(rows) == ev.count()
+    assert any(r["c_mktsegment"] is None for r in rows)

@@ -366,3 +366,22 @@ def test_group_zscores_ignores_null_values(spark):
     assert len(out) == 3
     assert all(r["id"] != 3 for r in out)
     assert all(abs(r["z"]) < 3 for r in out)
+
+
+def test_bigram_logprob_golden(spark):
+    import math
+
+    from pyp_etl_pipeline_spark.operators.textan import bigram_logprob
+
+    # corpus bigrams: (a,b) x2 from docs 1,3; (b,a) x1; (b,c) x1
+    rows = [(1, "a b"), (2, "b a"), (3, "a b c"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in bigram_logprob(df).collect()}
+    assert 4 not in out  # single-token doc: no bigram
+    # C(a,b)=2, C1(a)=2 -> ln(1); C(b,a)=1, C1(b)=2 -> ln(.5); C(b,c)=1
+    assert out[1]["n_bigrams"] == 1 and out[1]["mean_logprob"] == 0.0
+    assert out[2]["mean_logprob"] == round(math.log(0.5), 4)
+    expect3 = (math.log(2 / 2) + math.log(1 / 2)) / 2
+    assert out[3]["n_bigrams"] == 2 and out[3]["mean_logprob"] == round(expect3, 4)
+    # common-order doc scores higher than the rare-order doc
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
