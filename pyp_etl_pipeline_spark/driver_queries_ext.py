@@ -3006,6 +3006,73 @@ GROUP BY 1, 2
 """
 
 
+def gr01_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank (``graph.pagerank``, 2 iterations) over the
+    bidirectional customer-supplier interaction graph (distinct pairs
+    from lineitem x orders; customers at node 2k, suppliers at 2k+1).
+    The iterative companion to dd04's connected components — authority
+    scoring for corpus/link quality weighting. All rank arithmetic is
+    integer DIV on a fixed mass pool, so the twin (the same two
+    iterations unrolled as CTEs) reproduces every rank bit-for-bit."""
+    from pyp_etl_pipeline_spark.operators import graph  # noqa: PLC0415
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+    rev = pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    pr = graph.pagerank(fwd.unionAll(rev), n_iter=2)
+    return pr.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer")).otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node DIV 2").alias("key"),
+        "pr",
+    )
+
+
+GR01_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+n AS (SELECT count(*) AS nn FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+p0 AS (SELECT node, 1000000000000 // nn AS pr FROM nodes CROSS JOIN n),
+c1 AS (
+  SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+  FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1
+),
+p1 AS (
+  SELECT nodes.node,
+         (15 * (1000000000000 // nn)) // 100 + (85 * coalesce(c1.s, 0)) // 100 AS pr
+  FROM nodes CROSS JOIN n LEFT JOIN c1 USING (node)
+),
+c2 AS (
+  SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+  FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1
+),
+p2 AS (
+  SELECT nodes.node,
+         (15 * (1000000000000 // nn)) // 100 + (85 * coalesce(c2.s, 0)) // 100 AS pr
+  FROM nodes CROSS JOIN n LEFT JOIN c2 USING (node)
+)
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, pr
+FROM p2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3075,6 +3142,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ex02_export_roundtrip": (ex02_export_roundtrip, EX02_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "st08_stream_static_enrich": (st08_stream_static_enrich, ST08_SQL),
+    "gr01_pagerank": (gr01_pagerank, GR01_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
@@ -3146,6 +3214,8 @@ _DRIVER_PRIORITY = [
     "ann05_pq_topk",
     "st08_stream_static_enrich",
     "tx14_bigram_logprob",
+    "mx02_token_budget_fill",
+    "gr01_pagerank",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

@@ -862,6 +862,63 @@ FROM documents
 """
 
 
+_MX02_SOURCES = ("wiki", "web", "code")  # doc_id % 3 strata, as MIX_RATES
+
+
+def mx02_token_budget_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus fill (``sampling.budget_fill``): each of the
+    three mixture sources contributes a deterministic pseudo-random
+    subset of documents totalling >= 4000 whitespace tokens (greedy fill
+    in keyed-hash order, first overflowing doc included). The running
+    token count is the shared deterministic distributed prefix sum
+    (``operators/prefix`` — hash buckets have a static [0, 2^20) domain,
+    so no bounds pass). The twin replays hash order, tie rule, window
+    cumsum, and the overflow contract, so the whole budget-fill chain is
+    hash-certified."""
+    from pyp_etl_pipeline_spark.operators import sampling, textan  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    src = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(n) for n in _MX02_SOURCES]), (F.col("doc_id") % 3).cast("int") + 1
+        ).alias("source"),
+        textan.token_count("text").cast("long").alias("n_tokens"),
+    )
+    out = sampling.budget_fill(
+        src, key_col="doc_id", weight_col="n_tokens", budget=4000, group_cols=("source",)
+    )
+    return out.select("source", "doc_id", "n_tokens", "fill_rank_bucket", "cum_weight")
+
+
+def _mx02_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.sampling import sql_hash_bucket  # noqa: PLC0415
+
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+    names = ", ".join(f"'{n}'" for n in _MX02_SOURCES)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         [{names}][(doc_id % 3)::INT + 1] AS source,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         {sql_hash_bucket("doc_id", "budget-v1")} AS fill_rank_bucket
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY fill_rank_bucket, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_weight
+  FROM t
+)
+SELECT source, doc_id, n_tokens, fill_rank_bucket, cum_weight
+FROM c WHERE cum_weight - n_tokens < 4000
+"""
+
+
+MX02_SQL = _mx02_sql()
+
+
 def mm07_mjpeg_frames(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video frame decode, end to end: per doc_id an MJPEG-in-AVI
     file is synthesized (``codecs.avi_mjpeg_encode`` — RIFF hdrl/strl/
@@ -1269,6 +1326,7 @@ QUERIES3 = {
     "sp01_hash_split": (sp01_hash_split, SP01_SQL),
     "sp02_stratified_sample": (sp02_stratified_sample, SP02_SQL),
     "mx01_corpus_mixture": (mx01_corpus_mixture, MX01_SQL),
+    "mx02_token_budget_fill": (mx02_token_budget_fill, MX02_SQL),
     "pk01_sequence_packing": (pk01_sequence_packing, PK01_SQL),
     "px01_pii_scrub": (px01_pii_scrub, PX01_SQL),
 

@@ -1,0 +1,78 @@
+"""Iterative graph algorithms as DataFrame plans.
+
+Companion to ``dedup.dup_clusters`` (connected components): PageRank,
+the other canonical iterative graph workload a corpus-scale pipeline
+needs (authority scoring of a link/citation/interaction graph for
+quality weighting — the original web-scale use).
+
+All arithmetic is EXACT INTEGER math on a fixed mass pool, so every
+iteration is order-independent and bit-reproducible on any engine (the
+same portability contract as the k-means / exact-sum family):
+
+- each node starts with ``mass DIV N`` units;
+- a node's per-edge contribution is ``pr DIV out_degree`` (floor);
+- next rank = ``(15 * (mass DIV N)) DIV 100 + (85 * sum(contribs)) DIV
+  100`` — the 0.85 damping expressed in integer percent. Mass lost to
+  floors and dangling nodes is dropped (defined contract; rank ORDER,
+  the useful output, is unaffected).
+
+Physical shape per iteration (the Pregel/GraphX shape): one join of the
+node-rank relation onto the edge list keyed by source (THE PageRank
+shuffle — co-partition edges and ranks on the node key to pay it once),
+one map-side-combined sum keyed by destination, one left join back to
+the node set. Degrees and N are computed once; N rides as a broadcast
+1-row aggregate, never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MASS = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list (parallel edges
+    count once per occurrence, like repeated links). Returns (node,
+    pr) with ``pr`` in MASS units after ``n_iter`` synchronous
+    iterations."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    ncnt = nodes.agg(F.count("*").alias("__n"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    init = F.expr(f"CAST({MASS} AS BIGINT) DIV __n")
+    pr = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", init.alias("pr"), init.alias("__base_unit")
+    )
+    keep = damping_pct
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("pr DIV deg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "node",
+                (
+                    F.expr(f"({100 - keep} * (CAST({MASS} AS BIGINT) DIV __n)) DIV 100")
+                    + F.expr(f"({keep} * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                ).alias("pr"),
+                F.expr(f"CAST({MASS} AS BIGINT) DIV __n").alias("__base_unit"),
+            )
+        )
+    return pr.select("node", "pr")

@@ -41,7 +41,7 @@ bit-for-bit against the sequential semantics (pk01).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark.operators.textan import token_count
@@ -70,46 +70,12 @@ def pack_sequences(
         .select(F.col(id_col).alias("id"), token_count(text_col).cast("long").alias("n"))
         .filter(F.col("n") > 0)
     )
-    # two-pass distributed prefix sum (see module docstring). The bucket
-    # key must be deterministic — a pure function of id, never of
-    # physical partition placement.
-    from pyspark.sql.types import NumericType  # noqa: PLC0415
+    # deterministic two-pass distributed prefix sum (see module
+    # docstring; shared implementation in operators/prefix.py)
+    from pyp_etl_pipeline_spark.operators.prefix import grouped_prefix_sum  # noqa: PLC0415
 
-    try:
-        n_buckets = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    except (TypeError, ValueError):
-        n_buckets = 200
-    if isinstance(toks.schema["id"].dataType, NumericType) and n_buckets > 1:
-        idd = F.col("id").cast("double")
-        bounds = toks.agg(F.min(idd).alias("__lo"), F.max(idd).alias("__hi"))
-        span = F.col("__hi") - F.col("__lo") + F.lit(1.0)
-        # monotone in id; least() clamps the hi endpoint when span
-        # rounds to (hi - lo) at double precision
-        bucket = F.least(
-            F.floor((idd - F.col("__lo")) / span * F.lit(float(n_buckets))),
-            F.lit(n_buckets - 1),
-        ).cast("int")
-        bucketed = toks.crossJoin(F.broadcast(bounds)).select(
-            "id", "n", bucket.alias("pid")
-        )
-    else:
-        # non-numeric ids: no order-preserving bucket function — fall
-        # back to a single bucket (correct, serial scan)
-        bucketed = toks.select("id", "n", F.lit(0).alias("pid"))
-    ranged = bucketed.repartition(n_buckets, "pid")
-    local_w = Window.partitionBy("pid").orderBy("id")
-    ranged = ranged.withColumn("local_end", F.sum("n").over(local_w))
-    pid_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.sum("n").alias("psum"))
-        .withColumn("poffset", F.coalesce(F.sum("psum").over(pid_w), F.lit(0)))
-        .select("pid", "poffset")
-    )
-    spanned = (
-        ranged.join(F.broadcast(offsets), "pid")
-        .withColumn("gend", F.col("poffset") + F.col("local_end"))
-        .withColumn("gstart", F.col("gend") - F.col("n"))
+    spanned = grouped_prefix_sum(toks, value_col="n", order_col="id", cum_col="gend").withColumn(
+        "gstart", F.col("gend") - F.col("n")
     )
     L = F.lit(max_len).cast("long")
     first_bin = F.floor(F.col("gstart") / L)

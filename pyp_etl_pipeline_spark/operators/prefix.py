@@ -1,0 +1,105 @@
+"""Deterministic distributed prefix sums.
+
+The classic two-pass scan, factored out of sequence packing (pk01) so
+every ordered-cumulative operator shares one audited implementation:
+
+1. each row gets a DETERMINISTIC contiguous bucket — a monotone function
+   of the ORDER KEY's value (never of physical placement: round 6 proved
+   `spark_partition_id()` keying corrupts offsets whenever an exchange
+   is recomputed with different task placement);
+2. per-(group, bucket) cumulative sum — fully parallel windows after a
+   hash repartition on the bucket key;
+3. a per-(group, bucket) total relation (|groups| x n_buckets rows) gets
+   a tiny exclusive-prefix window per group and broadcasts back;
+4. global cum = bucket offset + local cumulative sum.
+
+Shuffle bill: the bucket repartition + the tiny offsets aggregate (plus
+one 1-row bounds aggregate when the order key's range isn't known
+statically). A naive ``sum() over (order by k)`` window instead drags
+the whole relation through ONE partition — the canonical
+single-partition scale killer this module exists to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: tuple[str, ...] = (),
+    extra_order_cols: tuple[str, ...] = (),
+    bounds: tuple[float, float] | None = None,
+    cum_col: str = "cum",
+) -> DataFrame:
+    """All input columns + ``cum_col`` = inclusive prefix sum of
+    ``value_col`` over rows ordered by (order_col, *extra_order_cols)
+    within each ``group_cols`` group.
+
+    ``order_col`` must be numeric (the range bucket is a monotone
+    function of its value); ``extra_order_cols`` break ties within equal
+    order values — make the combination unique or the cum of tied rows
+    is window-order dependent. Pass ``bounds=(lo, hi)`` when the order
+    key's domain is known statically (e.g. a hash bucket in [0, 2^20)) —
+    that skips the bounds aggregate entirely. The offsets relation is
+    |groups| x n_buckets rows and is broadcast; keep group cardinality
+    dimension-sized (corpus-sized groups want ``order_col`` itself
+    re-keyed per group instead).
+    """
+    from pyspark.sql.types import NumericType  # noqa: PLC0415
+
+    try:
+        n_buckets = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        n_buckets = 200
+    cols = df.columns
+    numeric = isinstance(df.schema[order_col].dataType, NumericType)
+    od = F.col(order_col).cast("double")
+
+    def bucket_expr(lo: Column, span: Column) -> Column:
+        # monotone in the order key; least() clamps the hi endpoint when
+        # span rounds down at double precision
+        return F.least(
+            F.floor((od - lo) / span * F.lit(float(n_buckets))),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+
+    if not numeric or n_buckets == 1:
+        bucketed = df.withColumn("__pid", F.lit(0))
+    elif bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        bucketed = df.withColumn(
+            "__pid", bucket_expr(F.lit(lo), F.lit(max(hi - lo, 1.0)))
+        )
+    else:
+        b = df.agg(F.min(od).alias("__lo"), F.max(od).alias("__hi"))
+        span = F.col("__hi") - F.col("__lo") + F.lit(1.0)
+        bucketed = df.crossJoin(F.broadcast(b)).select(
+            *cols, bucket_expr(F.col("__lo"), span).alias("__pid")
+        )
+
+    keys = [*group_cols, "__pid"]
+    ranged = bucketed.repartition(n_buckets, *keys)
+    local_w = Window.partitionBy(*keys).orderBy(order_col, *extra_order_cols)
+    ranged = ranged.withColumn("__local", F.sum(value_col).over(local_w))
+    pid_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if group_cols
+        else Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy(*keys)
+        .agg(F.sum(value_col).alias("__psum"))
+        .withColumn("__poffset", F.coalesce(F.sum("__psum").over(pid_w), F.lit(0)))
+        .select(*keys, "__poffset")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), keys)
+        .withColumn(cum_col, F.col("__poffset") + F.col("__local"))
+        .select(*cols, cum_col)
+    )

@@ -154,3 +154,48 @@ def mix_corpora(
     for o in outs[1:]:
         mixed = mixed.unionByName(o, allowMissingColumns=True)
     return mixed
+
+
+def budget_fill(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    group_cols: tuple[str, ...] = (),
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Fill a weight budget (token count, byte count) per group with a
+    deterministic pseudo-random subset: rows are ordered by their keyed
+    hash bucket (unbiased, reproducible on any engine — ties broken by
+    key), and a row is kept while the budget is not yet met, i.e. its
+    EXCLUSIVE running weight is < ``budget``. The first overflowing row
+    is included, so a met budget always reaches >= budget (greedy-fill
+    contract; an empty group or zero budget keeps one row at most per
+    group only if budget > 0... precisely: kept iff cum - weight <
+    budget).
+
+    This is the "give me 10B training tokens from this source, fairly
+    sampled, same answer every run" operator. The running weight is the
+    deterministic two-pass distributed prefix sum (operators/prefix) —
+    hash buckets have the static domain [0, 2^20), so bucketing needs NO
+    bounds aggregate and the whole plan costs two small shuffles instead
+    of a single-partition global window.
+
+    Output: input columns + ``fill_rank_bucket`` (the hash order key,
+    for audit) and ``cum_weight`` (inclusive running weight in fill
+    order)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyp_etl_pipeline_spark.operators.prefix import grouped_prefix_sum  # noqa: PLC0415
+
+    with_bucket = df.withColumn("fill_rank_bucket", hash_bucket(key_col, salt))
+    cum = grouped_prefix_sum(
+        with_bucket,
+        value_col=weight_col,
+        order_col="fill_rank_bucket",
+        group_cols=group_cols,
+        extra_order_cols=(key_col,),
+        bounds=(0, BUCKETS),
+        cum_col="cum_weight",
+    )
+    return cum.filter(F.col("cum_weight") - F.col(weight_col) < budget)

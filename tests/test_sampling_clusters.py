@@ -232,3 +232,91 @@ def test_decontaminate_spans_surgical_removal(spark):
     assert out[1]["n_spans"] == 2 and out[1]["n_clean"] == 1
     assert out[1]["text"] == "clean words only here nothing shared at all"
     assert out[2]["n_clean"] == out[2]["n_spans"] and out[2]["text"] == corpus.collect()[1]["text"]
+
+
+def test_grouped_prefix_sum_matches_sequential(spark):
+    """The shared deterministic two-pass scan must equal a sequential
+    cumsum for every group/ordering, under any shuffle-partition count."""
+    from pyp_etl_pipeline_spark.operators.prefix import grouped_prefix_sum
+
+    rows = [(g, i, (i * 13 + gi) % 7 + 1) for gi, g in enumerate(("a", "b")) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    want = {}
+    for g in ("a", "b"):
+        run = 0
+        for i in range(50):
+            run += (i * 13 + (0 if g == "a" else 1)) % 7 + 1
+            want[(g, i)] = run
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for sp in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            out = grouped_prefix_sum(
+                df.repartition(5), "v", "k", group_cols=("g",)
+            ).collect()
+            got = {(r["g"], r["k"]): r["cum"] for r in out}
+            assert got == want, sp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # static-bounds path, no groups
+    one = grouped_prefix_sum(
+        df.filter("g = 'a'"), "v", "k", bounds=(0, 50)
+    ).collect()
+    assert {(r["k"]): r["cum"] for r in one} == {i: want[("a", i)] for i in range(50)}
+
+
+def test_budget_fill_contract(spark):
+    """Greedy fill in keyed-hash order: selected = exactly the prefix of
+    the hash-ordered docs whose exclusive cumsum is < budget; per group;
+    deterministic across reruns."""
+    from pyp_etl_pipeline_spark.operators import sampling
+
+    rows = [(g, i, 10 + (i % 5)) for g in ("x", "y") for i in range(40)]
+    df = spark.createDataFrame(rows, "src string, doc long, w long")
+    out = sampling.budget_fill(df, "doc", "w", budget=100, group_cols=("src",))
+    got = {(r["src"], r["doc"]): r for r in out.collect()}
+
+    # python reference with the same hash order
+    import hashlib
+
+    def bucket(key):
+        return int(hashlib.md5(f"{key}budget-v1".encode()).hexdigest()[:7], 16) % (1 << 20)
+
+    for g in ("x", "y"):
+        docs = sorted(((bucket(i), i) for i in range(40)))
+        run, want = 0, set()
+        for _, i in docs:
+            if run < 100:
+                want.add(i)
+            run += 10 + (i % 5)
+        have = {d for (s, d) in got if s == g}
+        assert have == want, g
+        # budget met (greedy overflow rule)
+        assert sum(10 + (i % 5) for i in have) >= 100
+    again = {(r["src"], r["doc"]) for r in
+             sampling.budget_fill(df, "doc", "w", budget=100, group_cols=("src",)).collect()}
+    assert again == set(got)
+
+
+def test_pagerank_integer_exact_star_graph(spark):
+    """Hand-checkable star graph: hub <-> 3 leaves, 1 iteration. All
+    integer arithmetic, so values are exact; a second run and a
+    different input partitioning must reproduce them bit-for-bit."""
+    from pyp_etl_pipeline_spark.operators import graph
+
+    # hub=0, leaves=1,2,3; bidirectional star
+    edges = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(df, n_iter=1).collect()}
+    unit = 10**12 // 4  # 250_000_000_000
+    base = (15 * unit) // 100
+    # hub receives each leaf's full rank (deg 1): 3 * (unit // 1)
+    assert pr[0] == base + (85 * (3 * unit)) // 100
+    # each leaf receives hub_rank // 3
+    assert pr[1] == pr[2] == pr[3] == base + (85 * (unit // 3)) // 100
+    again = {r["node"]: r["pr"] for r in
+             graph.pagerank(df.repartition(7), n_iter=1).collect()}
+    assert again == pr
+    # hub dominates after 2 iterations too
+    pr2 = {r["node"]: r["pr"] for r in graph.pagerank(df, n_iter=2).collect()}
+    assert pr2[0] > pr2[1]
