@@ -3006,6 +3006,68 @@ GROUP BY 1, 2
 """
 
 
+def tk01_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer-vocabulary training (``operators/bpe``):
+    10 merges learned from the documents corpus' word-frequency table
+    (one vocab-sized map-side-combined pair-count shuffle + a 1-row
+    argmax collect per merge — the industrial distributed-BPE shape),
+    then the final segmentation of every vocabulary word. The twin
+    replays ALL TEN merges sequentially in SQL — pair counts, the
+    (count desc, pair asc) argmax, and the left-to-right non-overlapping
+    rewrite via recursive CTEs — so the entire iterative training loop
+    is hash-certified bit-for-bit, not just sampled."""
+    from pyp_etl_pipeline_spark.operators import bpe  # noqa: PLC0415
+
+    words = bpe.word_counts(_load_corpus(spark, sf, "documents"))
+    _merges, seqs = bpe.bpe_fit(words, n_merges=10)
+    return seqs.select(
+        "word",
+        "cnt",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.array_join("t", " ").alias("tokens"),
+    )
+
+
+def _tk01_sql(n_merges: int = 10) -> str:
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT tok AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split({core.sql_normalized_text("text")}, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1),
+w0 AS MATERIALIZED (SELECT word, cnt, regexp_extract_all(word, '.') AS t FROM words)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT t[j] AS a, t[j+1] AS b, sum(cnt) AS n
+  FROM (SELECT cnt, t, unnest(range(1, len(t))) AS j FROM {prev}) GROUP BY 1, 2),
+m{i} AS MATERIALIZED (SELECT a, b FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+r{i} AS (
+  SELECT word, cnt, t, 0 AS pos, []::VARCHAR[] AS acc FROM {prev}
+  UNION ALL
+  SELECT word, cnt, t, pos + 1,
+    CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM m{i}) AND t[pos+1] = (SELECT b FROM m{i})
+         THEN acc[1:len(acc)-1] || [(SELECT a FROM m{i}) || (SELECT b FROM m{i})]
+         ELSE acc || [t[pos+1]] END
+  FROM r{i} WHERE pos < len(t)
+),
+w{i} AS MATERIALIZED (SELECT word, cnt, acc AS t FROM r{i} WHERE pos = len(t))"""
+        )
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT word, cnt, CAST(len(t) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(t, ' '), '') AS tokens
+FROM w{n_merges}
+"""
+    )
+
+
+TK01_SQL = _tk01_sql()
+
+
 def gr01_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-exact PageRank (``graph.pagerank``, 2 iterations) over the
     bidirectional customer-supplier interaction graph (distinct pairs
@@ -3143,6 +3205,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "st08_stream_static_enrich": (st08_stream_static_enrich, ST08_SQL),
     "gr01_pagerank": (gr01_pagerank, GR01_SQL),
+    "tk01_bpe_vocab": (tk01_bpe_vocab, TK01_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
@@ -3216,6 +3279,7 @@ _DRIVER_PRIORITY = [
     "tx14_bigram_logprob",
     "mx02_token_budget_fill",
     "gr01_pagerank",
+    "tk01_bpe_vocab",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

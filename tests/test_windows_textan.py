@@ -385,3 +385,35 @@ def test_bigram_logprob_golden(spark):
     assert out[3]["n_bigrams"] == 2 and out[3]["mean_logprob"] == round(expect3, 4)
     # common-order doc scores higher than the rare-order doc
     assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_bpe_fit_textbook_example(spark):
+    """Sennrich et al.'s worked example: merges must come out in the
+    canonical order and the left-to-right non-overlap rewrite must hold
+    (including the 'a a a' -> 'aa a' scan-order case)."""
+    from pyp_etl_pipeline_spark.operators import bpe
+
+    w = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], "word string, cnt long"
+    )
+    merges, seqs = bpe.bpe_fit(w, n_merges=4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    got = {r["word"]: r["t"] for r in seqs.collect()}
+    assert got["low"] == ["low"]
+    assert got["newest"] == ["n", "e", "w", "est"]
+    assert got["widest"] == ["w", "i", "d", "est"]
+    assert got["lower"] == ["low", "e", "r"]
+
+    # scan order on identical-symbol runs: merge (a,a) over "aaa" -> aa,a
+    runs = spark.createDataFrame([("aaa", 9), ("aaaa", 1)], "word string, cnt long")
+    m2, s2 = bpe.bpe_fit(runs, n_merges=1)
+    assert m2 == [("a", "a")]
+    g2 = {r["word"]: r["t"] for r in s2.collect()}
+    assert g2["aaa"] == ["aa", "a"]
+    assert g2["aaaa"] == ["aa", "aa"]
+
+    # applying the learned table to unseen words reuses the same fold
+    new = spark.createDataFrame([("slowest",), ("toes",)], "word string")
+    seg = {r["word"]: r["t"] for r in bpe.bpe_segment(new, merges).collect()}
+    assert seg["slowest"] == ["s", "low", "est"]
+    assert seg["toes"] == ["t", "o", "es"]
