@@ -60,6 +60,11 @@ EXTENDED = [
     "mm07_mjpeg_frames",
     "ann05_pq_topk",
     "pk01_sequence_packing",
+    "st08_stream_static_enrich",
+    "tx14_bigram_logprob",
+    "mx02_token_budget_fill",
+    "gr01_pagerank",
+    "tk01_bpe_vocab",
 ]
 
 HEADLINE = [
