@@ -65,6 +65,8 @@ EXTENDED = [
     "mx02_token_budget_fill",
     "gr01_pagerank",
     "tk01_bpe_vocab",
+    "a13_hll_distinct",
+    "w09_ewma_value",
 ]
 
 HEADLINE = [

@@ -3006,6 +3006,65 @@ GROUP BY 1, 2
 """
 
 
+def w09_ewma_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user integer EWMA (alpha=1/2) of event values in event-time
+    order (``windows.ewma_by_key``): s_t = floor((s_{t-1}+v_t)/2) on
+    exact centi-units, so the ordered stateful fold is bit-reproducible.
+    The twin replays it with DuckDB's list_reduce over the identically
+    ordered value list — order rule, tie rule, and every halving step
+    hash-certified."""
+    from pyp_etl_pipeline_spark.operators import windows as win  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.tables import load_events  # noqa: PLC0415
+
+    return win.ewma_by_key(load_events(spark, sf))
+
+
+W09_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       list_reduce(
+         array_agg(CAST(floor(value * 100 + 0.5) AS BIGINT) ORDER BY ts, event_id),
+         (a, b) -> (a + b) // 2
+       ) AS ewma_centi
+FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+
+
+def a13_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable HyperLogLog (``operators/sketch.hll_distinct``):
+    distinct customers per order priority, estimated with 256 registers
+    over a 48-bit md5 hash stream — register math all-integer (rho via
+    binary-string length, harmonic denominator as an exact integer), so
+    the estimate is bit-reproducible and the twin replays it exactly.
+    The exact distinct rides along for the error column. The scale
+    story: per-group state is 256 integers regardless of input size —
+    no distinct shuffle."""
+    from pyp_etl_pipeline_spark.operators import sketch  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders").select("o_orderpriority", "o_custkey")
+    est = sketch.hll_distinct(o, "o_custkey", group_cols=("o_orderpriority",))
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority", "n_exact", "n_registers_hit", "harmonic_scaled", "est_distinct"
+    )
+
+
+def _a13_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.sketch import sql_hll_distinct  # noqa: PLC0415
+
+    hll = sql_hll_distinct("orders", "o_custkey", group_cols=("o_orderpriority",))
+    return f"""
+WITH hll AS ({hll}),
+exact AS (SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_exact FROM orders GROUP BY 1)
+SELECT o_orderpriority, n_exact, n_registers_hit, harmonic_scaled, est_distinct
+FROM hll JOIN exact USING (o_orderpriority)
+"""
+
+
+A13_SQL = _a13_sql()
+
+
 def tk01_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE tokenizer-vocabulary training (``operators/bpe``):
     10 merges learned from the documents corpus' word-frequency table
@@ -3206,6 +3265,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st08_stream_static_enrich": (st08_stream_static_enrich, ST08_SQL),
     "gr01_pagerank": (gr01_pagerank, GR01_SQL),
     "tk01_bpe_vocab": (tk01_bpe_vocab, TK01_SQL),
+    "a13_hll_distinct": (a13_hll_distinct, A13_SQL),
+    "w09_ewma_value": (w09_ewma_value, W09_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
@@ -3280,6 +3341,8 @@ _DRIVER_PRIORITY = [
     "mx02_token_budget_fill",
     "gr01_pagerank",
     "tk01_bpe_vocab",
+    "a13_hll_distinct",
+    "w09_ewma_value",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

@@ -1,0 +1,132 @@
+"""Engine-portable cardinality sketches.
+
+``approx_count_distinct`` exists in every engine, but each
+implementation's hash and register layout differs — useless when a
+result must be reproducible across engines or audited bit-for-bit.
+This module builds the sketches from first principles on a DETERMINISTIC
+hash stream (md5, the engine-portable primitive the MinHash family
+already uses), with all register math in exact integers:
+
+- ``hll_distinct``: HyperLogLog with 2^p registers. Register index =
+  top p bits of a 48-bit md5-derived hash; rho = leading-zero count of
+  the remaining 40 bits + 1, computed EXACTLY via the binary-string
+  length (``bin()`` renders without leading zeros in both Spark and
+  DuckDB — no float log2 anywhere). The harmonic denominator is kept
+  as an integer (each register contributes ``2^(41 - rho)``, empty
+  registers ``2^41``), so the only floating-point step is one final
+  exactly-rounded IEEE division — the estimate is bit-reproducible on
+  any engine. Raw HLL estimate by contract: no small-range bias
+  correction (that needs ``ln``, whose last ulp is libm-dependent);
+  for n >> m the raw estimate IS the HLL estimate.
+
+Physical shape: one map-side-combined (group, register) max — 2^p rows
+per group per map task regardless of input size — then a tiny per-group
+sum. The 100 TB cardinality shape: no distinct shuffle, state is 2^p
+integers per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h48(value: Column, salt: str) -> Column:
+    """Deterministic 48-bit hash: first 12 hex chars of md5(value||salt)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(value.cast("string"), F.lit(salt))), 1, 12), 16, 10
+    ).cast("long")
+
+
+def sql_h48(value: str, salt: str) -> str:
+    """DuckDB twin of ``_h48`` (oracle helper)."""
+    return f"(('0x' || substring(md5({value}::VARCHAR || '{salt}'), 1, 12))::BIGINT)"
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """Per-group HLL cardinality estimate. Output: group columns +
+    ``n_registers_hit`` (non-empty registers), ``harmonic_scaled``
+    (the exact integer denominator, for audit/mergeability) and
+    ``est_distinct`` (raw HLL estimate, rounded to 4)."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4,14], got {p}")
+    m = 1 << p
+    wbits = 48 - p
+    h = _h48(F.col(value_col), salt)
+    reg = F.expr(f"__h DIV {1 << wbits}")
+    w = F.pmod(F.col("__h"), F.lit(1 << wbits))
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    gb = [F.col(c) for c in group_cols]
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__h", h)
+        .select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*gb, F.col("__reg"))
+        .agg(F.max("__rho").alias("__r"))
+    )
+    # integer harmonic denominator: hit register -> 2^(wbits+1-r),
+    # each of the (m - hits) empty registers -> 2^(wbits+1)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    per_group = regs.groupBy(*gb).agg(
+        F.count("*").cast("long").alias("n_registers_hit"),
+        # shiftleft() takes a python int, not a Column — expr form
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits + 1} - __r)")).alias("__s_hit"),
+    )
+    s = (
+        F.col("__s_hit")
+        + (F.lit(m).cast("long") - F.col("n_registers_hit")) * F.lit(1 << (wbits + 1)).cast("long")
+    )
+    est = F.lit(alpha * m * m) * F.lit(float(1 << (wbits + 1))) / s.cast("double")
+    return per_group.select(
+        *group_cols,
+        "n_registers_hit",
+        s.alias("harmonic_scaled"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def sql_hll_distinct(
+    table_expr: str,
+    value: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    salt: str = "hll-v1",
+) -> str:
+    """DuckDB twin of ``hll_distinct`` over ``table_expr`` — identical
+    hash, register, rho, and integer-denominator math."""
+    m = 1 << p
+    wbits = 48 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    gsel = ", ".join(group_cols)
+    gpre = f"{gsel}, " if group_cols else ""
+    gby = f"GROUP BY {gsel}" if group_cols else ""
+    return f"""
+WITH hh AS (
+  SELECT {gpre}{sql_h48(value, salt)} AS h
+  FROM {table_expr} WHERE {value} IS NOT NULL
+),
+regs AS (
+  SELECT {gpre}h // {1 << wbits} AS reg,
+         max(CASE WHEN h % {1 << wbits} = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(h % {1 << wbits})) END) AS r
+  FROM hh GROUP BY {gpre}reg
+),
+agg AS (
+  SELECT {gpre}count(*)::BIGINT AS n_registers_hit,
+         sum((1::BIGINT << ({wbits + 1} - r)))::BIGINT
+           + ({m}::BIGINT - count(*)) * {1 << (wbits + 1)}::BIGINT AS harmonic_scaled
+  FROM regs {gby}
+)
+SELECT {gpre}n_registers_hit, harmonic_scaled,
+       round(({alpha * m * m!r}::DOUBLE * {float(1 << (wbits + 1))!r}::DOUBLE)
+             / harmonic_scaled::DOUBLE, 4) AS est_distinct
+FROM agg
+"""

@@ -180,3 +180,42 @@ def group_zscores(
             (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
         )
     )
+
+
+def ewma_by_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average with alpha = 1/2 in
+    EXACT integer centi-units: s_0 = v_0, s_t = floor((s_{t-1} + v_t)/2)
+    over the key's events in (ts, tiebreak) order. The ordered stateful
+    fold every monitoring pipeline needs (recency-weighted level per
+    user/device), made engine-portable by integer halving — no float
+    accumulation, identical on any engine and any partitioning (w09).
+
+    Shape: one shuffle on the key, the per-key history folded as an
+    in-row array (``sort_array`` + ``aggregate`` — the same bounded
+    per-key-history envelope as sessionization). Null values are
+    excluded; keys with no non-null values drop out.
+    """
+    centi = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)).cast("long")
+    rows = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(tiebreak_col).alias("tb"), centi.alias("v")
+        ).alias("e"),
+    )
+    agg = rows.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sort_array(F.collect_list("e")).alias("__es"),
+    )
+    vals = F.transform(F.col("__es"), lambda e: e["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.floor((acc + x) / 2).cast("long"),
+    )
+    return agg.select(F.col("key").alias(key_col), "n_events", ewma.alias("ewma_centi"))

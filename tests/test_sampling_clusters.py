@@ -320,3 +320,28 @@ def test_pagerank_integer_exact_star_graph(spark):
     # hub dominates after 2 iterations too
     pr2 = {r["node"]: r["pr"] for r in graph.pagerank(df, n_iter=2).collect()}
     assert pr2[0] > pr2[1]
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """256-register HLL over a known cardinality: estimate within the
+    ~3x standard-error envelope, bit-identical across reruns and input
+    partitionings, and register state bounded at 2^p."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i % 7, f"user-{i}") for i in range(n * 3)], "g int, v string"
+    ).filter("g < 1")  # one group, each v appears once..thrice
+    out = sketch.hll_distinct(df, "v", group_cols=("g",)).collect()
+    assert len(out) == 1
+    r = out[0]
+    distinct_true = len({i for i in range(n * 3) if i % 7 == 0})
+    rel_err = abs(r["est_distinct"] - distinct_true) / distinct_true
+    assert rel_err < 0.2, (r["est_distinct"], distinct_true)
+    assert r["n_registers_hit"] <= 256
+    again = sketch.hll_distinct(df.repartition(9), "v", group_cols=("g",)).collect()[0]
+    assert (again["harmonic_scaled"], again["est_distinct"]) == (
+        r["harmonic_scaled"], r["est_distinct"],
+    )

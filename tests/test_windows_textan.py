@@ -417,3 +417,29 @@ def test_bpe_fit_textbook_example(spark):
     seg = {r["word"]: r["t"] for r in bpe.bpe_segment(new, merges).collect()}
     assert seg["slowest"] == ["s", "low", "est"]
     assert seg["toes"] == ["t", "o", "es"]
+
+
+def test_ewma_by_key_exact_fold(spark):
+    import datetime as dtm
+
+    from pyp_etl_pipeline_spark.operators.windows import ewma_by_key
+
+    t0 = dtm.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, 1, 10.0),                                   # s=1000
+        (2, t0.replace(minute=5), 1, 20.0),                 # (1000+2000)//2=1500
+        (3, t0.replace(minute=10), 1, 1.0),                 # (1500+100)//2=800
+        (4, t0, 2, 7.0),                                    # single event
+        (5, t0, 3, None),                                   # null -> dropped key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {r["user_id"]: r for r in ewma_by_key(df).collect()}
+    assert out[1]["ewma_centi"] == 800 and out[1]["n_events"] == 3
+    assert out[2]["ewma_centi"] == 700
+    assert 3 not in out
+    # order comes from (ts, event_id), not arrival: shuffle input rows
+    again = {r["user_id"]: r["ewma_centi"]
+             for r in ewma_by_key(df.orderBy(F.desc("event_id")).repartition(4)).collect()}
+    assert again == {k: v["ewma_centi"] for k, v in out.items()}
