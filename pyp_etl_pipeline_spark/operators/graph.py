@@ -45,10 +45,15 @@ def pagerank(
     iterations."""
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # anchor the working relations: edges feed the degree table plus one
+    # join per iteration, and each iteration's ranks feed the next — a
+    # lazy chain would re-derive the edge list (scans + distincts) once
+    # per consumer and nest rank lineage n_iter deep. localCheckpoint
+    # materializes them across the cluster (distributed, not driver).
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     ncnt = nodes.agg(F.count("*").alias("__n"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     init = F.expr(f"CAST({MASS} AS BIGINT) DIV __n")
@@ -74,5 +79,6 @@ def pagerank(
                 ).alias("pr"),
                 F.expr(f"CAST({MASS} AS BIGINT) DIV __n").alias("__base_unit"),
             )
+            .localCheckpoint()
         )
     return pr.select("node", "pr")
