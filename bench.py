@@ -67,6 +67,8 @@ EXTENDED = [
     "tk01_bpe_vocab",
     "a13_hll_distinct",
     "w09_ewma_value",
+    "cms01_heavy_hitters",
+    "ex03_jsonl_roundtrip",
 ]
 
 HEADLINE = [

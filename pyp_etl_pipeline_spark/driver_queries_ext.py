@@ -1371,6 +1371,50 @@ FROM h GROUP BY 1
 EX02_SQL = EX01_SQL
 
 
+def ex03_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL sharded export round-trip (``export.write_jsonl_sharded``):
+    the corpus is written as gzipped shard=K JSONL directories — the
+    layout LLM trainers stream (whole shard per .gz file, readers
+    parallelize across shards) — read BACK from disk through the JSON
+    reader, and summarized per shard against the same analytic oracle
+    as ex01/ex02. Certifies that JSON serialization round-trips the
+    full corpus (ids, counts, text lengths) with nothing lost,
+    duplicated, or mis-escaped by the write/read cycle."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.operators import export  # noqa: PLC0415
+
+    path = os.path.join(tempfile.gettempdir(), "ex03_jsonl")
+    shutil.rmtree(path, ignore_errors=True)
+    export.write_jsonl_sharded(
+        load_table(spark, sf, "documents"), path, "doc_id", 16, compression="gzip"
+    )
+    back = spark.read.json(path)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(export.shard_key("doc_id") % F.lit(1_000_000_000)).alias("checksum"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+def _ex03_sql() -> str:
+    h = "(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT)"
+    return f"""
+SELECT ({h} % 16)::INT AS shard,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       sum({h} % 1000000000) AS checksum,
+       sum(length(text)) AS sum_text_len
+FROM documents GROUP BY 1
+"""
+
+
+EX03_SQL = _ex03_sql()
+
+
 def rj01_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval join via bin-bucketed equi-join
     (``operators/ranges.interval_join``): for every error event, count
@@ -3006,6 +3050,63 @@ GROUP BY 1, 2
 """
 
 
+def cms01_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch vs ground truth (``sketch.cms_token_counts``):
+    a 4x1024 CMS of the corpus token stream, point-queried for the
+    exact top-20 tokens. Everything is integer md5 arithmetic, so the
+    twin reproduces every counter and every min — and the output
+    carries both the exact and sketched counts, certifying the
+    CMS >= exact overestimate contract on real data. Scale story:
+    sketch state is depth x width counters however large the corpus."""
+    from pyp_etl_pipeline_spark.operators import sketch  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(dedup.normalized_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = sketch.cms_token_counts(toks)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+    est = sketch.cms_estimate(sk, exact.select("tok"))
+    return exact.join(est, "tok").select("tok", "n_exact", "n_cms")
+
+
+def _cms01_sql(depth: int = 4, width: int = 1024) -> str:
+    h = "(('0x' || substring(md5(tok || 'cms-v1:' || r), 1, 12))::BIGINT)"
+    rs = ", ".join(str(r) for r in range(depth))
+    return f"""
+WITH ex AS (
+  SELECT unnest(string_split({core.sql_normalized_text("text")}, ' ')) AS tok FROM documents
+),
+ex2 AS (SELECT tok FROM ex WHERE tok <> ''),
+top AS (
+  SELECT tok, count(*)::BIGINT AS n_exact FROM ex2 GROUP BY 1
+  ORDER BY n_exact DESC, tok ASC LIMIT 20
+),
+sk AS (
+  SELECT r, {h} % {width} AS bucket, count(*)::BIGINT AS n
+  FROM (SELECT tok, unnest([{rs}]) AS r FROM ex2) GROUP BY 1, 2
+),
+probes AS (
+  SELECT tok, r, {h} % {width} AS bucket
+  FROM (SELECT tok, unnest([{rs}]) AS r FROM top)
+)
+SELECT top.tok, top.n_exact, est.n_cms
+FROM top JOIN (
+  SELECT p.tok, min(sk.n) AS n_cms
+  FROM probes p JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+  GROUP BY 1
+) est ON est.tok = top.tok
+"""
+
+
+CMS01_SQL = _cms01_sql()
+
+
 def w09_ewma_value(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user integer EWMA (alpha=1/2) of event values in event-time
     order (``windows.ewma_by_key``): s_t = floor((s_{t-1}+v_t)/2) on
@@ -3261,12 +3362,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rj01_interval_join": (rj01_interval_join, RJ01_SQL),
     "ex01_shard_stats": (ex01_shard_stats, EX01_SQL),
     "ex02_export_roundtrip": (ex02_export_roundtrip, EX02_SQL),
+    "ex03_jsonl_roundtrip": (ex03_jsonl_roundtrip, EX03_SQL),
     "st05_stream_stream_join": (st05_stream_stream_join, ST05_SQL),
     "st08_stream_static_enrich": (st08_stream_static_enrich, ST08_SQL),
     "gr01_pagerank": (gr01_pagerank, GR01_SQL),
     "tk01_bpe_vocab": (tk01_bpe_vocab, TK01_SQL),
     "a13_hll_distinct": (a13_hll_distinct, A13_SQL),
     "w09_ewma_value": (w09_ewma_value, W09_SQL),
+    "cms01_heavy_hitters": (cms01_heavy_hitters, CMS01_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
@@ -3343,6 +3446,8 @@ _DRIVER_PRIORITY = [
     "tk01_bpe_vocab",
     "a13_hll_distinct",
     "w09_ewma_value",
+    "cms01_heavy_hitters",
+    "ex03_jsonl_roundtrip",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

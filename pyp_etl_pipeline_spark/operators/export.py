@@ -53,3 +53,31 @@ def write_sharded(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSONL variant of ``write_sharded`` — the interchange format LLM
+    trainers actually consume (one JSON document per line,
+    ``path/shard=K/*.json[.gz]``). Same deterministic shard contract:
+    membership is a pure function of the key, rows sort by key within a
+    shard. Pass ``compression='gzip'`` for .gz shards (each FILE is a
+    whole shard, so gzip's non-splittability doesn't matter — readers
+    parallelize across shards, the reason sharded-gz is the de-facto
+    corpus layout)."""
+    out = shard_assign(df, id_col, n_shards)
+    w = (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -130,3 +130,70 @@ SELECT {gpre}n_registers_hit, harmonic_scaled,
              / harmonic_scaled::DOUBLE, 4) AS est_distinct
 FROM agg
 """
+
+
+def cms_token_counts(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Count-min sketch of a token stream: ``depth`` independent
+    md5-derived hash rows x ``width`` counters. Returns the sketch as
+    (row, bucket, n) — depth*width bounded state built by one
+    map-side-combined count (each token contributes to ``depth``
+    buckets, so the shuffle carries at most depth*width rows per map
+    task). The streaming/heavy-hitter companion to an exact groupBy:
+    at 100 TB the exact token table may be too hot to materialize, the
+    sketch never grows."""
+    rows = tokens.select(
+        F.col(token_col).alias("tok"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(_h48(F.col(token_col), f"{salt}:{r}"), F.lit(width)).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    )
+    return rows.groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Point-query the sketch: estimate = min over rows of the counter at
+    each row's bucket — the CMS guarantee is estimate >= true count,
+    with overshoot bounded by the collision mass. Queries join the
+    (small, broadcastable) sketch on (row, bucket)."""
+    probes = queries.select(
+        F.col(token_col).alias("tok"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(_h48(F.col(token_col), f"{salt}:{r}"), F.lit(width)).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("n_cms"))
+    )

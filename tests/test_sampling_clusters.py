@@ -345,3 +345,25 @@ def test_hll_distinct_accuracy_and_determinism(spark):
     assert (again["harmonic_scaled"], again["est_distinct"]) == (
         r["harmonic_scaled"], r["est_distinct"],
     )
+
+
+def test_cms_overestimates_and_bounded_state(spark):
+    """Count-min invariants: sketch state is at most depth*width rows;
+    every point estimate >= the true count; for a stream much smaller
+    than a row's width, estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    rows = [(f"t{i % 30}",) for i in range(900)]
+    df = spark.createDataFrame(rows, "tok string")
+    sk = sketch.cms_token_counts(df, depth=3, width=64)
+    assert sk.count() <= 3 * 64
+    q = df.distinct()
+    est = {r["tok"]: r["n_cms"] for r in sketch.cms_estimate(sk, q, depth=3, width=64).collect()}
+    assert all(est[f"t{i}"] >= 30 for i in range(30))
+    # with width=2048 >> 30 tokens collisions vanish: exact recovery
+    sk2 = sketch.cms_token_counts(df, depth=3, width=2048)
+    est2 = {r["tok"]: r["n_cms"]
+            for r in sketch.cms_estimate(sk2, q, depth=3, width=2048).collect()}
+    assert all(v == 30 for v in est2.values())
