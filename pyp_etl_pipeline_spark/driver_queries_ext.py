@@ -3050,6 +3050,50 @@ GROUP BY 1, 2
 """
 
 
+def zo01_zorder_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key (``export.zvalue``): orders keyed
+    by interleaving customer key with the bucketed total price, then
+    summarized per 2^14-wide z-cell — count plus min/max of BOTH
+    dimensions. The point of the layout: a z-cell bounds both dims at
+    once, so file-level min/max statistics prune 2-D range predicates
+    (the Delta/Iceberg Z-ORDER move; here the key is pure integer bit
+    algebra, certified bit-for-bit by the twin)."""
+    from pyp_etl_pipeline_spark.operators import export  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice") / 1000).cast("long").alias("pb")
+    )
+    z = export.zvalue("o_custkey", "pb", bits=12)
+    return (
+        o.withColumn("z", z)
+        .groupBy(F.expr("z DIV 16384").alias("z_cell"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("pb").alias("min_price_bucket"),
+            F.max("pb").alias("max_price_bucket"),
+        )
+    )
+
+
+def _zo01_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.export import sql_zvalue  # noqa: PLC0415
+
+    zv = sql_zvalue("o_custkey", "pb", bits=12)
+    return f"""
+WITH o AS (SELECT o_custkey, CAST(floor(o_totalprice / 1000) AS BIGINT) AS pb FROM orders),
+z AS (SELECT o_custkey, pb, {zv} AS z FROM o)
+SELECT z // 16384 AS z_cell, count(*) AS n_orders,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       min(pb) AS min_price_bucket, max(pb) AS max_price_bucket
+FROM z GROUP BY 1
+"""
+
+
+ZO01_SQL = _zo01_sql()
+
+
 def cms01_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min sketch vs ground truth (``sketch.cms_token_counts``):
     a 4x1024 CMS of the corpus token stream, point-queried for the
@@ -3370,6 +3414,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a13_hll_distinct": (a13_hll_distinct, A13_SQL),
     "w09_ewma_value": (w09_ewma_value, W09_SQL),
     "cms01_heavy_hitters": (cms01_heavy_hitters, CMS01_SQL),
+    "zo01_zorder_cells": (zo01_zorder_cells, ZO01_SQL),
     "st06_streaming_upsert": (st06_streaming_upsert, ST06_SQL),
     "st07_streaming_sessions": (st07_streaming_sessions, ST07_SQL),
     "w08_funnel_analysis": (w08_funnel_analysis, W08_SQL),
@@ -3448,6 +3493,7 @@ _DRIVER_PRIORITY = [
     "w09_ewma_value",
     "cms01_heavy_hitters",
     "ex03_jsonl_roundtrip",
+    "zo01_zorder_cells",
     "pk01_sequence_packing",
     "w06_group_zscores",
     "st06_streaming_upsert",

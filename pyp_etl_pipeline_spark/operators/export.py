@@ -81,3 +81,35 @@ def write_jsonl_sharded(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def zvalue(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` bits of two
+    non-negative integer columns (x in even positions, y in odd).
+    Pure integer bit algebra — engine-portable, no UDF.
+
+    This is the multi-dimensional clustering key behind Delta/Iceberg
+    Z-ORDER: sorting or range-partitioning files by z-value co-locates
+    rows close in BOTH dimensions, so min/max file statistics prune
+    2-D range predicates that a single-column sort can only prune on
+    its leading column."""
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+
+    def bit(c: Column, i: int) -> Column:
+        # values are bounded by 2^bits << 2^52, so the floor-div is exact
+        return F.pmod(F.floor(c / F.lit(1 << i)).cast("long"), F.lit(2))
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(bit(xc, i), 2 * i) + F.shiftleft(bit(yc, i), 2 * i + 1)
+    return z
+
+
+def sql_zvalue(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of ``zvalue``."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} // {1 << i}) % 2) << {2 * i})")
+        terms.append(f"((({y} // {1 << i}) % 2) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -69,3 +69,31 @@ def test_shard_assign_stable_under_repartition(spark):
         for r in export.shard_assign(df.repartition(13), n_shards=16).collect()
     }
     assert a == b
+
+
+def test_zvalue_interleave_and_locality(spark):
+    """Morton key: exact interleave on known bits; z-range cells bound
+    both dimensions (the pruning property a single-column sort lacks)."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.operators import export
+
+    # x=0b101 (5), y=0b011 (3): z = x0 + y0<<1 + x1<<2 + y1<<3 + x2<<4 + y2<<5
+    #   = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    df = spark.createDataFrame([(5, 3)], "x long, y long")
+    assert df.select(export.zvalue("x", "y", bits=3).alias("z")).collect()[0]["z"] == 27
+
+    # locality: an 8-wide z-cell over a 4x4 grid spans at most a 2x4 or
+    # 4x2 tile — both dims bounded; a row-major sort bounds only one
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    cells = (
+        grid.withColumn("z", export.zvalue("x", "y", bits=4))
+        .groupBy(F.expr("z DIV 16").alias("cell"))
+        .agg(F.max("x").alias("mx"), F.min("x").alias("nx"),
+             F.max("y").alias("my"), F.min("y").alias("ny"))
+        .collect()
+    )
+    for r in cells:
+        assert r["mx"] - r["nx"] <= 3 and r["my"] - r["ny"] <= 3, r
