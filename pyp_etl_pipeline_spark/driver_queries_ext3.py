@@ -1320,7 +1320,56 @@ FROM norm n LEFT JOIN decided d USING (ord)
 P01_SQL = _p01_sql()
 
 
+
+# --------------------------------------------------------------------------
+# gf01: calendar-spine gap fill (densification + LOCF)
+# --------------------------------------------------------------------------
+
+from pyp_etl_pipeline_spark.functions.aggregates import (  # noqa: E402
+    _sql_micro as _sqm,
+    sql_finalize_sum as _sfs,
+)
+from pyp_etl_pipeline_spark.operators import windows as _windows  # noqa: E402
+
+
+def gf01_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly gap fill over events: complete per-type spine, zero-filled
+    counts, LOCF of the exact hourly sum (operators/windows.gap_fill)."""
+    return _windows.gap_fill(load_table(spark, sf, "events"))
+
+
+GF01_SQL = f"""
+WITH pre AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, {_sqm("value")} AS m
+  FROM events
+),
+agg AS (
+  SELECT event_type, bucket, count(*) AS n, sum(m) AS s
+  FROM pre GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval 1 hour)) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT sp.event_type, sp.bucket, a.n, a.s,
+         last_value(a.s IGNORE NULLS) OVER (
+           PARTITION BY sp.event_type ORDER BY sp.bucket
+           ROWS UNBOUNDED PRECEDING) AS ls
+  FROM spine sp LEFT JOIN agg a
+    ON sp.event_type = a.event_type AND sp.bucket = a.bucket
+)
+SELECT event_type, bucket,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       {_sfs("s")} AS sum_value,
+       n IS NULL AS filled,
+       {_sfs("ls")} AS locf_sum
+FROM j
+"""
+
 QUERIES3 = {
+    "gf01_gap_fill": (gf01_gap_fill, GF01_SQL),
     "t09_masking": (t09_masking, T09_SQL),
     "p01_header_mapping": (p01_header_mapping, P01_SQL),
     "sp01_hash_split": (sp01_hash_split, SP01_SQL),

@@ -219,3 +219,64 @@ def ewma_by_key(
         lambda acc, x: F.floor((acc + x) / 2).cast("long"),
     )
     return agg.select(F.col("key").alias(key_col), "n_events", ewma.alias("ewma_centi"))
+
+
+def gap_fill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Calendar-spine gap fill: per key, emit EVERY ``unit`` bucket from
+    the key's first to last observation, zero-filling counts for missing
+    buckets and carrying the last observed sum forward (LOCF). The
+    standard densification step before any time-series model or rolling
+    metric — downstream windows silently skip missing buckets otherwise.
+
+    Shape: one map-side-combinable aggregate to (key, bucket); a k-row
+    bounds aggregate per key; the spine is generated DISTRIBUTED via
+    ``sequence`` + explode on the bounds rows (never a driver-side
+    calendar); one left join back. At 100 TB the join is
+    shuffle-on-(key, bucket) against an agg output that is already tiny
+    relative to the raw events; spine length per key = span/unit rows,
+    so for multi-year spans at fine units repartition the exploded spine
+    by key range before the join. Sums use exact integer micro-units
+    (order-independent; functions/aggregates.py). LOCF is a running
+    ``last(ignorenulls)`` over the per-key bucket order — deterministic
+    because buckets are unique per key.
+    """
+    pre = events.select(
+        F.col(key_col),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        aggregates.micro_col(value_col).alias("__m"),
+    )
+    agg = pre.groupBy(key_col, "bucket").agg(
+        F.count("*").alias("__n"),
+        F.sum("__m").alias("__s"),
+    )
+    bounds = agg.groupBy(key_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval 1 {unit}"))
+        ).alias("bucket"),
+    )
+    joined = spine.join(agg, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        aggregates.finalize_sum(F.col("__s")).alias("sum_value"),
+        F.col("__n").isNull().alias("filled"),
+        aggregates.finalize_sum(
+            F.last("__s", ignorenulls=True).over(w)
+        ).alias("locf_sum"),
+    )

@@ -443,3 +443,45 @@ def test_ewma_by_key_exact_fold(spark):
     again = {r["user_id"]: r["ewma_centi"]
              for r in ewma_by_key(df.orderBy(F.desc("event_id")).repartition(4)).collect()}
     assert again == {k: v["ewma_centi"] for k, v in out.items()}
+
+
+def test_gap_fill_spine_zero_fill_and_locf(spark):
+    import datetime as dt
+
+    rows = [
+        # key "a": hours 00, 01, 04 observed -> 02, 03 filled
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 40), 2.5),
+        ("a", dt.datetime(2024, 1, 1, 1, 5), 7.0),
+        ("a", dt.datetime(2024, 1, 1, 4, 59), 1.0),
+        # key "b": single bucket
+        ("b", dt.datetime(2024, 1, 2, 12, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = windows.gap_fill(df)
+    got = {
+        (r["event_type"], r["bucket"].hour if r["bucket"].day == 1 else "b12"): r
+        for r in out.collect()
+    }
+    assert len(got) == 6  # a: hours 0..4 (5 buckets), b: 1 bucket
+    assert got[("a", 0)]["n_events"] == 2 and got[("a", 0)]["sum_value"] == 12.5
+    assert got[("a", 2)]["n_events"] == 0 and got[("a", 2)]["filled"] is True
+    assert got[("a", 2)]["sum_value"] is None
+    # LOCF carries hour-1's sum through the filled hours 2 and 3
+    assert got[("a", 2)]["locf_sum"] == 7.0 and got[("a", 3)]["locf_sum"] == 7.0
+    assert got[("a", 4)]["locf_sum"] == 1.0
+    assert got[("b", "b12")]["n_events"] == 1 and got[("b", "b12")]["filled"] is False
+
+
+def test_gap_fill_partition_invariance(spark):
+    import datetime as dt
+
+    rows = [
+        ("t%d" % (i % 3), dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=37 * i), float(i % 7) - 2.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    base = sorted(map(tuple, windows.gap_fill(df).collect()))
+    for n in (1, 7):
+        again = sorted(map(tuple, windows.gap_fill(df.repartition(n)).collect()))
+        assert again == base
