@@ -1368,7 +1368,49 @@ SELECT event_type, bucket,
 FROM j
 """
 
+
+# --------------------------------------------------------------------------
+# ii01: skew-aware inverted index over documents
+# --------------------------------------------------------------------------
+
+from pyp_etl_pipeline_spark.driver_queries import sql_normalized_text as _snt  # noqa: E402
+from pyp_etl_pipeline_spark.operators import textan as _textan  # noqa: E402
+
+
+def ii01_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Posting lists per token with df bounds pruned BEFORE list
+    construction (operators/textan.inverted_index) — the search-index /
+    collocation-mining primitive, shaped so stopword keys never reach
+    the list-building shuffle."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    # the synthetic corpus has a tiny, highly shared vocabulary — a 0.9
+    # ratio keeps real posting lists while still exercising the prune
+    return _textan.inverted_index(_load_corpus(spark, sf, "documents"), max_df_ratio=0.9)
+
+
+II01_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_snt("text")}, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT token, doc_id, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+keep AS (
+  SELECT token, df, total_tf FROM dfreq, n
+  WHERE df >= 2 AND df <= 0.9 * n_docs
+)
+SELECT k.token, CAST(k.df AS BIGINT) AS df, CAST(k.total_tf AS BIGINT) AS total_tf,
+       string_agg(tf.doc_id || ':' || tf.tf, ' ' ORDER BY tf.doc_id) AS postings
+FROM keep k JOIN tf ON k.token = tf.token
+GROUP BY 1, 2, 3
+"""
+
 QUERIES3 = {
+    "ii01_inverted_index": (ii01_inverted_index, II01_SQL),
     "gf01_gap_fill": (gf01_gap_fill, GF01_SQL),
     "t09_masking": (t09_masking, T09_SQL),
     "p01_header_mapping": (p01_header_mapping, P01_SQL),

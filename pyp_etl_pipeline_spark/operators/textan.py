@@ -469,3 +469,54 @@ def pmi_bigrams(
         .limit(k)
         .select("bigram", "n_ab", "n_a", "n_b", "pmi_micro")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Skew-aware inverted index: one row per surviving token with its
+    document frequency, total term frequency, and the posting list
+    encoded as a ``"doc:tf doc:tf ..."`` string sorted by doc id.
+
+    Skew is handled BEFORE any posting list exists: term frequencies are
+    first combined map-side per (token, doc), then a lightweight
+    (token -> df) aggregate joined with the broadcast corpus size prunes
+    stopword-grade tokens (df > max_df_ratio * n_docs) and hapax noise
+    (df < min_df) *before* the per-token ``collect_list`` — so the
+    heaviest keys, exactly the ones that would blow a reducer at 100 TB,
+    never reach the list-building shuffle, and every surviving posting
+    list is bounded by max_df_ratio * n_docs by construction. For
+    web-scale corpora, cap further with a per-token top-k by tf
+    (WindowGroupLimit) before the collect.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(toks).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = t.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    keep = (
+        dfreq.join(F.broadcast(n))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df_ratio * F.col("n_docs")))
+        .select("token", "df", "total_tf")
+    )
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(":", s["doc_id"], s["tf"]),
+        ),
+        " ",
+    )
+    return (
+        tf.join(keep, "token")
+        .groupBy("token", "df", "total_tf")
+        .agg(postings.alias("postings"))
+    )

@@ -485,3 +485,22 @@ def test_gap_fill_partition_invariance(spark):
     for n in (1, 7):
         again = sorted(map(tuple, windows.gap_fill(df.repartition(n)).collect()))
         assert again == base
+
+
+def test_inverted_index_prunes_before_postings(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "banana dates"),
+            (4, "banana edge apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in textan.inverted_index(docs, max_df_ratio=0.8).collect()}
+    # banana: df=4 > 0.8*4 -> pruned (stopword-grade); cherry/dates/edge: df=1 < 2 -> pruned
+    assert set(out) == {"apple"}
+    r = out["apple"]
+    assert r["df"] == 2 and r["total_tf"] == 3
+    # doc 2 has no apple; postings sorted by doc_id, tf per doc
+    assert r["postings"] == "1:2 4:1"
