@@ -1409,7 +1409,49 @@ FROM keep k JOIN tf ON k.token = tf.token
 GROUP BY 1, 2, 3
 """
 
+
+# --------------------------------------------------------------------------
+# qt01: mergeable histogram quantile sketch over events.value
+# --------------------------------------------------------------------------
+
+from pyp_etl_pipeline_spark.operators import sketch as _sketch  # noqa: E402
+
+
+def qt01_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """p50/p95/p99 per event_type from a 32-bin mergeable integer
+    histogram (operators/sketch.histogram_quantiles) — the
+    sort-free percentile shape for 100 TB rollups."""
+    return _sketch.histogram_quantiles(load_table(spark, sf, "events"))
+
+
+QT01_SQL = f"""
+WITH v AS (
+  SELECT event_type AS g, {_sqm("value")} AS m FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT g, min(m) AS lo, max(m) AS hi, count(*) AS n FROM v GROUP BY 1),
+binned AS (
+  SELECT v.g, b.lo, b.hi, b.n,
+         CAST(((m - lo) * 32) // (hi - lo + 1) AS INT) AS bin
+  FROM v JOIN b USING (g)
+),
+cnt AS (SELECT g, lo, hi, n, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4, 5),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cnt
+),
+qs AS (SELECT * FROM (VALUES (50, 'p50'), (95, 'p95'), (99, 'p99')) t(p, q)),
+hit AS (
+  SELECT g, lo, hi, n, q, min(bin) AS qbin
+  FROM cum, qs WHERE cum >= (n * p + 99) // 100
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n, q,
+       CAST(lo + ((2 * qbin + 1) * (hi - lo + 1)) // 64 AS BIGINT) AS est_micro
+FROM hit
+"""
+
 QUERIES3 = {
+    "qt01_histogram_quantiles": (qt01_histogram_quantiles, QT01_SQL),
     "ii01_inverted_index": (ii01_inverted_index, II01_SQL),
     "gf01_gap_fill": (gf01_gap_fill, GF01_SQL),
     "t09_masking": (t09_masking, T09_SQL),

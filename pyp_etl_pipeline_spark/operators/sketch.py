@@ -197,3 +197,63 @@ def cms_estimate(
         .groupBy("tok")
         .agg(F.min("n").alias("n_cms"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 32,
+    quantiles: tuple[tuple[int, str], ...] = ((50, "p50"), (95, "p95"), (99, "p99")),
+) -> DataFrame:
+    """Mergeable equi-width histogram quantile estimates per group, in
+    exact integer micro-units (long rows: group, n, q, est_micro).
+
+    The scale story: exact percentiles need a per-group SORT of every
+    value; this sketch needs two map-side-combinable aggregates whose
+    state is ``n_bins`` integers per group — (1) per-group min/max/count
+    bounds, (2) per-(group, bin) counts with
+    ``bin = (m - lo) * n_bins DIV (hi - lo + 1)`` (always in
+    [0, n_bins)). Bin-count vectors from different shards/days MERGE by
+    integer addition under shared bounds — the property that lets a
+    100 TB rollup keep running percentiles without ever re-sorting
+    history. The estimate is the midpoint of the first bin whose running
+    count reaches ``ceil(q * n)``; error is bounded by one bin width.
+    All arithmetic is integer, so the result is bit-identical on any
+    engine and any partitioning. Bounds are broadcast back (one row per
+    group).
+    """
+    from pyp_etl_pipeline_spark.functions import aggregates  # noqa: PLC0415
+
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), aggregates.micro_col(value_col).alias("m")
+    )
+    b = v.groupBy("g").agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi"), F.count("*").alias("n")
+    )
+    binned = v.join(F.broadcast(b), "g").withColumn(
+        "bin", F.expr(f"CAST(((m - lo) * {n_bins}) DIV (hi - lo + 1) AS INT)")
+    )
+    cnt = binned.groupBy("g", "lo", "hi", "n", "bin").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("g").orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.withColumn("cum", F.sum("c").over(w))
+    qdf = cum.select(
+        "g", "lo", "hi", "n", "bin", "cum",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(p).alias("p"), F.lit(lbl).alias("q"))
+                for p, lbl in quantiles
+            ])
+        ).alias("qq"),
+    ).select("g", "lo", "hi", "n", "bin", "cum", F.col("qq.p").alias("p"), F.col("qq.q").alias("q"))
+    hit = qdf.filter(F.col("cum") >= F.expr("(n * p + 99) DIV 100"))
+    res = hit.groupBy("g", "lo", "hi", "n", "q").agg(F.min("bin").alias("qbin"))
+    est = F.expr(f"lo + ((2 * qbin + 1) * (hi - lo + 1)) DIV ({2 * n_bins})")
+    return res.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        "q",
+        est.cast("long").alias("est_micro"),
+    )

@@ -504,3 +504,22 @@ def test_inverted_index_prunes_before_postings(spark):
     assert r["df"] == 2 and r["total_tf"] == 3
     # doc 2 has no apple; postings sorted by doc_id, tf per doc
     assert r["postings"] == "1:2 4:1"
+
+
+def test_histogram_quantiles_accuracy_and_merge_shape(spark):
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    # uniform 0..999 -> p50 ~ 500, p95 ~ 950 within one bin width (1000/32 ~ 31.25)
+    rows = [("u", float(i)) for i in range(1000)] + [("c", 42.0)] * 5
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {(r["event_type"], r["q"]): r for r in sketch.histogram_quantiles(df).collect()}
+    width = 1000.0 / 32
+    assert abs(out[("u", "p50")]["est_micro"] / 1e6 - 499.5) <= width
+    assert abs(out[("u", "p95")]["est_micro"] / 1e6 - 949.5) <= width
+    assert out[("u", "p50")]["n"] == 1000
+    # constant group: every quantile collapses to the single value
+    for q in ("p50", "p95", "p99"):
+        assert out[("c", q)]["est_micro"] == 42_000_000
+    # partition invariance (integer arithmetic end to end)
+    base = sorted(map(tuple, sketch.histogram_quantiles(df).collect()))
+    assert sorted(map(tuple, sketch.histogram_quantiles(df.repartition(7)).collect())) == base
