@@ -1450,7 +1450,30 @@ SELECT g AS event_type, CAST(n AS BIGINT) AS n, q,
 FROM hit
 """
 
+
+# --------------------------------------------------------------------------
+# ev01: blocking-scheme evaluation — SimHash candidates vs exact Jaccard truth
+# --------------------------------------------------------------------------
+
+def ev01_linkage_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall/F1 of the SimHash near-dup blocker (hamming <= 6)
+    against exact shingle-Jaccard >= 0.5 truth pairs
+    (operators/quality.linkage_eval) — the recall audit every LSH/blocking
+    scheme needs before it gates a 100 TB dedup."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import quality as _quality  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    pred = _dedup.simhash_pairs(d, max_hamming=6)
+    truth = _dedup.shingle_pairs_jaccard(d, threshold=0.5)
+    return _quality.linkage_eval(pred, truth)
+
+
+EV01_SQL: str | None = None  # composed in _finalize (needs SH01/DD02 twins)
+
 QUERIES3 = {
+    "ev01_linkage_eval": (ev01_linkage_eval, None),  # oracle composed below
     "qt01_histogram_quantiles": (qt01_histogram_quantiles, QT01_SQL),
     "ii01_inverted_index": (ii01_inverted_index, II01_SQL),
     "gf01_gap_fill": (gf01_gap_fill, GF01_SQL),
@@ -1496,6 +1519,39 @@ def _finalize() -> None:
         a03_push_summary,
         f"SELECT action, count(*) AS n_members FROM ({J09_SQL}) GROUP BY 1",
     )
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import DD02_SQL, SH01_SQL  # noqa: PLC0415
+
+    ev01_sql = f"""
+WITH pred AS (SELECT DISTINCT id_a, id_b FROM ({SH01_SQL})),
+truth AS (SELECT DISTINCT id_a, id_b FROM ({DD02_SQL})),
+j AS (
+  SELECT coalesce(p.id_a, t.id_a) AS id_a,
+         CASE WHEN p.id_a IS NOT NULL THEN 1 END AS in_pred,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 END AS in_truth
+  FROM pred p FULL JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b
+),
+agg AS (
+  SELECT CAST(coalesce(sum(in_pred), 0) AS BIGINT) AS n_pred,
+         CAST(coalesce(sum(in_truth), 0) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN in_pred IS NOT NULL AND in_truth IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM j
+),
+m AS (
+  SELECT *,
+         CAST(n_pred - tp AS BIGINT) AS fp, CAST(n_truth - tp AS BIGINT) AS fn,
+         CASE WHEN n_pred > 0 THEN CAST((tp * 1000000) // n_pred AS BIGINT) END AS precision_micro,
+         CASE WHEN n_truth > 0 THEN CAST((tp * 1000000) // n_truth AS BIGINT) END AS recall_micro
+  FROM agg
+)
+SELECT n_pred, n_truth, tp, fp, fn, precision_micro, recall_micro,
+       CASE WHEN precision_micro IS NOT NULL AND recall_micro IS NOT NULL
+                 AND precision_micro + recall_micro > 0
+            THEN CAST((2 * precision_micro * recall_micro) // (precision_micro + recall_micro) AS BIGINT)
+       END AS f1_micro
+FROM m
+"""
+    QUERIES3["ev01_linkage_eval"] = (ev01_linkage_eval, ev01_sql)
 
 
 _finalize()

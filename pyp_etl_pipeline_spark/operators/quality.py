@@ -147,3 +147,49 @@ def diff_snapshots(
             *[F.col(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def linkage_eval(
+    pred: DataFrame,
+    truth: DataFrame,
+    keys: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Confusion metrics for a candidate-pair generator against a truth
+    pair set: one row with n_pred / n_truth / tp / fp / fn and
+    precision / recall / F1 in exact integer micro-units (integer
+    division — bit-identical on any engine; no float ratio drift).
+
+    The eval every blocking/LSH scheme needs before it ships: recall
+    tells you what the blocker misses, precision what the verifier must
+    absorb. Shape: two distinct-aggregates + one full outer join on the
+    pair key, then a single global rollup — all map-side combinable;
+    never materializes a cross product. Zero denominators yield NULL
+    metrics rather than a divide error.
+    """
+    ks = list(keys)
+    p = pred.select(*ks).distinct().withColumn("in_pred", F.lit(1))
+    t = truth.select(*ks).distinct().withColumn("in_truth", F.lit(1))
+    j = p.join(t, ks, "full")
+    agg = j.agg(
+        F.coalesce(F.sum("in_pred"), F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_truth"),
+        F.sum(
+            F.when(F.col("in_pred").isNotNull() & F.col("in_truth").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("tp"),
+    )
+    pm = F.expr("IF(n_pred > 0, (tp * 1000000) DIV n_pred, NULL)")
+    rm = F.expr("IF(n_truth > 0, (tp * 1000000) DIV n_truth, NULL)")
+    return (
+        agg.withColumn("fp", (F.col("n_pred") - F.col("tp")).cast("long"))
+        .withColumn("fn", (F.col("n_truth") - F.col("tp")).cast("long"))
+        .withColumn("precision_micro", pm.cast("long"))
+        .withColumn("recall_micro", rm.cast("long"))
+        .withColumn(
+            "f1_micro",
+            F.expr(
+                "IF(precision_micro IS NOT NULL AND recall_micro IS NOT NULL "
+                "AND precision_micro + recall_micro > 0, "
+                "(2 * precision_micro * recall_micro) DIV (precision_micro + recall_micro), NULL)"
+            ).cast("long"),
+        )
+    )

@@ -75,3 +75,25 @@ def test_expectation_report_nulls_not_duplicates_and_empty_table(spark):
     for r in rep0:
         assert r["ok"] is True, r
         assert r["metric"] is not None
+
+
+def test_linkage_eval_metrics(spark):
+    from pyp_etl_pipeline_spark.operators.quality import linkage_eval
+
+    pred = spark.createDataFrame([(1, 2), (1, 3), (4, 5), (4, 5)], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2), (4, 5), (6, 7)], "id_a long, id_b long")
+    r = linkage_eval(pred, truth).collect()[0]
+    # pred distinct = {12,13,45}, truth = {12,45,67}: tp=2 fp=1 fn=1
+    assert (r["n_pred"], r["n_truth"], r["tp"], r["fp"], r["fn"]) == (3, 3, 2, 1, 1)
+    assert r["precision_micro"] == 666666 and r["recall_micro"] == 666666
+    assert r["f1_micro"] == 666666
+
+
+def test_linkage_eval_empty_pred(spark):
+    from pyp_etl_pipeline_spark.operators.quality import linkage_eval
+
+    pred = spark.createDataFrame([], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = linkage_eval(pred, truth).collect()[0]
+    assert r["n_pred"] == 0 and r["tp"] == 0 and r["fp"] == 0 and r["fn"] == 1
+    assert r["precision_micro"] is None and r["f1_micro"] is None
