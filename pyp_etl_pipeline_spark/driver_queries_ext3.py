@@ -1472,7 +1472,71 @@ def ev01_linkage_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 EV01_SQL: str | None = None  # composed in _finalize (needs SH01/DD02 twins)
 
+
+# --------------------------------------------------------------------------
+# tk02: WordPiece-style tokenizer APPLY — greedy maximal munch vs vocab
+# --------------------------------------------------------------------------
+
+def tk02_wordpiece_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy leftmost-longest segmentation of the corpus vocabulary
+    against a corpus-derived WordPiece vocab (single chars + top-10-word
+    prefixes) — operators/bpe.wordpiece_segment. Completes the tokenizer
+    lifecycle: train (tk01) -> apply (tk02) -> pack (pk01)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import bpe as _bpe  # noqa: PLC0415
+
+    w = _bpe.word_counts(_load_corpus(spark, sf, "documents"))
+    return _bpe.wordpiece_segment(w, _bpe.wordpiece_vocab(w))
+
+
+TK02_SQL = f"""
+WITH RECURSIVE
+w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(string_split({_snt("text")}, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY 1
+),
+chars AS (
+  SELECT DISTINCT substring(word, CAST(i AS INT), 1) AS tok
+  FROM (SELECT word, unnest(generate_series(1, length(word))) AS i FROM w)
+),
+top AS (SELECT word FROM w ORDER BY cnt DESC, word ASC LIMIT 10),
+prefixes AS (
+  SELECT DISTINCT substring(word, 1, CAST(i AS INT)) AS tok
+  FROM (SELECT word, unnest(generate_series(2, least(6, length(word)))) AS i FROM top)
+),
+vocab AS (SELECT tok FROM chars UNION SELECT tok FROM prefixes),
+starts AS (
+  SELECT word, unnest(generate_series(1, length(word))) AS start FROM w
+),
+cand AS (
+  SELECT s.word, s.start, unnest(generate_series(1, least(6, length(s.word) - s.start + 1))) AS len
+  FROM starts s
+),
+hits AS (
+  SELECT c.word, c.start, c.len
+  FROM cand c JOIN vocab v
+    ON v.tok = substring(c.word, CAST(c.start AS INT), CAST(c.len AS INT))
+),
+best AS (SELECT word, start, max(len) AS len FROM hits GROUP BY 1, 2),
+walk AS (
+  SELECT word, CAST(1 AS BIGINT) AS pos, '' AS pieces, CAST(0 AS BIGINT) AS n
+  FROM w
+  UNION ALL
+  SELECT walk.word, walk.pos + b.len,
+         walk.pieces || ' ' || substring(walk.word, CAST(walk.pos AS INT), CAST(b.len AS INT)),
+         walk.n + 1
+  FROM walk JOIN best b ON b.word = walk.word AND b.start = walk.pos
+  WHERE walk.pos <= length(walk.word)
+)
+SELECT w.word, w.cnt, walk.n AS n_pieces, trim(walk.pieces) AS pieces
+FROM walk JOIN w USING (word)
+WHERE walk.pos = length(w.word) + 1
+"""
+
 QUERIES3 = {
+    "tk02_wordpiece_segment": (tk02_wordpiece_segment, TK02_SQL),
     "ev01_linkage_eval": (ev01_linkage_eval, None),  # oracle composed below
     "qt01_histogram_quantiles": (qt01_histogram_quantiles, QT01_SQL),
     "ii01_inverted_index": (ii01_inverted_index, II01_SQL),

@@ -117,3 +117,100 @@ def bpe_segment(words: DataFrame, merges: list[tuple[str, str]], word_col: str =
     for a, b in merges:
         out = out.withColumn("t", _merge_fold(a, b))
     return out
+
+
+def wordpiece_vocab(
+    words: DataFrame, top_k: int = 10, max_len: int = 6
+) -> DataFrame:
+    """Derive a deterministic WordPiece-style vocabulary from a
+    (word, cnt) table: every single character seen in the corpus (the
+    guaranteed-progress fallback every WordPiece vocab needs) plus all
+    prefixes (length 2..max_len) of the top_k most frequent words
+    (count desc, word asc — a total order). One column ``tok``.
+
+    Dimension-sized throughout: the word table is already the distinct
+    vocabulary, the top-k is a TakeOrdered, and prefixes explode at most
+    max_len rows per top word."""
+    chars = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            )
+        ).alias("tok")
+    )
+    top = words.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(top_k)
+    prefixes = top.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.least(F.lit(max_len), F.length("word"))),
+                lambda i: F.col("word").substr(F.lit(1), i),
+            )
+        ).alias("tok")
+    )
+    return chars.union(prefixes).distinct()
+
+
+def wordpiece_segment(
+    words: DataFrame, vocab: DataFrame, max_len: int = 6
+) -> DataFrame:
+    """Greedy maximal-munch (leftmost-longest) segmentation of each
+    distinct word against a broadcast vocabulary — the WordPiece/
+    tokenizer APPLY step, as pure column algebra (no Python in the
+    loop, no iteration over the corpus).
+
+    Shape: candidates = every (start, len<=max_len) substring of each
+    word that exists in the vocab (broadcast hash join); the longest
+    candidate per (word, start) survives a map-side-combinable max; the
+    greedy scan is then a per-word ``aggregate`` fold over the
+    start-sorted candidate array — if a candidate begins exactly where
+    the cursor stands it is taken (it is the longest there) and the
+    cursor jumps its length, otherwise it is skipped. Single-character
+    coverage in the vocab guarantees progress, so the fold always
+    consumes the whole word. Everything is dimension-sized (distinct
+    words, not corpus rows) — the same trick that makes distributed BPE
+    training tractable; 100 TB of text changes only the word-count
+    aggregate that feeds this."""
+    starts = words.select(
+        "word",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("start"),
+    )
+    cands = starts.select(
+        "word",
+        "cnt",
+        "start",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.lit(max_len), F.length("word") - F.col("start") + 1)
+            )
+        ).alias("len"),
+    ).withColumn("tok", F.col("word").substr(F.col("start"), F.col("len")))
+    hits = cands.join(F.broadcast(vocab), "tok")
+    best = hits.groupBy("word", "cnt", "start").agg(F.max("len").alias("len"))
+    arr = best.groupBy("word", "cnt").agg(
+        F.sort_array(F.collect_list(F.struct("start", "len"))).alias("__cs")
+    )
+    acc0 = F.struct(
+        F.lit(1).cast("int").alias("pos"), F.array().cast("array<string>").alias("pieces")
+    )
+    fold = F.aggregate(
+        F.col("__cs"),
+        acc0,
+        lambda acc, x: F.when(
+            x["start"] == acc["pos"],
+            F.struct(
+                (acc["pos"] + x["len"]).cast("int").alias("pos"),
+                F.concat(
+                    acc["pieces"],
+                    F.array(F.col("word").substr(x["start"], x["len"])),
+                ).alias("pieces"),
+            ),
+        ).otherwise(acc),
+    )
+    return arr.select(
+        "word",
+        "cnt",
+        F.size(fold["pieces"]).cast("long").alias("n_pieces"),
+        F.array_join(fold["pieces"], " ").alias("pieces"),
+    )

@@ -523,3 +523,29 @@ def test_histogram_quantiles_accuracy_and_merge_shape(spark):
     # partition invariance (integer arithmetic end to end)
     base = sorted(map(tuple, sketch.histogram_quantiles(df).collect()))
     assert sorted(map(tuple, sketch.histogram_quantiles(df.repartition(7)).collect())) == base
+
+
+def test_wordpiece_segment_maximal_munch(spark):
+    from pyp_etl_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "internet interne inter net work working"), (2, "inter network internet")],
+        "doc_id long, text string",
+    )
+    w = bpe.word_counts(docs)
+    vocab = bpe.wordpiece_vocab(w, top_k=3, max_len=6)
+    out = {r["word"]: r for r in bpe.wordpiece_segment(w, vocab).collect()}
+    # 'internet'/'inter' are top words -> prefixes up to len 6 in vocab;
+    # greedy takes the LONGEST prefix at each cursor ('intern', not 'inter')
+    assert out["internet"]["pieces"] == "intern e t"
+    assert out["interne"]["pieces"] == "intern e"
+    assert out["inter"]["pieces"] == "inter" and out["inter"]["n_pieces"] == 1
+    # words with no multi-char vocab hits fall back to chars — full coverage
+    assert out["network"]["pieces"] == "n e t w o r k"
+    # every word reconstructs from its pieces
+    for word, r in out.items():
+        assert "".join(r["pieces"].split(" ")) == word
+    # partition invariance
+    a = sorted(map(tuple, bpe.wordpiece_segment(w, vocab).collect()))
+    b = sorted(map(tuple, bpe.wordpiece_segment(w.repartition(5), vocab).collect()))
+    assert a == b
