@@ -1535,7 +1535,49 @@ FROM walk JOIN w USING (word)
 WHERE walk.pos = length(w.word) + 1
 """
 
+
+# --------------------------------------------------------------------------
+# ia01: incremental aggregate-state merge == single-pass aggregate
+# --------------------------------------------------------------------------
+
+from pyp_etl_pipeline_spark.functions.aggregates import sql_finalize_avg as _sfa  # noqa: E402
+from pyp_etl_pipeline_spark.operators import incremental as _incr  # noqa: E402
+from pyp_etl_pipeline_spark.operators.sketch import sql_hll_distinct as _shll  # noqa: E402
+
+
+def ia01_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """History-state + delta-state MERGED (operators/incremental) must
+    equal the single-pass aggregate over all events — the oracle
+    computes the latter, so a hash match certifies the algebraic-merge
+    property that lets a 100 TB rollup ingest a day without recomputing
+    history. Batch split: event_id % 3 == 0 plays the new ingest."""
+    e = load_table(spark, sf, "events")
+    hist = e.filter(F.col("event_id") % 3 != 0)
+    delta = e.filter(F.col("event_id") % 3 == 0)
+    merged = _incr.merge_states(_incr.agg_state(hist), _incr.agg_state(delta))
+    return _incr.finalize_state(merged)
+
+
+IA01_SQL = f"""
+WITH v AS (SELECT event_type, user_id, {_sqm("value")} AS m FROM events),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(m) AS BIGINT) AS n_vals,
+         sum(m) AS sum_micro, min(m) AS min_m, max(m) AS max_m
+  FROM v GROUP BY 1
+),
+h AS ({_shll("events", "user_id", ("event_type",))})
+SELECT s.event_type, s.n_rows, s.n_vals,
+       {_sfs("s.sum_micro")} AS sum_value,
+       {_sfa("s.sum_micro", "s.n_vals")} AS avg_value,
+       CAST(s.min_m / 1000000.0 AS DOUBLE) AS min_value,
+       CAST(s.max_m / 1000000.0 AS DOUBLE) AS max_value,
+       h.est_distinct
+FROM s LEFT JOIN h ON s.event_type = h.event_type
+"""
+
 QUERIES3 = {
+    "ia01_incremental_rollup": (ia01_incremental_rollup, IA01_SQL),
     "tk02_wordpiece_segment": (tk02_wordpiece_segment, TK02_SQL),
     "ev01_linkage_eval": (ev01_linkage_eval, None),  # oracle composed below
     "qt01_histogram_quantiles": (qt01_histogram_quantiles, QT01_SQL),

@@ -166,6 +166,16 @@ def sql_finalize_sum(s: str, scale: int = 2) -> str:
     return f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} / {float(10 ** scale)} AS DOUBLE)"
 
 
+def sql_finalize_avg(s: str, cnt: str, scale: int = 4) -> str:
+    """SQL twin of ``finalize_avg`` for an already-aggregated micro sum
+    plus non-null count (incremental state finalization)."""
+    down = 10 ** (6 - scale)
+    d = f"(({cnt}) * {down})"
+    b = f"(abs({s}) + ({cnt}) * {down // 2})"
+    q = _sql_int_div(b, d)
+    return f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} / {float(10 ** scale)} AS DOUBLE)"
+
+
 def sql_exact_avg(e: str, scale: int = 4) -> str:
     """SQL twin of ``exact_avg`` — dialect-neutral."""
     down = 10 ** (6 - scale)

@@ -54,9 +54,21 @@ def hll_distinct(
     ``n_registers_hit`` (non-empty registers), ``harmonic_scaled``
     (the exact integer denominator, for audit/mergeability) and
     ``est_distinct`` (raw HLL estimate, rounded to 4)."""
+    return hll_finalize(hll_registers(df, value_col, group_cols, p, salt), group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """The MERGEABLE half of the HLL: per-(group, register) max rho.
+    Register tables from disjoint batches merge by groupBy-max — the
+    state an incremental 100 TB rollup persists between runs."""
     if not 4 <= p <= 14:
         raise ValueError(f"p must be in [4,14], got {p}")
-    m = 1 << p
     wbits = 48 - p
     h = _h48(F.col(value_col), salt)
     reg = F.expr(f"__h DIV {1 << wbits}")
@@ -65,13 +77,22 @@ def hll_distinct(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
     gb = [F.col(c) for c in group_cols]
-    regs = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .withColumn("__h", h)
         .select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
         .groupBy(*gb, F.col("__reg"))
         .agg(F.max("__rho").alias("__r"))
     )
+
+
+def hll_finalize(
+    regs: DataFrame, group_cols: tuple[str, ...] = (), p: int = 8
+) -> DataFrame:
+    """Estimate from a (group, __reg, __r) register table."""
+    m = 1 << p
+    wbits = 48 - p
+    gb = [F.col(c) for c in group_cols]
     # integer harmonic denominator: hit register -> 2^(wbits+1-r),
     # each of the (m - hits) empty registers -> 2^(wbits+1)
     alpha = 0.7213 / (1 + 1.079 / m)

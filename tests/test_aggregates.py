@@ -90,3 +90,28 @@ def test_boundary_values(spark, vals, scale, expected):
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     row = df.agg(A.exact_sum("x", scale).alias("s")).collect()[0]
     assert row["s"] == expected
+
+
+def test_incremental_state_merge_equals_single_pass(spark):
+    """Merging per-batch partial states (any order, any batching) must
+    equal the direct aggregate over the union — the algebraic property
+    ia01 certifies against the DuckDB oracle."""
+    from pyp_etl_pipeline_spark.operators import incremental
+
+    rows = [
+        ("a", "u%d" % (i % 7), float(i) * 0.31 - 3 if i % 11 else None)
+        for i in range(300)
+    ] + [("b", "u1", 5.0), ("b", "u2", None)]
+    df = spark.createDataFrame(rows, "event_type string, user_id string, value double")
+
+    direct = sorted(map(tuple, incremental.finalize_state(incremental.agg_state(df)).collect()))
+
+    b1 = df.filter("hash(user_id) % 3 = 0")
+    b2 = df.filter("hash(user_id) % 3 = 1")
+    b3 = df.filter("hash(user_id) % 3 != 0 AND hash(user_id) % 3 != 1")
+    s1, s2, s3 = (incremental.agg_state(b) for b in (b1, b2, b3))
+    # fold in both associations/orders
+    m123 = incremental.merge_states(incremental.merge_states(s1, s2), s3)
+    m321 = incremental.merge_states(s3, incremental.merge_states(s2, s1))
+    assert sorted(map(tuple, incremental.finalize_state(m123).collect())) == direct
+    assert sorted(map(tuple, incremental.finalize_state(m321).collect())) == direct
