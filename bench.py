@@ -69,6 +69,14 @@ EXTENDED = [
     "w09_ewma_value",
     "cms01_heavy_hitters",
     "ex03_jsonl_roundtrip",
+    "zo01_zorder_cells",
+    # round 7, second batch
+    "gf01_gap_fill",
+    "ii01_inverted_index",
+    "qt01_histogram_quantiles",
+    "ev01_linkage_eval",
+    "tk02_wordpiece_segment",
+    "ia01_incremental_rollup",
 ]
 
 HEADLINE = [

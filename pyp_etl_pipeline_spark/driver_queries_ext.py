@@ -3476,6 +3476,14 @@ REGISTRY.update(QUERIES3)
 # (c) everything else, stalest driver row first, so no query's last
 # driver check keeps aging.
 _DRIVER_PRIORITY = [
+    # round-8 rotation: this session's NEW queries first (zero driver
+    # evidence), then the r7-flagged set, then stalest-first as before.
+    "gf01_gap_fill",
+    "ii01_inverted_index",
+    "qt01_histogram_quantiles",
+    "ev01_linkage_eval",
+    "tk02_wordpiece_segment",
+    "ia01_incremental_rollup",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",
