@@ -1576,7 +1576,51 @@ SELECT s.event_type, s.n_rows, s.n_vals,
 FROM s LEFT JOIN h ON s.event_type = h.event_type
 """
 
+
+# --------------------------------------------------------------------------
+# bm01: Okapi BM25 ranking against a deterministic mid-frequency query
+# --------------------------------------------------------------------------
+
+def bm01_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 corpus docs by BM25 for the 3 mid-df query terms
+    (operators/textan.bm25_rank) — the query-time half of the search
+    index whose storage half is ii01."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    return _textan.bm25_rank(_load_corpus(spark, sf, "documents"))
+
+
+BM01_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_snt("text")}, ' ')) AS token FROM documents
+),
+t2 AS (SELECT doc_id, token FROM t WHERE token <> ''),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT token, df, n_docs, avgdl FROM dfreq, stats
+  ORDER BY abs(df * 2 - n_docs) ASC, token ASC LIMIT 3
+),
+sc AS (
+  SELECT tf.doc_id, dl.dl,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(sum(CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM tf JOIN q USING (token) JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT doc_id, dl, n_terms_matched, score_micro, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank FROM sc)
+WHERE rank <= 10
+"""
+
 QUERIES3 = {
+    "bm01_bm25_rank": (bm01_bm25_rank, BM01_SQL),
     "ia01_incremental_rollup": (ia01_incremental_rollup, IA01_SQL),
     "tk02_wordpiece_segment": (tk02_wordpiece_segment, TK02_SQL),
     "ev01_linkage_eval": (ev01_linkage_eval, None),  # oracle composed below

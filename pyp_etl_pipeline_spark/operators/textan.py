@@ -520,3 +520,86 @@ def inverted_index(
         .groupBy("token", "df", "total_tf")
         .agg(postings.alias("postings"))
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_query_terms: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a deterministic query
+    term set — the query-time half of a search index (ii01 is the
+    storage half). Query terms are the ``n_query_terms`` tokens whose
+    document frequency is closest to n_docs/2 (ties by token asc): the
+    mid-frequency band where BM25 actually discriminates.
+
+    Shape at 100 TB: tf/dl are one map-side-combinable aggregate over
+    the tokenized corpus; df and the query-term pick are
+    vocabulary-sized; the scoring join hits only postings of the few
+    query terms (broadcast), so scan cost is O(matching postings), not
+    O(corpus x vocabulary). Ranking is row_number + filter — the
+    WindowGroupLimit pattern, a per-partition partial top-k before the
+    single final window. Scores floor to integer micro-units after an
+    expression kept IDENTICAL on both engines (same assoc/order), the
+    tx06/tx13 portability contract.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    ).filter(F.col("token") != "")
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    qterms = (
+        dfreq.join(F.broadcast(stats))
+        .withColumn("__dist", F.abs(F.col("df") * 2 - F.col("n_docs")))
+        .orderBy(F.col("__dist").asc(), F.col("token").asc())
+        .limit(n_query_terms)
+        .select("token", "df", "n_docs", "avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .withColumn(
+            # floored to micro PER TERM, then integer-summed: float
+            # addition is order-sensitive, integer addition is not —
+            # the contract that keeps ranks partition/engine-invariant
+            "__term_micro",
+            F.floor(
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))))
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.sum("__term_micro").cast("long").alias("score_micro"),
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # global top-k: orderBy+limit is TakeOrderedAndProject (per-partition
+    # partial top-k, no single-partition window over the full scored
+    # set); the rank window then runs over k rows only
+    topk = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        "dl",
+        "n_terms_matched",
+        "score_micro",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

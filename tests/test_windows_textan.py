@@ -549,3 +549,40 @@ def test_wordpiece_segment_maximal_munch(spark):
     a = sorted(map(tuple, bpe.wordpiece_segment(w, vocab).collect()))
     b = sorted(map(tuple, bpe.wordpiece_segment(w.repartition(5), vocab).collect()))
     assert a == b
+
+
+def test_bm25_rank_semantics(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "apple banana"),
+            (3, "banana dates eggs figs"),
+            (4, "grape honey kiwi lemon mango"),
+            (5, "apple cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textan.bm25_rank(docs, n_query_terms=2, k=3)
+    rows = out.collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+    # query terms: df closest to n/2=2.5 -> cherry(df=2) and apple(df=3) tie dist 1 -> ties by token asc: apple, cherry
+    # doc 5 matches both terms incl tf=2 cherry; docs ranked deterministically
+    by_doc = {r["doc_id"]: r for r in rows}
+    # df: apple=3 banana=3 cherry=2 -> |2df-n| ties at 1; token asc picks apple, banana
+    assert by_doc[2]["n_terms_matched"] == 2 and by_doc[2]["rank"] == 1
+
+    # reference BM25 (N=5, avgdl=3.6): per-term micro-floor then integer sum
+    def term(tf, df, dl, N=5, avgdl=18 / 5):
+        idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+        return math.floor(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) * 1e6 + 0.5)
+
+    # doc 2 "apple banana": both terms tf=1, df=3, dl=2
+    assert by_doc[2]["score_micro"] == 2 * term(1, 3, 2)
+    # doc 1 "apple banana cherry apple": apple tf=2 + banana tf=1, dl=4
+    assert by_doc[1]["score_micro"] == term(2, 3, 4) + term(1, 3, 4)
+    # partition invariance
+    a = sorted(map(tuple, textan.bm25_rank(docs, n_query_terms=2, k=3).collect()))
+    bb = sorted(map(tuple, textan.bm25_rank(docs.repartition(4), n_query_terms=2, k=3).collect()))
+    assert a == bb
