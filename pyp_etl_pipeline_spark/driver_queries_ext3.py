@@ -1619,7 +1619,58 @@ FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS ran
 WHERE rank <= 10
 """
 
+
+# --------------------------------------------------------------------------
+# pt01: date-partitioned layout + plan-time partition pruning
+# --------------------------------------------------------------------------
+
+def pt01_partition_pruned_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Events re-persisted Hive-partitioned by event_date
+    (sources/bucketed.write_date_partitioned), then ONE day read back
+    through plan-time partition pruning and rolled up hourly. The
+    pruning property (PartitionFilters carries the predicate; other
+    days' directories never open) is pinned in tests/test_bucketed.py;
+    this query certifies the layout round-trip produces correct DATA.
+    The one collect is a single scalar (the target date), independent
+    of corpus size."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.sources.bucketed import (  # noqa: PLC0415
+        read_partition_pruned,
+        write_date_partitioned,
+    )
+
+    e = load_table(spark, sf, "events")
+    target = e.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    path = os.path.join(tempfile.gettempdir(), "pyp_pt01_scratch")
+    write_date_partitioned(e, path)
+    day = read_partition_pruned(spark, path, "event_date", target)
+    return (
+        day.select(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+            F.col("value"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _exact_sum("value").alias("sum_value"),
+        )
+    )
+
+
+PT01_SQL = f"""
+WITH d AS (SELECT max(CAST(ts AS DATE)) AS target FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, {_ses("value")} AS sum_value
+FROM events, d
+WHERE CAST(ts AS DATE) = d.target
+GROUP BY 1, 2
+"""
+
 QUERIES3 = {
+    "pt01_partition_pruned_rollup": (pt01_partition_pruned_rollup, PT01_SQL),
     "bm01_bm25_rank": (bm01_bm25_rank, BM01_SQL),
     "ia01_incremental_rollup": (ia01_incremental_rollup, IA01_SQL),
     "tk02_wordpiece_segment": (tk02_wordpiece_segment, TK02_SQL),

@@ -51,3 +51,37 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucket metadata only survives the catalog path."""
     return spark.table(table)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    partition_col: str = "event_date",
+    mode: str = "overwrite",
+) -> None:
+    """Persist with Hive-style date partitioning (``.../event_date=D/``)
+    — the other half of the storage-layout story next to bucketing: at
+    100 TB, time-scoped queries must PRUNE partitions at plan time, not
+    filter rows after a full scan. Combined with dynamic partition
+    overwrite (the session default), a daily re-run replaces only the
+    day it touches."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    (
+        df.withColumn(partition_col, F.to_date(ts_col))
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str, partition_col: str, value
+) -> DataFrame:
+    """Read one partition; the equality filter lands in the scan's
+    PartitionFilters (plan-time directory pruning — verified in
+    tests/test_bucketed.py), so unrelated days are never opened."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return spark.read.parquet(path).filter(F.col(partition_col) == value)

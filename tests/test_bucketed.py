@@ -64,3 +64,40 @@ def test_bucketed_results_match_plain_join(spark, bucketed_pair):
     )
     plain_rows = {tuple(r) for r in plain_fact.join(plain_dim, "key").collect()}
     assert bucketed_rows == plain_rows
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.sources.bucketed import (
+        read_partition_pruned,
+        write_date_partitioned,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 3), 8 + i % 5), float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    path = str(tmp_path / "pt")
+    write_date_partitioned(df, path)
+
+    # three day directories on disk
+    import os
+
+    days = sorted(d for d in os.listdir(path) if d.startswith("event_date="))
+    assert days == ["event_date=2024-01-01", "event_date=2024-01-02", "event_date=2024-01-03"]
+
+    pruned = read_partition_pruned(spark, path, "event_date", dt.date(2024, 1, 2))
+    # the predicate must land in PartitionFilters (plan-time pruning),
+    # NOT in the post-scan data filters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "event_date" in seg
+    # correct data back
+    got = pruned.select(F.sum("value").alias("s"), F.count("*").alias("n")).collect()[0]
+    exp = [r for r in rows if r[1].day == 2]
+    assert got["n"] == len(exp) and got["s"] == sum(r[2] for r in exp)
