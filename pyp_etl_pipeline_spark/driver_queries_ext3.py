@@ -1669,7 +1669,96 @@ WHERE CAST(ts AS DATE) = d.target
 GROUP BY 1, 2
 """
 
+
+# --------------------------------------------------------------------------
+# st09: stream-stream LEFT OUTER join with watermark-driven null emission
+# --------------------------------------------------------------------------
+
+def st09_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-outer stream-stream range join: every error joined to the
+    same-user clicks in its 6-hour window; errors with NO click emit a
+    NULL-click row — but only when the watermark passes their horizon
+    (state eviction). A drained replay would silently hold the tail in
+    state forever, so the scratch stream appends a watermark-advancing
+    SENTINEL file 30 days past the real data (its rows are filtered out
+    of the result); the null rows then flush on the no-data micro-batch.
+    The oracle is the plain batch LEFT JOIN — the streaming run must
+    reproduce it exactly."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import time  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from pyspark.sql.types import LongType as _Long  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        streaming_window_join,
+    )
+
+    scratch = os.path.join(tempfile.gettempdir(), "pyp_st09_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    src = os.path.join(sf, "events.parquet")
+    shutil.copy(src, os.path.join(scratch, "a_events.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(src)
+    nanos = isinstance(raw.schema["ts"].dataType, _Long)
+    ts_expr = F.expr(f"ts + {30 * 86400 * 10**9}") if nanos else F.expr("ts + INTERVAL 30 DAYS")
+    sentinel = (
+        raw.orderBy(F.col("ts").desc())
+        .limit(1)
+        .withColumn("ts", ts_expr)
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("user_id", F.lit(-1).cast("long"))
+        .withColumn("event_type", F.lit("sentinel"))
+    )
+    sent_dir = scratch + "_sent"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    part = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(sent_dir, part), os.path.join(scratch, "b_sentinel.parquet"))
+    shutil.rmtree(sent_dir, ignore_errors=True)
+    now = time.time()
+    os.utime(os.path.join(scratch, "a_events.parquet"), (now - 60, now - 60))
+    os.utime(os.path.join(scratch, "b_sentinel.parquet"), (now + 60, now + 60))
+
+    errors = (
+        read_events_stream(spark, scratch, glob="*.parquet", max_files_per_trigger=1)
+        .filter(F.col("event_type").isin("error", "sentinel"))
+        .select(F.col("event_id").alias("err_event_id"), "user_id", F.col("ts").alias("start_ts"))
+    )
+    clicks = (
+        read_events_stream(spark, scratch, glob="*.parquet", max_files_per_trigger=1)
+        .filter(F.col("event_type").isin("click", "sentinel"))
+        .select(F.col("event_id").alias("click_event_id"), "user_id", "ts")
+    )
+    joined = streaming_window_join(
+        errors, clicks, window="6 hours", watermark="12 hours", how="leftOuter"
+    ).select("err_event_id", "user_id", "click_event_id")
+    name = "st09_out_" + uuid.uuid4().hex[:8]
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).filter(F.col("err_event_id") >= 0)
+
+
+ST09_SQL = """
+WITH err AS (
+  SELECT event_id AS err_event_id, user_id, ts AS start_ts
+  FROM events WHERE event_type = 'error'
+),
+clk AS (SELECT event_id AS click_event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT err.err_event_id, err.user_id, clk.click_event_id
+FROM err LEFT JOIN clk
+  ON err.user_id = clk.user_id
+ AND clk.ts >= err.start_ts
+ AND clk.ts <= err.start_ts + INTERVAL 6 HOUR
+"""
+
 QUERIES3 = {
+    "st09_stream_stream_left_join": (st09_stream_stream_left_join, ST09_SQL),
     "pt01_partition_pruned_rollup": (pt01_partition_pruned_rollup, PT01_SQL),
     "bm01_bm25_rank": (bm01_bm25_rank, BM01_SQL),
     "ia01_incremental_rollup": (ia01_incremental_rollup, IA01_SQL),

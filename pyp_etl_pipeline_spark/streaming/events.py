@@ -139,8 +139,9 @@ def streaming_window_join(
     point_ts: str = "ts",
     window: str = "15 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time range condition: every
+    """Stream-stream join with an event-time range condition: every
     ``points`` row within ``[interval_ts, interval_ts + window]`` of a
     matching-``key`` ``intervals`` row. The time bounds on BOTH event-time
     columns plus the watermarks let Spark compute a state eviction
@@ -148,6 +149,16 @@ def streaming_window_join(
     both streams forever. State held is O(rows inside the watermark +
     range window), the bounded-state shape that survives an unbounded
     100 TB/day event feed. Columns of both inputs are preserved.
+
+    ``how="leftOuter"``: unmatched ``intervals`` rows emit with NULL
+    point columns — but only once the watermark passes their last
+    possible match time (state eviction). Rows newer than
+    ``max_seen_ts - watermark - window`` stay buffered and are NOT
+    emitted when the query stops: a drained replay therefore needs a
+    watermark-advancing sentinel past the real data (st09 does this),
+    and a live pipeline simply keeps running. Null-emission rides the
+    no-data micro-batch after the final data batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, default on).
     """
     l = intervals.withWatermark(interval_ts, watermark)
     r = points.withWatermark(point_ts, watermark)
@@ -156,7 +167,7 @@ def streaming_window_join(
         & (r[point_ts] >= l[interval_ts])
         & (r[point_ts] <= l[interval_ts] + F.expr(f"INTERVAL {window}"))
     )
-    return l.join(r, cond).drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def streaming_static_enrich(

@@ -213,3 +213,36 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
     rows = spark.table("t_enrich_left").collect()
     assert len(rows) == ev.count()
     assert any(r["c_mktsegment"] is None for r in rows)
+
+
+def test_stream_stream_left_outer_emits_null_rows(spark):
+    """The leftOuter stream-stream join must emit watermark-expired
+    unmatched errors with NULL click columns and reproduce the batch
+    LEFT JOIN exactly (sentinel advances the watermark past all real
+    rows — see st09)."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import st09_stream_stream_left_join
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = st09_stream_stream_left_join(spark, sf)
+    rows = sorted(map(tuple, got.collect()))
+
+    e = load_table(spark, sf, "events")
+    err = e.filter("event_type = 'error'").select(
+        F.col("event_id").alias("err_event_id"), "user_id", F.col("ts").alias("start_ts")
+    )
+    clk = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_event_id"), F.col("user_id").alias("cu"), "ts"
+    )
+    batch = err.join(
+        clk,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") <= F.col("start_ts") + F.expr("INTERVAL 6 HOURS")),
+        "left",
+    ).select("err_event_id", "user_id", "click_event_id")
+    expected = sorted(map(tuple, batch.collect()))
+    assert rows == expected
+    assert any(r[2] is None for r in rows)  # genuine null-emission happened
