@@ -1757,7 +1757,51 @@ FROM err LEFT JOIN clk
  AND clk.ts <= err.start_ts + INTERVAL 6 HOUR
 """
 
+
+# --------------------------------------------------------------------------
+# js01: semi-structured JSON extraction (schema'd from_json, JVM-side)
+# --------------------------------------------------------------------------
+
+def js01_json_extract_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Parse the events.props JSON payload with a SCHEMA'd ``from_json``
+    (whole-stage-codegen JVM parse — never a Python JSON loop) and roll
+    up the extracted integer per event type. Malformed documents parse
+    to NULL and are counted separately (n_parsed vs n_events) — the
+    tolerant-reader contract a 100 TB semi-structured feed needs."""
+    e = load_table(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_parsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count_distinct(F.col("k")).cast("long").alias("n_distinct_k"),
+        )
+    )
+
+
+JS01_SQL = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM x GROUP BY 1
+"""
+
 QUERIES3 = {
+    "js01_json_extract_rollup": (js01_json_extract_rollup, JS01_SQL),
     "st09_stream_stream_left_join": (st09_stream_stream_left_join, ST09_SQL),
     "pt01_partition_pruned_rollup": (pt01_partition_pruned_rollup, PT01_SQL),
     "bm01_bm25_rank": (bm01_bm25_rank, BM01_SQL),

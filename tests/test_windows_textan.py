@@ -586,3 +586,29 @@ def test_bm25_rank_semantics(spark):
     a = sorted(map(tuple, textan.bm25_rank(docs, n_query_terms=2, k=3).collect()))
     bb = sorted(map(tuple, textan.bm25_rank(docs.repartition(4), n_query_terms=2, k=3).collect()))
     assert a == bb
+
+
+def test_json_extract_tolerates_malformed(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import js01_json_extract_rollup  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 3}'),
+            ("a", '{"k": 5}'),
+            ("a", "not json"),
+            ("a", None),
+            ("b", '{"other": 1}'),
+        ],
+        "event_type string, props string",
+    )
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    out = {
+        r["event_type"]: r
+        for r in df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.count("k").alias("n_parsed"), F.sum("k").alias("sum_k"))
+        .collect()
+    }
+    assert out["a"]["n_events"] == 4 and out["a"]["n_parsed"] == 2 and out["a"]["sum_k"] == 8
+    assert out["b"]["n_parsed"] == 0 and out["b"]["sum_k"] is None
