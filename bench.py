@@ -77,6 +77,10 @@ EXTENDED = [
     "ev01_linkage_eval",
     "tk02_wordpiece_segment",
     "ia01_incremental_rollup",
+    "bm01_bm25_rank",
+    "pt01_partition_pruned_rollup",
+    "js01_json_extract_rollup",
+    "ad01_traffic_anomalies",
 ]
 
 HEADLINE = [

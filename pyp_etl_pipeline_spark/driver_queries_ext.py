@@ -3484,6 +3484,11 @@ _DRIVER_PRIORITY = [
     "ev01_linkage_eval",
     "tk02_wordpiece_segment",
     "ia01_incremental_rollup",
+    "bm01_bm25_rank",
+    "pt01_partition_pruned_rollup",
+    "st09_stream_stream_left_join",
+    "js01_json_extract_rollup",
+    "ad01_traffic_anomalies",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

@@ -1800,7 +1800,59 @@ SELECT event_type,
 FROM x GROUP BY 1
 """
 
+
+# --------------------------------------------------------------------------
+# ad01: traffic anomaly screen over the gap-filled series (gf01 ∘ w06)
+# --------------------------------------------------------------------------
+
+def ad01_traffic_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly event counts densified by gap_fill (so OUTAGE buckets —
+    exactly the ones a sparse rollup silently omits — exist as zeros),
+    then z-scored per event type with exact integer moments
+    (windows.group_zscores). The composition every traffic monitor
+    needs: without the spine, the most important anomalies (missing
+    hours) are invisible."""
+    from pyp_etl_pipeline_spark.operators import windows as _w  # noqa: PLC0415
+
+    filled = _windows.gap_fill(load_table(spark, sf, "events"))
+    out = _w.group_zscores(
+        filled, group_col="event_type", value_col="n_events", id_col="bucket",
+        z_threshold=2.0,
+    )
+    return out.select(
+        F.col("id").alias("bucket"),
+        "event_type",
+        F.col("value").cast("long").alias("n_events"),
+        "z",
+        "is_anomaly",
+    )
+
+
+AD01_SQL = f"""
+WITH g AS ({{GF01_BODY}}),
+v AS (
+  SELECT event_type AS grp, bucket AS id, n_events,
+         CAST(floor(n_events * 100 + 0.5) AS BIGINT) AS q
+  FROM g
+),
+st AS (SELECT grp, count(*) AS n, sum(q) AS s, sum(q * q) AS s2 FROM v GROUP BY 1),
+z AS (
+  SELECT v.id, v.grp, v.n_events,
+         CASE WHEN (CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) / n) * CAST(s AS DOUBLE)) / n <= 0
+              THEN 0.0
+              ELSE (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                   / sqrt((CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) / n) * CAST(s AS DOUBLE)) / n)
+         END AS zval
+  FROM v JOIN st ON v.grp = st.grp
+)
+SELECT id AS bucket, grp AS event_type, CAST(n_events AS BIGINT) AS n_events,
+       round(zval, 6) AS z, abs(zval) > 2.0 AS is_anomaly
+FROM z
+"""
+AD01_SQL = AD01_SQL.replace("{GF01_BODY}", GF01_SQL)
+
 QUERIES3 = {
+    "ad01_traffic_anomalies": (ad01_traffic_anomalies, AD01_SQL),
     "js01_json_extract_rollup": (js01_json_extract_rollup, JS01_SQL),
     "st09_stream_stream_left_join": (st09_stream_stream_left_join, ST09_SQL),
     "pt01_partition_pruned_rollup": (pt01_partition_pruned_rollup, PT01_SQL),

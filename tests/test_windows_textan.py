@@ -612,3 +612,29 @@ def test_json_extract_tolerates_malformed(spark):
     }
     assert out["a"]["n_events"] == 4 and out["a"]["n_parsed"] == 2 and out["a"]["sum_k"] == 8
     assert out["b"]["n_parsed"] == 0 and out["b"]["sum_k"] is None
+
+
+def test_traffic_anomalies_flags_gap_bucket(spark):
+    """A filled (zero-count) hour inside an otherwise-steady series must
+    be flagged: densification is what makes outages visible."""
+    import datetime as dt
+
+    from pyp_etl_pipeline_spark.operators.windows import gap_fill, group_zscores
+
+    rows = []
+    for h in range(24):
+        if h == 12:
+            continue  # the outage hour: no events at all
+        for m in range(6):
+            rows.append(("click", dt.datetime(2024, 1, 1, h, m * 10), 1.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    filled = gap_fill(df)
+    out = {
+        r["id"].hour: r
+        for r in group_zscores(
+            filled, group_col="event_type", value_col="n_events", id_col="bucket", z_threshold=2.0
+        ).collect()
+    }
+    assert len(out) == 24
+    assert out[12]["value"] == 0 and out[12]["is_anomaly"] is True
+    assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
