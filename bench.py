@@ -81,6 +81,7 @@ EXTENDED = [
     "pt01_partition_pruned_rollup",
     "js01_json_extract_rollup",
     "ad01_traffic_anomalies",
+    "wz01_winsorized_stats",
 ]
 
 HEADLINE = [

@@ -3489,6 +3489,7 @@ _DRIVER_PRIORITY = [
     "st09_stream_stream_left_join",
     "js01_json_extract_rollup",
     "ad01_traffic_anomalies",
+    "wz01_winsorized_stats",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

@@ -1851,7 +1851,60 @@ FROM z
 """
 AD01_SQL = AD01_SQL.replace("{GF01_BODY}", GF01_SQL)
 
+
+# --------------------------------------------------------------------------
+# wz01: winsorized robust stats from histogram-sketch bounds
+# --------------------------------------------------------------------------
+
+def wz01_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type mean with outliers clipped at the sketch p05/p95
+    (operators/sketch.winsorized_stats) — robust stats without a
+    per-group sort; bounds come from the mergeable histogram."""
+    return _sketch.winsorized_stats(load_table(spark, sf, "events"))
+
+
+WZ01_SQL = f"""
+WITH v AS (
+  SELECT event_type AS g, {_sqm("value")} AS m FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT g, min(m) AS lo, max(m) AS hi, count(*) AS n FROM v GROUP BY 1),
+binned AS (
+  SELECT v.g, b.lo, b.hi, b.n,
+         CAST(((m - lo) * 32) // (hi - lo + 1) AS INT) AS bin
+  FROM v JOIN b USING (g)
+),
+cnt AS (SELECT g, lo, hi, n, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4, 5),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cnt
+),
+qs AS (SELECT * FROM (VALUES (5, 'lo'), (95, 'hi')) t(p, q)),
+hit AS (
+  SELECT g, lo, hi, n, q, min(bin) AS qbin
+  FROM cum, qs WHERE cum >= (n * p + 99) // 100
+  GROUP BY 1, 2, 3, 4, 5
+),
+est AS (SELECT g, q, lo + ((2 * qbin + 1) * (hi - lo + 1)) // 64 AS e FROM hit),
+bounds AS (
+  SELECT g, max(CASE WHEN q = 'lo' THEN e END) AS lo_m,
+         max(CASE WHEN q = 'hi' THEN e END) AS hi_m
+  FROM est GROUP BY 1
+),
+c AS (
+  SELECT v.g, m, greatest(lo_m, least(hi_m, m)) AS w,
+         CAST(m < lo_m AS BIGINT) AS is_lo, CAST(m > hi_m AS BIGINT) AS is_hi
+  FROM v JOIN bounds ON v.g = bounds.g
+)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+       CAST((CASE WHEN sum(m) < 0 THEN -1 ELSE 1 END) * ((abs(sum(m)) + count(*) // 2) // count(*)) AS BIGINT) AS raw_mean_micro,
+       CAST((CASE WHEN sum(w) < 0 THEN -1 ELSE 1 END) * ((abs(sum(w)) + count(*) // 2) // count(*)) AS BIGINT) AS winsorized_mean_micro
+FROM c GROUP BY 1
+"""
+
 QUERIES3 = {
+    "wz01_winsorized_stats": (wz01_winsorized_stats, WZ01_SQL),
     "ad01_traffic_anomalies": (ad01_traffic_anomalies, AD01_SQL),
     "js01_json_extract_rollup": (js01_json_extract_rollup, JS01_SQL),
     "st09_stream_stream_left_join": (st09_stream_stream_left_join, ST09_SQL),

@@ -278,3 +278,64 @@ def histogram_quantiles(
         "q",
         est.cast("long").alias("est_micro"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 32,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Robust per-group stats: values clipped (winsorized) at the
+    histogram-sketch p_lo / p_hi estimates, then exactly aggregated in
+    integer micro-units. The outlier-resistant mean every metrics
+    pipeline wants, WITHOUT a per-group sort: bounds come from the
+    mergeable ``histogram_quantiles`` sketch (n_bins integers of state
+    per group), the clip is map-only against broadcast bounds, and the
+    final sums are exact integers. Output per group: n, n_clipped_lo,
+    n_clipped_hi, raw_mean (micro), winsorized_mean (micro).
+    """
+    from pyp_etl_pipeline_spark.functions import aggregates  # noqa: PLC0415
+
+    qs = histogram_quantiles(
+        df,
+        value_col=value_col,
+        group_col=group_col,
+        n_bins=n_bins,
+        quantiles=((lo_pct, "lo"), (hi_pct, "hi")),
+    )
+    bounds = qs.groupBy(group_col).agg(
+        F.max(F.when(F.col("q") == "lo", F.col("est_micro"))).alias("lo_m"),
+        F.max(F.when(F.col("q") == "hi", F.col("est_micro"))).alias("hi_m"),
+    )
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col), aggregates.micro_col(value_col).alias("m")
+    )
+    clipped = v.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        "m",
+        F.greatest(F.col("lo_m"), F.least(F.col("hi_m"), F.col("m"))).alias("w"),
+        (F.col("m") < F.col("lo_m")).cast("long").alias("is_lo"),
+        (F.col("m") > F.col("hi_m")).cast("long").alias("is_hi"),
+    )
+    agg = clipped.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("is_lo").cast("long").alias("n_clipped_lo"),
+        F.sum("is_hi").cast("long").alias("n_clipped_hi"),
+        F.sum("m").alias("__sm"),
+        F.sum("w").alias("__sw"),
+    )
+    mean_of = lambda s: F.expr(  # noqa: E731 — exact integer mean in micro
+        f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * "
+        f"((abs({s}) + n DIV 2) DIV n) AS BIGINT)"
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        mean_of("__sm").alias("raw_mean_micro"),
+        mean_of("__sw").alias("winsorized_mean_micro"),
+    )

@@ -638,3 +638,21 @@ def test_traffic_anomalies_flags_gap_bucket(spark):
     assert len(out) == 24
     assert out[12]["value"] == 0 and out[12]["is_anomaly"] is True
     assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    # 98 values of 10.0 plus two extreme outliers
+    rows = [("a", 10.0)] * 98 + [("a", 100000.0), ("a", -100000.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = sketch.winsorized_stats(df).collect()[0]
+    assert r["n"] == 100 and r["n_clipped_lo"] >= 1 and r["n_clipped_hi"] >= 1
+    # raw mean is 10.0 exactly (outliers cancel) but winsorized must be
+    # near 10 too — and the clip must bound its distance from the bulk
+    assert abs(r["winsorized_mean_micro"] / 1e6 - 10.0) < 6500  # within a bin width of bulk
+    assert abs(r["winsorized_mean_micro"]) < abs(100000 * 1e6)
+    # partition invariance (all-integer path)
+    a = sorted(map(tuple, sketch.winsorized_stats(df).collect()))
+    b = sorted(map(tuple, sketch.winsorized_stats(df.repartition(6)).collect()))
+    assert a == b
