@@ -82,6 +82,7 @@ EXTENDED = [
     "js01_json_extract_rollup",
     "ad01_traffic_anomalies",
     "wz01_winsorized_stats",
+    "mm08_hadamard_spectrum",
 ]
 
 HEADLINE = [

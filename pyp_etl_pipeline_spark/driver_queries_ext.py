@@ -3490,6 +3490,7 @@ _DRIVER_PRIORITY = [
     "js01_json_extract_rollup",
     "ad01_traffic_anomalies",
     "wz01_winsorized_stats",
+    "mm08_hadamard_spectrum",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

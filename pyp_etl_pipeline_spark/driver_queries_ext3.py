@@ -1903,7 +1903,67 @@ SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
 FROM c GROUP BY 1
 """
 
+
+# --------------------------------------------------------------------------
+# mm08: Walsh-Hadamard sequency spectrum from real decoded PCM
+# --------------------------------------------------------------------------
+
+def mm08_hadamard_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """8 sequency-band energies per synthesized WAV clip: payload bytes
+    -> RIFF walk -> int16 PCM -> exact int64 Walsh-Hadamard transform
+    (multimodal/binary_ops.hadamard_spectrum). The twin recomputes every
+    coefficient from the closed-form synth signal, so the full decode +
+    transform path is hash-certified — real spectral DSP with zero
+    float drift (no trig: the WHT basis is ±1)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        hadamard_spectrum,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 2 == 1)
+    repo_root = REPO_ROOT
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import wav_encode_pcm16  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = 1 + i % 7
+                n = 100 + i % 50
+                samples = [(((j * k) % 256) - 128) * 64 for j in range(n)]
+                payloads.append(wav_encode_pcm16(samples, 8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return hadamard_spectrum(media)
+
+
+MM08_SQL = """
+WITH odd AS (
+  SELECT doc_id, CAST(1 + doc_id % 7 AS BIGINT) AS k
+  FROM documents WHERE doc_id % 2 = 1
+),
+coeff AS (
+  SELECT doc_id, f,
+         list_sum(list_transform(range(0, 64), j ->
+           (((j * k) % 256 - 128) * 64) * (1 - 2 * (bit_count(f & j) % 2)))) AS h
+  FROM odd, (SELECT unnest(range(0, 64)) AS f) fs
+)
+SELECT doc_id AS media_id, CAST(f // 8 AS INT) AS band,
+       CAST(sum(h * h) AS BIGINT) AS energy
+FROM coeff GROUP BY 1, 2
+"""
+
 QUERIES3 = {
+    "mm08_hadamard_spectrum": (mm08_hadamard_spectrum, MM08_SQL),
     "wz01_winsorized_stats": (wz01_winsorized_stats, WZ01_SQL),
     "ad01_traffic_anomalies": (ad01_traffic_anomalies, AD01_SQL),
     "js01_json_extract_rollup": (js01_json_extract_rollup, JS01_SQL),

@@ -349,3 +349,67 @@ def sample_frames_decoded(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return df.filter(F.col("kind") == "video").mapInPandas(op, SAMPLED_FRAME_SCHEMA)
+
+
+def hadamard_spectrum(
+    df: DataFrame, n_fft: int = 64, n_bands: int = 8
+) -> DataFrame:
+    """Sequency-band energies of each audio clip: a Walsh-Hadamard
+    transform over the first ``n_fft`` decoded PCM samples, coefficient
+    energies summed into ``n_bands`` equal sequency bands. Real spectral
+    analysis (the WHT is the ±1-basis Fourier cousin; band 0 = DC /
+    low-sequency energy, top band = fastest alternation) that stays in
+    EXACT int64 — no trig, no floats — so energies are bit-identical on
+    any engine/partitioning and the DuckDB twin can recompute them from
+    the closed-form synth signal (mm08 certifies the whole
+    bytes -> RIFF walk -> samples -> transform path by hash).
+
+    Shape: Arrow-batched mapInPandas, map-only; per clip cost is
+    n_fft^2 integer ops (n_fft is a constant) — embarrassingly parallel
+    over a 100 TB media corpus. Clips shorter than ``n_fft`` zero-pad
+    (energy then concentrates in low bands, as expected)."""
+    repo_root = REPO_ROOT
+    band_w = n_fft // n_bands
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        import numpy as np  # noqa: PLC0415
+
+        from pyp_etl_pipeline_spark.multimodal import codecs  # noqa: PLC0415
+
+        # rows of the order-n_fft Hadamard matrix: H[f, j] = (-1)^popcount(f & j)
+        f_idx = np.arange(n_fft, dtype=np.int64)
+        popc = np.array(
+            [[bin(f & j).count("1") & 1 for j in range(n_fft)] for f in f_idx],
+            dtype=np.int64,
+        )
+        hmat = 1 - 2 * popc  # +1 / -1
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    samples, _, _ = codecs.wav_pcm_samples(p)
+                except (ValueError, IndexError, struct.error):
+                    continue  # non-WAV strays drop out (null-free long format)
+                x = np.zeros(n_fft, dtype=np.int64)
+                take = min(n_fft, samples.size)
+                x[:take] = samples[:take].astype(np.int64)
+                coeff = hmat @ x  # exact int64 WHT
+                energy = coeff * coeff
+                for b in range(n_bands):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "band": b,
+                            "energy": int(energy[b * band_w : (b + 1) * band_w].sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "band", "energy"])
+
+    return df.mapInPandas(op, schema="media_id long, band int, energy long")

@@ -175,11 +175,10 @@ def wav_encode_pcm16(samples: list[int] | np.ndarray, rate: int = 8000) -> bytes
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def wav_decode(payload: bytes) -> dict:
-    """Real WAV decode: RIFF chunk walk -> PCM16 samples -> RMS.
-
-    Returns {n_channels, sample_rate, n_samples, duration_ms, rms}.
-    """
+def wav_pcm_samples(payload: bytes) -> tuple["np.ndarray", int, int]:
+    """RIFF chunk walk -> (int16 PCM samples, n_channels, sample_rate).
+    The raw-sample accessor shared by the stats decode (``wav_decode``)
+    and the spectral features (``binary_ops.hadamard_spectrum``)."""
     if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV (RIFF/WAVE header mismatch)")
     pos = 12
@@ -200,7 +199,15 @@ def wav_decode(payload: bytes) -> dict:
         raise ValueError("WAV missing fmt or data chunk")
     if bits != 16:
         raise ValueError(f"unsupported WAV bit depth {bits} (only 16)")
-    samples = np.frombuffer(data, dtype="<i2")
+    return np.frombuffer(data, dtype="<i2"), int(n_channels), int(rate)
+
+
+def wav_decode(payload: bytes) -> dict:
+    """Real WAV decode: RIFF chunk walk -> PCM16 samples -> RMS.
+
+    Returns {n_channels, sample_rate, n_samples, duration_ms, rms}.
+    """
+    samples, n_channels, rate = wav_pcm_samples(payload)
     n_frames = samples.size // n_channels
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if samples.size else 0.0
     # zero-crossing rate: fraction of consecutive-sample sign changes

@@ -319,3 +319,28 @@ def test_sample_frames_decoded_golden(spark):
         (1, 2, 500, 6, 4, 33.0),
         (1, 4, 1000, 6, 4, 55.0),
     ]
+
+
+def test_hadamard_spectrum_golden(spark):
+    """WHT band energies from real WAV bytes: DC-only signal puts ALL
+    energy in band 0; a maximally-alternating signal puts it in the top
+    band; Parseval (sum of energies = 64 * sum of squares) holds."""
+    import pandas as pd
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import hadamard_spectrum
+    from pyp_etl_pipeline_spark.multimodal.codecs import wav_encode_pcm16
+
+    const = wav_encode_pcm16([100] * 64, 8000)        # DC
+    alt = wav_encode_pcm16([100 * (1 - 2 * (j % 2)) for j in range(64)], 8000)  # fastest alternation
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [const, alt]}),
+        "media_id long, payload binary",
+    )
+    out = {(r["media_id"], r["band"]): r["energy"] for r in hadamard_spectrum(df).collect()}
+    total = 64 * 64 * 100 * 100  # Parseval: sum_f H_f^2 = N * sum_j x_j^2
+    assert out[(1, 0)] == total and all(out[(1, b)] == 0 for b in range(1, 8))
+    # the (-1)^j alternation is itself a Walsh basis row, so its whole
+    # energy lands in exactly ONE coefficient (natural-order row 1's
+    # band); pure tones stay pure through the transform
+    nz = [(b, e) for (m, b), e in out.items() if m == 2 and e != 0]
+    assert len(nz) == 1 and nz[0][1] == total
