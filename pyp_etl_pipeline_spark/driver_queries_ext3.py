@@ -1962,7 +1962,54 @@ SELECT doc_id AS media_id, CAST(f // 8 AS INT) AS band,
 FROM coeff GROUP BY 1, 2
 """
 
+
+# --------------------------------------------------------------------------
+# cp01: small-file compaction plan (order-preserving target-size groups)
+# --------------------------------------------------------------------------
+
+def cp01_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day order batches play the small files of a date-sorted
+    table; operators/export.plan_compaction assigns them to ~5000-row
+    merge groups over the deterministic distributed prefix sum, and the
+    rollup certifies group contiguity (min/max day per group) — the
+    lakehouse OPTIMIZE planning step."""
+    from pyp_etl_pipeline_spark.operators.export import plan_compaction  # noqa: PLC0415
+
+    files = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    plan = plan_compaction(files, "n_rows", "o_orderdate", target_size=5000)
+    return (
+        plan.groupBy("merge_group")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("o_orderdate").alias("first_day"),
+            F.max("o_orderdate").alias("last_day"),
+        )
+    )
+
+
+CP01_SQL = """
+WITH f AS (
+  SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1
+),
+c AS (
+  SELECT *, sum(n_rows) OVER (ORDER BY o_orderdate ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f
+),
+g AS (SELECT *, (cum - n_rows) // 5000 AS merge_group FROM c)
+SELECT CAST(merge_group AS BIGINT) AS merge_group,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
+FROM g GROUP BY 1
+"""
+
 QUERIES3 = {
+    "cp01_compaction_plan": (cp01_compaction_plan, CP01_SQL),
     "mm08_hadamard_spectrum": (mm08_hadamard_spectrum, MM08_SQL),
     "wz01_winsorized_stats": (wz01_winsorized_stats, WZ01_SQL),
     "ad01_traffic_anomalies": (ad01_traffic_anomalies, AD01_SQL),

@@ -113,3 +113,32 @@ def sql_zvalue(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x} // {1 << i}) % 2) << {2 * i})")
         terms.append(f"((({y} // {1 << i}) % 2) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def plan_compaction(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_size: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Small-file compaction planner: assign files (in ``order_col``
+    order, preserving sort/clustering) to merge groups of roughly
+    ``target_size`` bytes — ``merge_group = (cum_size - size) DIV
+    target`` over the deterministic distributed prefix sum
+    (operators/prefix; never a single-partition window). The lakehouse
+    OPTIMIZE planning step: metadata-sized input (one row per file), so
+    the plan for a million-file table is itself a trivial job, and the
+    order-preserving assignment keeps data-skipping ranges intact after
+    the rewrite. Exclusive-prefix keying guarantees every group gets at
+    least one file and groups are contiguous in the sort order.
+    """
+    from pyp_etl_pipeline_spark.operators.prefix import grouped_prefix_sum  # noqa: PLC0415
+
+    cum = grouped_prefix_sum(
+        files, size_col, order_col, group_cols=group_cols, cum_col="__cum"
+    )
+    return cum.withColumn(
+        "merge_group",
+        ((F.col("__cum") - F.col(size_col)) / F.lit(target_size)).cast("long"),
+    ).drop("__cum")

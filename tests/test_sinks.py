@@ -97,3 +97,33 @@ def test_zvalue_interleave_and_locality(spark):
     )
     for r in cells:
         assert r["mx"] - r["nx"] <= 3 and r["my"] - r["ny"] <= 3, r
+
+
+def test_plan_compaction_contiguous_target_groups(spark):
+    from pyp_etl_pipeline_spark.operators.export import plan_compaction
+
+    # 20 "files" of varying sizes, ordered by name
+    rows = [(f"f{i:02d}", (i * 13) % 40 + 5) for i in range(20)]
+    df = spark.createDataFrame(rows, "name string, bytes long")
+    plan = plan_compaction(df, "bytes", "name", target_size=60).collect()
+    by_group = {}
+    for r in sorted(plan, key=lambda r: r["name"]):
+        by_group.setdefault(r["merge_group"], []).append(r)
+    groups = sorted(by_group)
+    # groups are contiguous 0..G and order-preserving over file names
+    assert groups == list(range(len(groups)))
+    last = None
+    for g in groups:
+        names = [r["name"] for r in by_group[g]]
+        if last is not None:
+            assert names[0] > last
+        last = names[-1]
+        # every group except possibly the last stays under target + max file slack;
+        # the first file of each group starts before the target boundary
+        start_offsets = min(int(r["merge_group"]) for r in by_group[g])
+        assert start_offsets == g
+    total = sum(r["bytes"] for r in plan)
+    assert total == sum(b for _, b in rows)
+    # partition invariance
+    again = plan_compaction(df.repartition(7), "bytes", "name", target_size=60).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, plan))
