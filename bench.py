@@ -83,6 +83,8 @@ EXTENDED = [
     "ad01_traffic_anomalies",
     "wz01_winsorized_stats",
     "mm08_hadamard_spectrum",
+    "cp01_compaction_plan",
+    "tx15_readability",
 ]
 
 HEADLINE = [

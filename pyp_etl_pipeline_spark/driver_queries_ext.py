@@ -3491,6 +3491,8 @@ _DRIVER_PRIORITY = [
     "ad01_traffic_anomalies",
     "wz01_winsorized_stats",
     "mm08_hadamard_spectrum",
+    "cp01_compaction_plan",
+    "tx15_readability",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

@@ -2008,7 +2008,49 @@ SELECT CAST(merge_group AS BIGINT) AS merge_group,
 FROM g GROUP BY 1
 """
 
+
+# --------------------------------------------------------------------------
+# tx15: Flesch readability gate
+# --------------------------------------------------------------------------
+
+def tx15_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/textan.
+    readability_features) — the classic readability screen for corpus
+    curation, with vowel-group syllable estimates and a micro-floored
+    engine-identical score."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    return _textan.readability_features(_load_corpus(spark, sf, "documents"))
+
+
+TX15_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split({_snt("text")}, ' '), w -> w <> '') AS toks,
+         list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '') AS sents
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(sents) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(toks,
+              w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+  FROM t
+)
+SELECT doc_id, n_words, n_sentences, coalesce(n_syllables, 0) AS n_syllables,
+       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         CAST(floor(
+           (206.835
+            - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+           * 1000000 + 0.5) AS BIGINT)
+       END AS flesch_micro
+FROM m
+"""
+
 QUERIES3 = {
+    "tx15_readability": (tx15_readability, TX15_SQL),
     "cp01_compaction_plan": (cp01_compaction_plan, CP01_SQL),
     "mm08_hadamard_spectrum": (mm08_hadamard_spectrum, MM08_SQL),
     "wz01_winsorized_stats": (wz01_winsorized_stats, WZ01_SQL),

@@ -603,3 +603,47 @@ def bm25_rank(
         "score_micro",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def readability_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document from the classic proxies:
+    whitespace words, [.!?]+ sentence breaks, vowel-group syllable
+    estimates (>= 1 per word). The standard cheap readability gate for
+    training-corpus curation. Map-only column algebra (one pass, no
+    Python); the score floors to integer micro-units after a float
+    expression kept identical across engines. Degenerate docs (no words
+    or no sentences) yield NULL score rather than a division error."""
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda x: x != F.lit(""))
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))).cast("long"),
+    )
+    sents = F.size(
+        F.filter(F.split(F.col(text_col), r"[.!?]+"), lambda x: F.trim(x) != F.lit(""))
+    )
+    n_words = F.size(toks).cast("long")
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    return pre.withColumn(
+        "flesch_micro",
+        F.when(
+            (F.col("n_words") > 0) & (F.col("n_sentences") > 0),
+            F.floor(
+                (
+                    F.lit(206.835)
+                    - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+                    - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+    )

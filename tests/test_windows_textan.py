@@ -656,3 +656,24 @@ def test_winsorized_stats_clips_outliers(spark):
     a = sorted(map(tuple, sketch.winsorized_stats(df).collect()))
     b = sorted(map(tuple, sketch.winsorized_stats(df.repartition(6)).collect()))
     assert a == b
+
+
+def test_readability_features(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),
+            (3, "word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textan.readability_features(docs).collect()}
+    r = out[1]
+    assert r["n_words"] == 6 and r["n_sentences"] == 2
+    # syllables: the=1 cat=1 sat.=1 the=1 dog=1 ran!=1 -> 6
+    assert r["n_syllables"] == 6
+    expect = (206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)) * 1e6
+    assert abs(r["flesch_micro"] - expect) <= 1
+    assert out[2]["flesch_micro"] is None and out[2]["n_words"] == 0
+    # single word, no sentence punctuation -> 'word' is one sentence
+    assert out[3]["n_sentences"] == 1 and out[3]["flesch_micro"] is not None
