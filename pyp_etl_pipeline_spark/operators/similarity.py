@@ -389,6 +389,43 @@ def _kmeans_argmin(xm: Column, centroids: list[list[int]]) -> Column:
     )
 
 
+def _kmeans_argmin_fast(xm: Column, centroids: list[list[int]]) -> Column:
+    """Selection-identical to ``_kmeans_argmin`` (same winner, same tie
+    rule) but with the row-constant ||x||^2 term of the squared L2
+    dropped: d' = ||c||^2 - 2<x, c>. Subtracting the same value from
+    every candidate preserves the (d, c) struct order EXACTLY — including
+    equal-distance ties — while roughly halving the per-centroid
+    expression tree (one multiply in the zip_with instead of
+    subtract+square), which matters because Catalyst analysis/codegen of
+    the k-way inline-literal argmin dominates small-batch k-means jobs.
+    ONLY for call sites that consume ``["c"]`` — the d' values are
+    shifted and must never be exposed (``assign_clusters`` keeps the
+    exact-distance variant)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(int(sum(int(v) * int(v) for v in c)))
+                        - 2
+                        * F.aggregate(
+                            F.zip_with(
+                                xm,
+                                F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                                lambda a, b: a * b,
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("d"),
+                    F.lit(j).alias("c"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
@@ -456,7 +493,7 @@ def kmeans_fit(
                 f"kmeans_fit: ragged embeddings — seed lengths {len(bad)} vs {dim}"
             )
         for _ in range(n_iter):
-            assigned = v.withColumn("__a", _kmeans_argmin(F.col("__xm"), centroids))
+            assigned = v.withColumn("__a", _kmeans_argmin_fast(F.col("__xm"), centroids))
             comps = (
                 assigned.select(F.col("__a.c").alias("cluster"), F.posexplode("__xm").alias("i", "x"))
                 .groupBy("cluster", "i")
@@ -518,7 +555,7 @@ def semantic_dedup(
     v = vectors.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("__v"),
-        _kmeans_argmin(_micro_vec(F.col(vec_col)), centroids)["c"].alias("cluster_id"),
+        _kmeans_argmin_fast(_micro_vec(F.col(vec_col)), centroids)["c"].alias("cluster_id"),
     ).withColumn("__n", l2_norm(F.col("__v")))
     a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"), "cluster_id")
     b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"), "cluster_id")
@@ -601,9 +638,17 @@ def pq_fit(
             [list(r["__xm"])[s * dsub : (s + 1) * dsub] for r in seeds] for s in range(m)
         ]
         for _ in range(n_iter):
+            # slices pre-projected ONCE: Catalyst does not CSE the m
+            # slice() calls repeated inside every centroid's argmin, and
+            # the analysis cost of the inline-literal argmin tree is the
+            # bottleneck of these small jobs (CLAUDE.md)
+            sliced = v.select(
+                F.col("__xm"),
+                *[F.slice(F.col("__xm"), s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
+            )
             codes = F.array(
                 *[
-                    _kmeans_argmin(F.slice(F.col("__xm"), s * dsub + 1, dsub), books[s])["c"]
+                    _kmeans_argmin_fast(F.col(f"__sub{s}"), books[s])["c"]
                     for s in range(m)
                 ]
             )
@@ -611,7 +656,7 @@ def pq_fit(
             # struct-indexing codes expression in ONE projection makes
             # Catalyst re-resolve the argmin struct with positional
             # col1/col2 names and the ["c"] access fails analysis
-            assigned = v.select(codes.alias("__codes"), F.col("__xm"))
+            assigned = sliced.select(codes.alias("__codes"), F.col("__xm"))
             exploded = assigned.select("__codes", F.posexplode("__xm").alias("i", "x"))
             s_col = (F.col("i") / dsub).cast("int")
             comps = (
@@ -649,14 +694,17 @@ def pq_encode(
     literals; one pass over the corpus, no shuffle, no join."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    xm = _micro_vec(F.col(vec_col))
-    codes = F.array(
+    sliced = vectors.select(
+        F.col(id_col).alias("id"),
         *[
-            _kmeans_argmin(F.slice(xm, s * dsub + 1, dsub), codebooks[s])["c"]
+            F.slice(_micro_vec(F.col(vec_col)), s * dsub + 1, dsub).alias(f"__sub{s}")
             for s in range(m)
-        ]
+        ],
     )
-    return vectors.select(F.col(id_col).alias("id"), codes.alias("codes"))
+    codes = F.array(
+        *[_kmeans_argmin_fast(F.col(f"__sub{s}"), codebooks[s])["c"] for s in range(m)]
+    )
+    return sliced.select("id", codes.alias("codes"))
 
 
 def pq_topk(
