@@ -85,6 +85,7 @@ EXTENDED = [
     "mm08_hadamard_spectrum",
     "cp01_compaction_plan",
     "tx15_readability",
+    "pf01_table_profile",
 ]
 
 HEADLINE = [

@@ -3493,6 +3493,7 @@ _DRIVER_PRIORITY = [
     "mm08_hadamard_spectrum",
     "cp01_compaction_plan",
     "tx15_readability",
+    "pf01_table_profile",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

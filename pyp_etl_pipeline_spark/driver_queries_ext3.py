@@ -2049,7 +2049,42 @@ SELECT doc_id, n_words, n_sentences, coalesce(n_syllables, 0) AS n_syllables,
 FROM m
 """
 
+
+# --------------------------------------------------------------------------
+# pf01: one-pass table profiler (catalog/ANALYZE summary)
+# --------------------------------------------------------------------------
+
+def pf01_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profile of customer in ONE aggregate pass
+    (operators/quality.profile_table): n / nulls / exact distincts /
+    min / max per column — the data-catalog summary every published
+    table carries. At 100 TB the distincts swap to HLL registers
+    (ia01's pattern); the contract is unchanged."""
+    from pyp_etl_pipeline_spark.operators.quality import profile_table  # noqa: PLC0415
+
+    c = load_table(spark, sf, "customer")
+    return profile_table(
+        c, ("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+def _pf01_col_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_str, CAST(max({c}) AS VARCHAR) AS max_str "
+        f"FROM customer"
+    )
+
+
+PF01_SQL = " UNION ALL ".join(
+    _pf01_col_sql(c)
+    for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+)
+
 QUERIES3 = {
+    "pf01_table_profile": (pf01_table_profile, PF01_SQL),
     "tx15_readability": (tx15_readability, TX15_SQL),
     "cp01_compaction_plan": (cp01_compaction_plan, CP01_SQL),
     "mm08_hadamard_spectrum": (mm08_hadamard_spectrum, MM08_SQL),

@@ -193,3 +193,38 @@ def linkage_eval(
             ).cast("long"),
         )
     )
+
+
+def profile_table(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """One-pass column profiler: per column, row count, null count,
+    exact distinct count, and min/max rendered as strings — the ANALYZE/
+    data-catalog summary every ingestion pipeline publishes next to a
+    table. All metrics ride ONE aggregate over one scan (multi-distinct
+    lowers to a single Expand + shuffle in Spark), then unpivot to long
+    format via ``stack`` — never one job per column. At 100 TB swap the
+    exact distincts for the HLL registers (operators/sketch) the same
+    way ia01 does; the output contract is unchanged.
+    """
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column, n_non_null, n_distinct, min_str, max_str)",
+        "__n AS n_rows",
+    ).select(
+        "column",
+        F.col("n_rows"),
+        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_null"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

@@ -97,3 +97,21 @@ def test_linkage_eval_empty_pred(spark):
     r = linkage_eval(pred, truth).collect()[0]
     assert r["n_pred"] == 0 and r["tp"] == 0 and r["fp"] == 0 and r["fn"] == 1
     assert r["precision_micro"] is None and r["f1_micro"] is None
+
+
+def test_profile_table_one_pass(spark):
+    from pyp_etl_pipeline_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "b", -2.0), (4, None, 1.5)],
+        "k long, s string, v double",
+    )
+    out = {r["column"]: r for r in profile_table(df, ("k", "s", "v")).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 0 and out["k"]["n_distinct"] == 4
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["v"]["n_null"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["min_str"] == "-2.0" and out["v"]["max_str"] == "1.5"
+    # ONE job: the profile is a single aggregate + stack, not a per-column scan
+    plan = profile_table(df, ("k", "s", "v"))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
