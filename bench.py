@@ -86,6 +86,7 @@ EXTENDED = [
     "cp01_compaction_plan",
     "tx15_readability",
     "pf01_table_profile",
+    "ep01_epoch_shuffle",
 ]
 
 HEADLINE = [

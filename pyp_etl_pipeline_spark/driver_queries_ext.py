@@ -3494,6 +3494,7 @@ _DRIVER_PRIORITY = [
     "cp01_compaction_plan",
     "tx15_readability",
     "pf01_table_profile",
+    "ep01_epoch_shuffle",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

@@ -2083,7 +2083,49 @@ PF01_SQL = " UNION ALL ".join(
     for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
 )
 
+
+# --------------------------------------------------------------------------
+# ep01: epoch-salted deterministic training shuffle
+# --------------------------------------------------------------------------
+
+def ep01_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Two training epochs of the corpus through the RNG-free shuffle
+    (operators/sampling.epoch_shuffle): per (epoch, shard) — doc count,
+    char volume, and the shard's first document in training order.
+    Epochs decorrelate (different orders/shards) yet every epoch is
+    byte-reproducible after a crash; the oracle recomputes both epochs
+    from the same md5 keys."""
+    from pyp_etl_pipeline_spark.operators.sampling import epoch_shuffle  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    eps = [epoch_shuffle(d, epoch=e) for e in (0, 1)]
+    both = eps[0].unionByName(eps[1])
+    return both.groupBy("epoch", "shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(F.struct("order_key", "doc_id"))["doc_id"].alias("first_doc"),
+    )
+
+
+EP01_SQL = """
+WITH e AS (
+  SELECT doc_id, n_chars, epoch,
+         md5(doc_id::VARCHAR || '|' || 'epoch-shuffle-v1' || '|' || epoch::VARCHAR) AS order_key
+  FROM documents, (SELECT unnest([0, 1]) AS epoch)
+),
+s AS (
+  SELECT *, CAST(('0x' || substring(order_key, 1, 8))::BIGINT % 8 AS INT) AS shard
+  FROM e
+)
+SELECT CAST(epoch AS INT) AS epoch, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min({'k': order_key, 'd': doc_id}).d AS first_doc
+FROM s GROUP BY 1, 2
+"""
+
 QUERIES3 = {
+    "ep01_epoch_shuffle": (ep01_epoch_shuffle, EP01_SQL),
     "pf01_table_profile": (pf01_table_profile, PF01_SQL),
     "tx15_readability": (tx15_readability, TX15_SQL),
     "cp01_compaction_plan": (cp01_compaction_plan, CP01_SQL),

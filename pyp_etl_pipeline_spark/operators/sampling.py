@@ -199,3 +199,30 @@ def budget_fill(
         cum_col="cum_weight",
     )
     return cum.filter(F.col("cum_weight") - F.col(weight_col) < budget)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 8,
+    salt: str = "epoch-shuffle-v1",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every epoch gets a DIFFERENT
+    but fully REPRODUCIBLE global order and shard assignment, with no
+    RNG state anywhere — order_key = md5(id || salt || epoch), shard =
+    order_key's top bits. Re-running epoch 3 after a crash reproduces
+    byte-identical shards (the resumability contract RNG-based shuffles
+    can't give you), while epochs decorrelate as well as a true
+    reshuffle for training purposes.
+
+    Shape: map-only key derivation; the writer then range-partitions on
+    (shard, order_key) — one shuffle per epoch, which IS the reshuffle.
+    Adds ``epoch``, ``order_key`` (hex), ``shard`` columns."""
+    key = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt), F.lit(epoch)))
+    return df.withColumn("epoch", F.lit(epoch).cast("int")).withColumn(
+        "order_key", key
+    ).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)).cast("int"),
+    )

@@ -367,3 +367,21 @@ def test_cms_overestimates_and_bounded_state(spark):
     est2 = {r["tok"]: r["n_cms"]
             for r in sketch.cms_estimate(sk2, q, depth=3, width=2048).collect()}
     assert all(v == 30 for v in est2.values())
+
+
+def test_epoch_shuffle_reproducible_and_decorrelated(spark):
+    from pyp_etl_pipeline_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    e0a = sorted(map(tuple, epoch_shuffle(df, epoch=0).collect()))
+    e0b = sorted(map(tuple, epoch_shuffle(df.repartition(7), epoch=0).collect()))
+    assert e0a == e0b  # crash-resume reproducibility, layout-independent
+    e1 = sorted(map(tuple, epoch_shuffle(df, epoch=1).collect()))
+    # same content set, different training order/shards
+    assert {r[0] for r in e0a} == {r[0] for r in e1}
+    order0 = sorted((r[2], r[0]) for r in e0a)  # (order_key, doc_id)
+    order1 = sorted((r[2], r[0]) for r in e1)
+    assert [d for _, d in order0] != [d for _, d in order1]
+    shards0 = {r[0]: r[3] for r in e0a}
+    shards1 = {r[0]: r[3] for r in e1}
+    assert any(shards0[d] != shards1[d] for d in shards0)
