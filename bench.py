@@ -148,11 +148,14 @@ def main() -> None:
             print(f"bench: {name} FAILED: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    # extended queries: warm once, then min-of-2 — a single-shot timing
+    # on this shared microVM swings 2-3x and gets recorded as if real
+    ext_iters = int(os.environ.get("SPARK_GRAFT_BENCH_EXT_ITERS", "2"))
     extended: dict[str, float] = {}
     for name in EXTENDED:
         try:
             run_one(spark, name, warm_dir)
-            extended[name] = round(run_one(spark, name, sf_dir), 3)
+            extended[name] = round(min(run_one(spark, name, sf_dir) for _ in range(ext_iters)), 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} FAILED: {type(exc).__name__}: {exc}", file=sys.stderr)
             extended[name] = -1.0
