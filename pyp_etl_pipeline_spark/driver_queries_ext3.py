@@ -1,10 +1,15 @@
 """Driver-contract queries, part 3: validators (F3/F4), text T4/T6,
 ordering/limits (O7), summaries (A3/A5), set ops (U2/E3), date functions,
-streaming sliding windows, multimodal plumbing.
+streaming sliding windows, multimodal plumbing — plus the round-7
+analytics tier: gap fill (gf01), inverted index (ii01), histogram
+quantiles (qt01), linkage eval (ev01), WordPiece apply (tk02),
+incremental rollup (ia01), BM25 (bm01), partition pruning (pt01),
+stream-stream left outer (st09), JSON extraction (js01), anomaly screen
+(ad01), winsorize (wz01), WHT spectrum (mm08), compaction plan (cp01),
+readability (tx15), table profiler (pf01), epoch shuffle (ep01).
 
-Each query has a DuckDB oracle twin unless the operator is genuinely not
-SQL-expressible (mapInPandas multimodal stub — rows-only check, golden
-tests in pytest cover the values).
+Every query has a DuckDB oracle twin (the recursive-CTE walks make even
+the greedy/iterative ones exactly replayable).
 """
 
 from __future__ import annotations
