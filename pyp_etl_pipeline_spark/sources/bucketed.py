@@ -63,9 +63,10 @@ def write_date_partitioned(
     """Persist with Hive-style date partitioning (``.../event_date=D/``)
     — the other half of the storage-layout story next to bucketing: at
     100 TB, time-scoped queries must PRUNE partitions at plan time, not
-    filter rows after a full scan. Combined with dynamic partition
-    overwrite (the session default), a daily re-run replaces only the
-    day it touches."""
+    filter rows after a full scan. For a daily re-run that replaces
+    only the day it touches, write via
+    ``sources/sinks.write_partitioned_overwrite`` (dynamic partition
+    overwrite, set per call — NOT a session default)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     (
