@@ -182,6 +182,7 @@ def main() -> None:
     for path, key, total_key in (
         ("BENCH_ANCHOR.json", "vs_anchor", "vs_anchor_total"),
         ("BENCH_ANCHOR_R6.json", "vs_anchor_r6", "vs_anchor_r6_total"),
+        ("BENCH_ANCHOR_R7.json", "vs_anchor_r7", "vs_anchor_r7_total"),
     ):
         anchor_path = os.path.join(REPO, path)
         if not os.path.exists(anchor_path):
