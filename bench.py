@@ -87,6 +87,7 @@ EXTENDED = [
     "tx15_readability",
     "pf01_table_profile",
     "ep01_epoch_shuffle",
+    "tc01_triangle_census",
 ]
 
 HEADLINE = [

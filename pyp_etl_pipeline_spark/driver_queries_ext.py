@@ -3495,6 +3495,7 @@ _DRIVER_PRIORITY = [
     "tx15_readability",
     "pf01_table_profile",
     "ep01_epoch_shuffle",
+    "tc01_triangle_census",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

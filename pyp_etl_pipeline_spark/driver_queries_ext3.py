@@ -2129,7 +2129,69 @@ SELECT CAST(epoch AS INT) AS epoch, shard,
 FROM s GROUP BY 1, 2
 """
 
+
+# --------------------------------------------------------------------------
+# tc01: degree-oriented triangle census of the supplier co-purchase graph
+# --------------------------------------------------------------------------
+
+def tc01_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    co-purchase graph (suppliers sharing an order), via the
+    degree-oriented compact-forward join (operators/graph.
+    triangle_stats) — out-degree bounded O(sqrt(m)) after orientation,
+    so the wedge join survives hub-heavy graphs where naive id-ordering
+    explodes."""
+    from pyp_etl_pipeline_spark.operators.graph import triangle_stats  # noqa: PLC0415
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_stats(edges)
+
+
+TC01_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY 1
+),
+ed AS (
+  SELECT e0.a, e0.b, da.d AS da, db.d AS db
+  FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+),
+fwd AS (
+  SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dv
+  FROM ed
+),
+w2 AS (
+  SELECT x.u, x.v, x.dv, y.v AS w, y.dv AS dw
+  FROM fwd x JOIN fwd y ON x.u = y.u
+  WHERE (x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v)
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM w2 JOIN fwd f ON f.u = w2.v AND f.v = w2.w
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes, sum(d) AS deg_sum,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, CAST(deg_sum // 2 AS BIGINT) AS n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT) END AS gcc_micro
+FROM st, tri
+"""
+
 QUERIES3 = {
+    "tc01_triangle_census": (tc01_triangle_census, TC01_SQL),
     "ep01_epoch_shuffle": (ep01_epoch_shuffle, EP01_SQL),
     "pf01_table_profile": (pf01_table_profile, PF01_SQL),
     "tx15_readability": (tx15_readability, TX15_SQL),

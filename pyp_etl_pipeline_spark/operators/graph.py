@@ -82,3 +82,76 @@ def pagerank(
             .localCheckpoint()
         )
     return pr.select("node", "pr")
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of an undirected graph — one row:
+    n_nodes, n_edges, n_wedges, n_triangles, and the global clustering
+    coefficient in integer micro-units (3T·1e6 DIV wedges).
+
+    The scale-correct algorithm, not the naive one: edges are ORIENTED
+    from the lower to the higher endpoint in (degree, node) order
+    (degree ordering = the compact-forward / Latapy trick), which turns
+    the graph into a DAG whose max out-degree is O(sqrt(m)) — so the
+    wedge join (out-neighbor pairs per source) is bounded per node even
+    on hub-heavy power-law graphs, where the naive a<b orientation
+    explodes on the hubs. Each triangle is then counted exactly once by
+    closing the (v, w) pair with the oriented edge between them. Three
+    hash joins + map-side-combinable aggregates; everything integer.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    fwd = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x = fwd.select(F.col("u"), F.col("v"), F.col("dv"))
+    y = fwd.select(F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw"))
+    # out-neighbor pairs per source, ordered by the SAME (degree, node)
+    # key as the orientation, so the closing edge is exactly fwd(v, w)
+    wedges2 = x.join(y, "u").filter(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    closed = wedges2.join(
+        fwd.select(F.col("u").alias("v"), F.col("v").alias("w")), ["v", "w"]
+    )
+    tri = closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("d").alias("__deg_sum"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    return (
+        stats.join(tri)
+        .select(
+            "n_nodes",
+            F.expr("__deg_sum DIV 2").cast("long").alias("n_edges"),
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "IF(n_wedges > 0, (3 * n_triangles * 1000000) DIV n_wedges, NULL)"
+            ).cast("long").alias("gcc_micro"),
+        )
+    )

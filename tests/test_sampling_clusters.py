@@ -385,3 +385,26 @@ def test_epoch_shuffle_reproducible_and_decorrelated(spark):
     shards0 = {r[0]: r[3] for r in e0a}
     shards1 = {r[0]: r[3] for r in e1}
     assert any(shards0[d] != shards1[d] for d in shards0)
+
+
+def test_triangle_stats_known_graphs(spark):
+    from pyp_etl_pipeline_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 6 edges, 12 wedges, gcc = 1
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["gcc_micro"] == 1_000_000
+
+    # hub star (no triangles) + one closed triangle hanging off it;
+    # duplicate + reversed edges must canonicalize away
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 1), (1, 2), (10, 11), (11, 12), (10, 12)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_stats(g).collect()[0]
+    assert r["n_triangles"] == 2  # (0,1,2) and (10,11,12)
+    assert r["n_edges"] == 5 + 1 + 3
+    # partition invariance
+    again = triangle_stats(g.repartition(5)).collect()[0]
+    assert tuple(r) == tuple(again)
