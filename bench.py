@@ -88,6 +88,7 @@ EXTENDED = [
     "pf01_table_profile",
     "ep01_epoch_shuffle",
     "tc01_triangle_census",
+    "bf01_bloom_decontaminate",
 ]
 
 HEADLINE = [

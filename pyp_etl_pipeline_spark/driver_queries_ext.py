@@ -3496,6 +3496,7 @@ _DRIVER_PRIORITY = [
     "pf01_table_profile",
     "ep01_epoch_shuffle",
     "tc01_triangle_census",
+    "bf01_bloom_decontaminate",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

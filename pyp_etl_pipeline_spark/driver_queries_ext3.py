@@ -2190,7 +2190,101 @@ SELECT n_nodes, CAST(deg_sum // 2 AS BIGINT) AS n_edges, n_wedges, n_triangles,
 FROM st, tri
 """
 
+
+# --------------------------------------------------------------------------
+# bf01: Bloom-filter decontamination pre-screen vs exact semi-join
+# --------------------------------------------------------------------------
+
+def bf01_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """dc01's decontamination with a BLOOM pre-screen: the eval set's
+    shingles build an engine-portable bitset (operators/sketch.
+    bloom_build — the sketch for when even the distinct eval-shingle
+    set is too big to broadcast exactly), corpus shingles probe it, and
+    the result reports bloom flags NEXT TO the exact semi-join flags —
+    certifying the no-false-negative guarantee row by row (flagged_exact
+    implies flagged_bloom) and measuring the false-positive cost."""
+    from pyp_etl_pipeline_spark.operators.dedup import word_shingles  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    bench_sh = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(F.explode(word_shingles("text")).alias("shingle"))
+        .distinct()
+    )
+    corpus_sh = (
+        d.filter(F.col("doc_id") % 25 != 0)
+        .select(F.col("doc_id"), F.explode(word_shingles("text")).alias("shingle"))
+        .distinct()
+    )
+    bloom = _sketch.bloom_build(bench_sh, "shingle")
+    probed = _sketch.bloom_probe(corpus_sh, bloom, "shingle")
+    exact = corpus_sh.join(bench_sh, "shingle").select("doc_id").distinct().withColumn(
+        "flagged_exact", F.lit(True)
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.col("might_contain").cast("long")).cast("long").alias("n_bloom_hits"),
+    )
+    return (
+        per_doc.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") > 0).alias("flagged_bloom"),
+            F.coalesce(F.col("flagged_exact"), F.lit(False)).alias("flagged_exact"),
+        )
+    )
+
+
+def _bf01_sql(n_bits: int = 8192, k: int = 4, salt: str = "bloom-v1") -> str:
+    from pyp_etl_pipeline_spark.driver_queries import sql_shingles as _sqsh  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators.sketch import sql_h48  # noqa: PLC0415
+
+    pos_sel = ", ".join(
+        f"{sql_h48('shingle', f'{salt}:{r}')} % {n_bits} AS p{r}" for r in range(k)
+    )
+    probe_pos = ", ".join(f"p{r}" for r in range(k))
+    return f"""
+WITH t AS (SELECT doc_id, string_split({_snt("text")}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {_sqsh("toks")} AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 25 = 0),
+corpus AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id % 25 <> 0),
+bpos AS (SELECT {pos_sel} FROM bench),
+bits AS (
+  SELECT word, bit_or(mask) AS bits FROM (
+    {" UNION ALL ".join(f"SELECT p{r} // 63 AS word, (1::BIGINT << CAST(p{r} % 63 AS INT)) AS mask FROM bpos" for r in range(k))}
+  ) GROUP BY 1
+),
+cpos AS (SELECT doc_id, shingle, {pos_sel} FROM corpus),
+cw AS (
+  {" UNION ALL ".join(f"SELECT doc_id, shingle, p{r} AS pos FROM cpos" for r in range(k))}
+),
+hits AS (
+  SELECT c.doc_id, c.shingle,
+         CAST(count(CASE WHEN (b.bits & (1::BIGINT << CAST(c.pos % 63 AS INT))) <> 0 THEN 1 END) AS BIGINT) AS n_set
+  FROM cw c LEFT JOIN bits b ON b.word = c.pos // 63
+  GROUP BY 1, 2
+),
+probed AS (SELECT doc_id, shingle, n_set = {k} AS might_contain FROM hits),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN might_contain THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+  FROM probed GROUP BY 1
+),
+exact AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench USING (shingle))
+SELECT p.doc_id, p.n_shingles, p.n_bloom_hits,
+       p.n_bloom_hits > 0 AS flagged_bloom,
+       e.doc_id IS NOT NULL AS flagged_exact
+FROM per_doc p LEFT JOIN exact e ON p.doc_id = e.doc_id
+"""
+
+
+BF01_SQL = _bf01_sql()
+
 QUERIES3 = {
+    "bf01_bloom_decontaminate": (bf01_bloom_decontaminate, BF01_SQL),
     "tc01_triangle_census": (tc01_triangle_census, TC01_SQL),
     "ep01_epoch_shuffle": (ep01_epoch_shuffle, EP01_SQL),
     "pf01_table_profile": (pf01_table_profile, PF01_SQL),

@@ -339,3 +339,69 @@ def winsorized_stats(
         mean_of("__sm").alias("raw_mean_micro"),
         mean_of("__sw").alias("winsorized_mean_micro"),
     )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    n_bits: int = 8192,
+    k: int = 4,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Engine-portable Bloom filter as a SPARSE BITSET RELATION
+    (word, bits): position r = h48(item || salt:r) mod n_bits, word =
+    pos DIV 64, and a map-side-combinable ``bit_or`` folds the masks.
+    Completes the module's mergeable-sketch family (HLL, count-min,
+    histogram): filters over disjoint batches MERGE by bit_or on word,
+    the bitset is at most n_bits/64 rows (broadcastable at any corpus
+    size), and — like the others — it is built on the deterministic md5
+    stream, so the same items produce the same bits on any engine. The
+    Bloom guarantee holds by construction: probes have NO false
+    negatives, and false positives are bounded by the fill factor."""
+    pos = F.explode(
+        F.array(*[F.pmod(_h48(F.col(item_col), f"{salt}:{r}"), F.lit(n_bits)) for r in range(k)])
+    )
+    rows = items.select(pos.alias("pos"))
+    # 63-bit words: shift stays <= 62, below BOTH engines' signed-shift
+    # edge (DuckDB raises on 1 << 63; Java wraps silently) — same layout
+    # on each side by construction
+    return (
+        rows.select(
+            F.expr("pos DIV 63").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    item_col: str,
+    n_bits: int = 8192,
+    k: int = 4,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """``might_contain`` per probe row: all k positions set. The probe
+    side explodes to k rows, joins the BROADCAST bitset on word, and a
+    per-probe count of set positions == k decides membership — the probe
+    relation never shuffles on content. Output: input columns +
+    ``might_contain`` boolean."""
+    cols = probes.columns
+    pr = probes.select(
+        "*",
+        F.posexplode(
+            F.array(*[F.pmod(_h48(F.col(item_col), f"{salt}:{r}"), F.lit(n_bits)) for r in range(k)])
+        ).alias("__r", "__pos"),
+    ).select(
+        "*",
+        F.expr("__pos DIV 63").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))").alias("__mask"),
+    )
+    j = pr.join(F.broadcast(bloom), "word", "left")
+    hit = ((F.col("bits").isNotNull()) & (F.col("bits").bitwiseAND(F.col("__mask")) != 0)).cast("int")
+    return (
+        j.groupBy(*cols)
+        .agg((F.sum(hit) == F.lit(k)).alias("might_contain"))
+    )

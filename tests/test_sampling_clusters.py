@@ -408,3 +408,26 @@ def test_triangle_stats_known_graphs(spark):
     # partition invariance
     again = triangle_stats(g.repartition(5)).collect()[0]
     assert tuple(r) == tuple(again)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    members = spark.createDataFrame([(f"item{i}",) for i in range(300)], "v string")
+    others = spark.createDataFrame([(f"other{i}",) for i in range(300)], "v string")
+    bloom = sketch.bloom_build(members, "v", n_bits=4096, k=4)
+    # every member MUST probe positive (the Bloom guarantee)
+    got = sketch.bloom_probe(members, bloom, "v", n_bits=4096, k=4)
+    assert all(r["might_contain"] for r in got.collect())
+    # non-members mostly negative (fp rate bounded; 4096 bits / 300*4 set -> low)
+    neg = sketch.bloom_probe(others, bloom, "v", n_bits=4096, k=4).collect()
+    fp = sum(1 for r in neg if r["might_contain"])
+    assert fp < 30
+    # merge property: union-built filter == bit_or of the two halves
+    h1 = sketch.bloom_build(members.filter("v < 'item2'"), "v", n_bits=4096, k=4)
+    h2 = sketch.bloom_build(members.filter("v >= 'item2'"), "v", n_bits=4096, k=4)
+    from pyspark.sql import functions as F
+
+    merged = h1.unionByName(h2).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    direct = {r["word"]: r["bits"] for r in bloom.collect()}
+    assert {r["word"]: r["bits"] for r in merged.collect()} == direct
