@@ -2144,17 +2144,31 @@ def tc01_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.operators.graph import triangle_stats  # noqa: PLC0415
 
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # one month of orders: the full-history co-purchase graph converges
+    # to a complete graph as sf grows (every supplier eventually shares
+    # SOME order with every other) — the time slice keeps it sparse,
+    # which is the regime the degree-oriented algorithm is for
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-01-31"))
+        .select(F.col("o_orderkey").alias("k"))
+    )
     x = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
     y = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
-    edges = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    edges = x.join(y, "k").join(o, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return triangle_stats(edges)
 
 
 TC01_SQL = """
-WITH e0 AS (
+WITH om AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+),
+e0 AS (
   SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
   FROM lineitem x JOIN lineitem y
     ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  JOIN om ON om.o_orderkey = x.l_orderkey
 ),
 deg AS (
   SELECT n, CAST(count(*) AS BIGINT) AS d

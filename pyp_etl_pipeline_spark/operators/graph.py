@@ -108,6 +108,11 @@ def triangle_stats(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        # anchored: e feeds degree, the orientation join and (via fwd)
+        # three more consumers — without the checkpoint Catalyst clones
+        # the whole dedup subtree per consumer and the plan re-derives
+        # the edge set ~6x (the gr01 anchoring precedent)
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -126,7 +131,7 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint()  # consumed by both wedge sides and the closing join
     x = fwd.select(F.col("u"), F.col("v"), F.col("dv"))
     y = fwd.select(F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw"))
     # out-neighbor pairs per source, ordered by the SAME (degree, node)
