@@ -3497,6 +3497,7 @@ _DRIVER_PRIORITY = [
     "ep01_epoch_shuffle",
     "tc01_triangle_census",
     "bf01_bloom_decontaminate",
+    "st10_streaming_materialized_rollup",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

@@ -2297,7 +2297,64 @@ FROM per_doc p LEFT JOIN exact e ON p.doc_id = e.doc_id
 
 BF01_SQL = _bf01_sql()
 
+
+# --------------------------------------------------------------------------
+# st10: streaming materialized rollup — incremental state merge per batch
+# --------------------------------------------------------------------------
+
+def st10_streaming_materialized_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming face of ia01: events arrive in micro-batches (the
+    scratch dir splits the feed into two files, maxFilesPerTrigger=1),
+    and foreachBatch folds each batch's PARTIAL STATE into a persisted
+    state table via the associative merge (operators/incremental) —
+    O(batch + |state|) per trigger, never a re-read of history. The
+    final materialized state, finalized at read time, must equal the
+    single-pass batch aggregate over ALL events — which is exactly what
+    the oracle computes."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.operators import incremental as incr  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.streaming.events import read_events_stream  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.tables import load_table as _lt  # noqa: PLC0415
+
+    scratch = os.path.join(tempfile.gettempdir(), "pyp_st10_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    for tag, flt in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        part_dir = scratch + "_" + tag
+        raw.filter(flt).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(part_dir, part), os.path.join(scratch, f"{tag}.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+    state = {"scalars": None, "regs": None, "n_batches": 0}
+
+    def fold_batch(batch_df, batch_id):  # noqa: ANN001
+        s = incr.agg_state(batch_df)
+        if state["scalars"] is not None:
+            s = incr.merge_states((state["scalars"], state["regs"]), s)
+        # anchor the merged state so lineage does not grow per batch
+        state["scalars"] = s[0].localCheckpoint()
+        state["regs"] = s[1].localCheckpoint()
+        state["n_batches"] += 1
+
+    stream = read_events_stream(spark, scratch, glob="*.parquet", max_files_per_trigger=1)
+    name = "st10_" + uuid.uuid4().hex[:8]
+    q = stream.writeStream.foreachBatch(fold_batch).queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    assert state["n_batches"] >= 2, "split feed must arrive as multiple micro-batches"
+    return incr.finalize_state((state["scalars"], state["regs"]))
+
+
+ST10_SQL = IA01_SQL
+
 QUERIES3 = {
+    "st10_streaming_materialized_rollup": (st10_streaming_materialized_rollup, ST10_SQL),
     "bf01_bloom_decontaminate": (bf01_bloom_decontaminate, BF01_SQL),
     "tc01_triangle_census": (tc01_triangle_census, TC01_SQL),
     "ep01_epoch_shuffle": (ep01_epoch_shuffle, EP01_SQL),

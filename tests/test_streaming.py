@@ -246,3 +246,18 @@ def test_stream_stream_left_outer_emits_null_rows(spark):
     expected = sorted(map(tuple, batch.collect()))
     assert rows == expected
     assert any(r[2] is None for r in rows)  # genuine null-emission happened
+
+
+def test_streaming_materialized_rollup_equals_batch(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import st10_streaming_materialized_rollup
+    from pyp_etl_pipeline_spark.operators import incremental
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, st10_streaming_materialized_rollup(spark, sf).collect()))
+    direct = sorted(
+        map(tuple, incremental.finalize_state(
+            incremental.agg_state(load_table(spark, sf, "events"))
+        ).collect())
+    )
+    assert got == direct
