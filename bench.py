@@ -89,6 +89,7 @@ EXTENDED = [
     "ep01_epoch_shuffle",
     "tc01_triangle_census",
     "bf01_bloom_decontaminate",
+    "w10_ohlc_bars",
 ]
 
 HEADLINE = [

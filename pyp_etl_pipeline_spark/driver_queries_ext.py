@@ -3498,6 +3498,7 @@ _DRIVER_PRIORITY = [
     "tc01_triangle_census",
     "bf01_bloom_decontaminate",
     "st10_streaming_materialized_rollup",
+    "w10_ohlc_bars",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

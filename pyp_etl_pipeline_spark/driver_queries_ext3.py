@@ -2353,7 +2353,55 @@ def st10_streaming_materialized_rollup(spark: SparkSession, sf: str) -> DataFram
 
 ST10_SQL = IA01_SQL
 
+
+# --------------------------------------------------------------------------
+# w10: OHLC bars (first/last-by-order aggregates, no window sort)
+# --------------------------------------------------------------------------
+
+def w10_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are min_by/max_by on
+    a single integer ordering key (epoch*1e7 + event_id — total order,
+    no struct comparison portability risk), high/low plain min/max.
+    The candlestick/telemetry shape WITHOUT a per-bucket sort or
+    window: one map-side-combinable aggregate, the first/last values
+    ride along as arg-min/arg-max state."""
+    e = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ord_key = (
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)") * F.lit(10_000_000)
+        + F.col("event_id")
+    )
+    pre = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+        "value",
+        ord_key.alias("__o"),
+    )
+    return pre.groupBy("window_start", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min_by("value", F.col("__o")).alias("open"),
+        F.max_by("value", F.col("__o")).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+
+
+W10_SQL = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS o
+  FROM events WHERE value IS NOT NULL
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       arg_min(value, o) AS open,
+       arg_max(value, o) AS close,
+       max(value) AS high,
+       min(value) AS low
+FROM e GROUP BY 1, 2
+"""
+
 QUERIES3 = {
+    "w10_ohlc_bars": (w10_ohlc_bars, W10_SQL),
     "st10_streaming_materialized_rollup": (st10_streaming_materialized_rollup, ST10_SQL),
     "bf01_bloom_decontaminate": (bf01_bloom_decontaminate, BF01_SQL),
     "tc01_triangle_census": (tc01_triangle_census, TC01_SQL),

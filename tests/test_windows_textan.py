@@ -677,3 +677,33 @@ def test_readability_features(spark):
     assert out[2]["flesch_micro"] is None and out[2]["n_words"] == 0
     # single word, no sentence punctuation -> 'word' is one sentence
     assert out[3]["n_sentences"] == 1 and out[3]["flesch_micro"] is not None
+
+
+def test_ohlc_bars(spark):
+    import datetime as dt
+
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import w10_ohlc_bars  # noqa: F401
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "t", dt.datetime(2024, 1, 1, 9, 0), 10.0),
+        (2, "t", dt.datetime(2024, 1, 1, 9, 15), 99.0),
+        (3, "t", dt.datetime(2024, 1, 1, 9, 30), 1.0),
+        (4, "t", dt.datetime(2024, 1, 1, 9, 45), 42.0),
+        # same second as event 1: event_id breaks the tie for OPEN
+        (0, "t", dt.datetime(2024, 1, 1, 9, 0), 7.0),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, value double")
+    ord_key = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)") * F.lit(10_000_000) + F.col("event_id")
+    out = (
+        e.select(F.date_trunc("hour", "ts").alias("w"), "event_type", "value", ord_key.alias("o"))
+        .groupBy("w", "event_type")
+        .agg(
+            F.min_by("value", "o").alias("open"),
+            F.max_by("value", "o").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .collect()[0]
+    )
+    assert (out["open"], out["close"], out["high"], out["low"]) == (7.0, 42.0, 99.0, 1.0)
