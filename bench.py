@@ -90,6 +90,7 @@ EXTENDED = [
     "tc01_triangle_census",
     "bf01_bloom_decontaminate",
     "w10_ohlc_bars",
+    "mm09_image_dhash",
 ]
 
 HEADLINE = [

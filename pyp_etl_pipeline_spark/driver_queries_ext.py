@@ -3499,6 +3499,7 @@ _DRIVER_PRIORITY = [
     "bf01_bloom_decontaminate",
     "st10_streaming_materialized_rollup",
     "w10_ohlc_bars",
+    "mm09_image_dhash",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

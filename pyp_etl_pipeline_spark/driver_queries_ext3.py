@@ -2400,7 +2400,86 @@ SELECT window_start, event_type,
 FROM e GROUP BY 1, 2
 """
 
+
+# --------------------------------------------------------------------------
+# mm09: perceptual image hash (dHash) from real decoded PNG pixels
+# --------------------------------------------------------------------------
+
+def mm09_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """dHash per synthesized 16x8 patterned PNG
+    (multimodal/binary_ops.dhash_features): payload bytes -> zlib
+    inflate -> scanline unfilter -> sampled luminance lattice -> 64
+    gradient bits as two 32-bit halves. The twin recomputes every bit
+    from the closed-form pixel pattern, so stride/unfilter/sampling
+    bugs break the hash — and the hash itself is the image-side SimHash
+    for near-duplicate image dedup."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        dhash_features,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    repo_root = REPO_ROOT
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import png_encode_gray_pixels  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rows = [
+                    [(i * 7 + x * 13 + y * 31) % 256 for x in range(16)]
+                    for y in range(8)
+                ]
+                payloads.append(png_encode_gray_pixels(rows))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return dhash_features(media)
+
+
+def _mm09_sql(grid: int = 8, w: int = 16, h: int = 8) -> str:
+    # sampled luminance v(x, y) = (i*7 + sx(x)*13 + sy(y)*31) % 256
+    def v(xe: str, y: int) -> str:
+        return f"((doc_id * 7 + (({xe}) * {w} // {grid + 1}) * 13 + {(y * h // grid) * 31}) % 256)"
+
+    half = grid // 2
+
+    def half_sum(y0: int, y1: int) -> str:
+        terms = []
+        for y in range(y0, y1):
+            for x in range(grid):
+                bit = f"CASE WHEN {v(str(x + 1), y)} > {v(str(x), y)} THEN (1::BIGINT << {((y - y0) * grid + x)}) ELSE 0::BIGINT END"
+                terms.append(bit)
+        return "(" + " + ".join(terms) + ")"
+
+    def nbits() -> str:
+        terms = []
+        for y in range(grid):
+            for x in range(grid):
+                terms.append(f"CASE WHEN {v(str(x + 1), y)} > {v(str(x), y)} THEN 1 ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+SELECT doc_id AS media_id, CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+       CAST({half_sum(0, half)} AS BIGINT) AS dhash_lo,
+       CAST({half_sum(half, grid)} AS BIGINT) AS dhash_hi,
+       CAST({nbits()} AS INT) AS n_gradient_bits
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+MM09_SQL = _mm09_sql()
+
 QUERIES3 = {
+    "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
     "w10_ohlc_bars": (w10_ohlc_bars, W10_SQL),
     "st10_streaming_materialized_rollup": (st10_streaming_materialized_rollup, ST10_SQL),
     "bf01_bloom_decontaminate": (bf01_bloom_decontaminate, BF01_SQL),

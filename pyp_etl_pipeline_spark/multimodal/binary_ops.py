@@ -413,3 +413,74 @@ def hadamard_spectrum(
             yield pd.DataFrame(rows, columns=["media_id", "band", "energy"])
 
     return df.mapInPandas(op, schema="media_id long, band int, energy long")
+
+
+def dhash_features(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image from REAL decoded
+    PNG pixels: sample a (grid+1) x grid luminance lattice at
+    ``(x*w DIV (grid+1), y*h DIV grid)`` (nearest-sample dHash — the
+    fast-implementation variant; all-integer, so the hash is exactly
+    reproducible on any engine) and set bit (y*grid + x) when the
+    right sample is brighter than the left. Near-duplicate images then
+    pair by Hamming distance over these 64 bits — the image-side
+    analog of SimHash text dedup. Hash ships as two 32-bit halves
+    (lo = rows 0..grid/2-1) so no engine touches the signed bit-63
+    shift edge. Map-only Arrow batches; non-PNG strays drop out."""
+    repo_root = REPO_ROOT
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
+        import sys  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal import codecs  # noqa: PLC0415
+
+        half = grid // 2
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    px, w, h, bpp = codecs.png_decode_pixels(p)
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    continue
+
+                def lum(x: int, y: int) -> int:
+                    if bpp == 1:
+                        return int(px[y, x])
+                    r, g, b = (int(px[y, x * 3 + c]) for c in range(3))
+                    return (r + 2 * g + b) // 4
+
+                sx = [x * w // (grid + 1) for x in range(grid + 1)]
+                sy = [y * h // grid for y in range(grid)]
+                lo = hi = 0
+                n_bits = 0
+                for yi in range(grid):
+                    for x in range(grid):
+                        bit = 1 if lum(sx[x + 1], sy[yi]) > lum(sx[x], sy[yi]) else 0
+                        n_bits += bit
+                        if yi < half:
+                            lo |= bit << (yi * grid + x)
+                        else:
+                            hi |= bit << ((yi - half) * grid + x)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "dhash_lo": lo,
+                        "dhash_hi": hi,
+                        "n_gradient_bits": n_bits,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "dhash_lo", "dhash_hi", "n_gradient_bits"],
+            )
+
+    return df.mapInPandas(
+        op,
+        schema="media_id long, width int, height int, dhash_lo long, dhash_hi long, n_gradient_bits int",
+    )

@@ -114,12 +114,11 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
-def png_decode(payload: bytes) -> dict:
-    """Real PNG decode: IHDR fields + unfiltered pixels -> mean value.
-
-    Returns {width, height, bit_depth, color_type, mean_val}. Supports
-    bit depth 8, color types 0 (gray) and 2 (rgb), no interlace.
-    """
+def png_decode_pixels(payload: bytes) -> tuple["np.ndarray", int, int, int]:
+    """Full PNG pixel decode: (pixels (height x stride) uint8, width,
+    height, bpp). The raw-pixel accessor shared by the stats decode
+    (``png_decode``) and perceptual hashing
+    (``binary_ops.dhash_features``)."""
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG (signature mismatch)")
     pos = 8
@@ -152,13 +151,48 @@ def png_decode(payload: bytes) -> dict:
     if raw.size != height * (stride + 1):
         raise ValueError("PNG pixel data size mismatch")
     pixels = _unfilter(raw, height, stride, bpp)
+    return pixels, int(width), int(height), bpp
+
+
+def png_decode(payload: bytes) -> dict:
+    """Real PNG decode: IHDR fields + unfiltered pixels -> mean value.
+
+    Returns {width, height, bit_depth, color_type, mean_val}. Supports
+    bit depth 8, color types 0 (gray) and 2 (rgb), no interlace.
+    """
+    pixels, width, height, bpp = png_decode_pixels(payload)
     return {
-        "width": int(width),
-        "height": int(height),
-        "bit_depth": int(bit_depth),
-        "color_type": int(color_type),
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "color_type": 0 if bpp == 1 else 2,
         "mean_val": float(pixels.mean()),
     }
+
+
+def png_encode_gray_pixels(rows: list[list[int]]) -> bytes:
+    """Minimal 8-bit grayscale PNG from explicit pixel rows (patterned
+    counterpart of ``png_encode_gray`` — needed by anything that tests
+    real spatial structure, e.g. perceptual hashing)."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    height = len(rows)
+    width = len(rows[0])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 # ------------------------------------------------------------------- WAV

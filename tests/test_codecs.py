@@ -344,3 +344,30 @@ def test_hadamard_spectrum_golden(spark):
     # band); pure tones stay pure through the transform
     nz = [(b, e) for (m, b), e in out.items() if m == 2 and e != 0]
     assert len(nz) == 1 and nz[0][1] == total
+
+
+def test_dhash_from_real_png_pixels(spark):
+    import pandas as pd
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import dhash_features
+    from pyp_etl_pipeline_spark.multimodal.codecs import png_encode_gray_pixels
+
+    # horizontal ramp: every left->right gradient positive -> all 64 bits set
+    ramp = png_encode_gray_pixels([[x * 10 for x in range(16)]] * 8)
+    flat = png_encode_gray_pixels([[50] * 16] * 8)
+    near = png_encode_gray_pixels(
+        [[x * 10 + (1 if (x, y) == (0, 0) else 0) for x in range(16)] for y in range(8)]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2, 3], "payload": [ramp, flat, near]}),
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in dhash_features(df).collect()}
+    assert out[1]["n_gradient_bits"] == 64
+    assert out[1]["dhash_lo"] == (1 << 32) - 1 and out[1]["dhash_hi"] == (1 << 32) - 1
+    assert out[2]["n_gradient_bits"] == 0 and out[2]["dhash_lo"] == 0
+    # a one-pixel perturbation moves the hash by at most a few bits
+    ham = bin(out[1]["dhash_lo"] ^ out[3]["dhash_lo"]).count("1") + bin(
+        out[1]["dhash_hi"] ^ out[3]["dhash_hi"]
+    ).count("1")
+    assert ham <= 2
