@@ -91,6 +91,7 @@ EXTENDED = [
     "bf01_bloom_decontaminate",
     "w10_ohlc_bars",
     "mm09_image_dhash",
+    "mm10_image_neardup_pairs",
 ]
 
 HEADLINE = [

@@ -3500,6 +3500,7 @@ _DRIVER_PRIORITY = [
     "st10_streaming_materialized_rollup",
     "w10_ohlc_bars",
     "mm09_image_dhash",
+    "mm10_image_neardup_pairs",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

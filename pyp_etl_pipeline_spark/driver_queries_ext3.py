@@ -2478,7 +2478,87 @@ FROM documents WHERE doc_id % 2 = 0
 
 MM09_SQL = _mm09_sql()
 
+
+# --------------------------------------------------------------------------
+# mm10: near-duplicate image pairs (dHash hamming, pigeonhole-blocked)
+# --------------------------------------------------------------------------
+
+def mm10_image_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup pairs: the mm09 dHashes self-join blocked on
+    4 x 16-bit hash chunks (pigeonhole: hamming <= 3 forces agreement
+    on >= 1 chunk — sh01's SimHash trick applied to images), then exact
+    hamming <= 12 verification over the candidate pairs. The synth
+    pattern (i*7 mod 256 per-pixel offset) makes doc_ids congruent
+    modulo small cycles produce genuinely similar images, so real pairs
+    exist. Never all-pairs: candidates come from chunk-equality
+    buckets."""
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import dhash_features  # noqa: PLC0415
+
+    # same media as mm09
+    hashed = mm09_image_dhash(spark, sf).select("media_id", "dhash_lo", "dhash_hi")
+    chunks = hashed.select(
+        "media_id",
+        "dhash_lo",
+        "dhash_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("c"), (F.col("dhash_lo") % 65536).alias("v")),
+                F.struct(F.lit(1).alias("c"), F.expr("dhash_lo DIV 65536").alias("v")),
+                F.struct(F.lit(2).alias("c"), (F.col("dhash_hi") % 65536).alias("v")),
+                F.struct(F.lit(3).alias("c"), F.expr("dhash_hi DIV 65536").alias("v")),
+            )
+        ).alias("ch"),
+    ).select("media_id", "dhash_lo", "dhash_hi", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        "c",
+        "v",
+    )
+    b = chunks.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        "c",
+        "v",
+    )
+    cand = (
+        a.join(b, ["c", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 12)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+MM10_SQL = f"""
+WITH h AS ({{MM09_BODY}}),
+hh AS (SELECT media_id, dhash_lo, dhash_hi FROM h),
+pairs AS (
+  SELECT x.media_id AS id_a, y.media_id AS id_b,
+         CAST(bit_count(xor(x.dhash_lo, y.dhash_lo))
+              + bit_count(xor(x.dhash_hi, y.dhash_hi)) AS INT) AS hamming,
+         (x.dhash_lo % 65536 = y.dhash_lo % 65536
+          OR x.dhash_lo // 65536 = y.dhash_lo // 65536
+          OR x.dhash_hi % 65536 = y.dhash_hi % 65536
+          OR x.dhash_hi // 65536 = y.dhash_hi // 65536) AS chunk_match
+  FROM hh x JOIN hh y ON x.media_id < y.media_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12 AND chunk_match
+"""
+MM10_SQL = MM10_SQL.replace("{MM09_BODY}", MM09_SQL)
+
 QUERIES3 = {
+    "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
     "w10_ohlc_bars": (w10_ohlc_bars, W10_SQL),
     "st10_streaming_materialized_rollup": (st10_streaming_materialized_rollup, ST10_SQL),
