@@ -92,6 +92,7 @@ EXTENDED = [
     "w10_ohlc_bars",
     "mm09_image_dhash",
     "mm10_image_neardup_pairs",
+    "ann06_ivfpq_topk",
 ]
 
 HEADLINE = [

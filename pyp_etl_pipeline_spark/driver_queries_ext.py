@@ -3501,6 +3501,7 @@ _DRIVER_PRIORITY = [
     "w10_ohlc_bars",
     "mm09_image_dhash",
     "mm10_image_neardup_pairs",
+    "ann06_ivfpq_topk",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

@@ -2557,7 +2557,163 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12 AND chunk_match
 """
 MM10_SQL = MM10_SQL.replace("{MM09_BODY}", MM09_SQL)
 
+
+# --------------------------------------------------------------------------
+# ann06: IVF-PQ — coarse inverted lists + ADC, the production ANN shape
+# --------------------------------------------------------------------------
+
+def ann06_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """FAISS-style IVF8,PQ4x8: a full-dim 8-centroid coarse quantizer
+    (exact integer Lloyd's, 1 iter) partitions the corpus; each query
+    probes its 2 nearest lists and ranks them by PQ asymmetric distance
+    (similarity.ivfpq_topk). The twin replays coarse training, vector
+    assignment, probe selection, PQ training, encoding, LUTs and ADC —
+    every stage on the same integers, hash-certified."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
+
+    emb = _load_corpus(spark, sf, "embeddings")
+    coarse = _sim.kmeans_fit(emb, k=8, n_iter=1)
+    books = _sim.pq_fit(emb, m=4, ksub=8, n_iter=1)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = _sim.ivfpq_topk(emb, q, coarse, books, nprobe=2, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("match_rank"),
+        "adc_dist",
+        F.col("vcid").cast("int").alias("vcid"),
+    )
+
+
+def _ann06_sql(
+    m: int = 4, ksub: int = 8, kc: int = 8, nprobe: int = 2, dim: int = 64, k: int = 5
+) -> str:
+    dsub = dim // m
+    micro = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+
+    def dist(a: str, b: str, n: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {n}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [f"WITH e AS (SELECT vec_id, {micro} AS xm FROM embeddings)"]
+    # coarse quantizer: seeds = kc smallest ids, ONE Lloyd iteration
+    parts.append(
+        f"""cc0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, xm AS cm
+  FROM (SELECT vec_id, xm FROM e ORDER BY vec_id LIMIT {kc}))"""
+    )
+    parts.append(
+        f"""ca1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.xm", "c.cm", dim)}, c.cid) AS rn
+    FROM e CROSS JOIN cc0 c) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""cu1 AS (
+  SELECT a.cid, t.i, CAST(floor(sum(e.xm[t.i]) / count(*) + 0.5) AS BIGINT) AS comp
+  FROM ca1 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY 1, 2)"""
+    )
+    parts.append(
+        """cc1 AS (
+  SELECT p.cid, coalesce(n.cm, p.cm) AS cm
+  FROM cc0 p LEFT JOIN
+       (SELECT cid, array_agg(comp ORDER BY i) AS cm FROM cu1 GROUP BY cid) n USING (cid))"""
+    )
+    parts.append(
+        f"""vassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.xm", "c.cm", dim)}, c.cid) AS rn
+    FROM e CROSS JOIN cc1 c) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""qprobe AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.xm", "c.cm", dim)}, c.cid) AS rn
+    FROM e CROSS JOIN cc1 c WHERE e.vec_id % 100 = 0) WHERE rn <= {nprobe})"""
+    )
+    # per-subspace PQ training / encoding / LUTs (the ann05 pattern)
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"e{s} AS (SELECT vec_id, xm[{lo}:{hi}] AS sm FROM e)")
+        parts.append(
+            f"""c0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, sm AS cm
+  FROM (SELECT vec_id, sm FROM e{s} ORDER BY vec_id LIMIT {ksub}))"""
+        )
+        parts.append(
+            f"""a1_{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.sm", "c.cm", dsub)}, c.cid) AS rn
+    FROM e{s} e CROSS JOIN c0_{s} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u1_{s} AS (
+  SELECT a.cid, t.i, CAST(floor(sum(e.sm[t.i]) / count(*) + 0.5) AS BIGINT) AS comp
+  FROM a1_{s} a JOIN e{s} e USING (vec_id) CROSS JOIN generate_series(1, {dsub}) t(i)
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""c1_{s} AS (
+  SELECT p.cid, coalesce(n.cm, p.cm) AS cm
+  FROM c0_{s} p LEFT JOIN
+       (SELECT cid, array_agg(comp ORDER BY i) AS cm FROM u1_{s} GROUP BY cid) n USING (cid))"""
+        )
+        parts.append(
+            f"""f{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.sm", "c.cm", dsub)}, c.cid) AS rn
+    FROM e{s} e CROSS JOIN c1_{s} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""lut{s} AS (
+  SELECT q.vec_id AS qid, c.cid, {dist("eq.sm", "c.cm", dsub)} AS d
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+  JOIN e{s} eq USING (vec_id) CROSS JOIN c1_{s} c)"""
+        )
+    code_joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+    code_cols = ", ".join(f"f{s}.cid AS k{s}" for s in range(m))
+    parts.append(f"codes AS (SELECT f0.vec_id, {code_cols} FROM f0 {code_joins})")
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.qid = l0.qid AND l{s}.cid = cd.k{s}" for s in range(1, m)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    parts.append(
+        f"""scored AS (
+  SELECT l0.qid AS query_id, cd.vec_id AS neighbor_id, {adc} AS adc_dist, va.cid AS vcid
+  FROM codes cd JOIN lut0 l0 ON l0.cid = cd.k0 {lut_joins}
+  JOIN vassign va ON va.vec_id = cd.vec_id
+  JOIN qprobe qp ON qp.qid = l0.qid AND qp.cid = va.cid
+  WHERE cd.vec_id <> l0.qid)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS match_rank,
+       adc_dist, CAST(vcid AS INT) AS vcid
+FROM scored
+QUALIFY match_rank <= {k}
+"""
+    )
+
+
+ANN06_SQL = _ann06_sql()
+
 QUERIES3 = {
+    "ann06_ivfpq_topk": (ann06_ivfpq_topk, ANN06_SQL),
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
     "w10_ohlc_bars": (w10_ohlc_bars, W10_SQL),

@@ -785,3 +785,108 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ search — the production ANN architecture (FAISS IVFxPQy):
+    a coarse full-dim quantizer partitions the corpus into inverted
+    lists; each query probes only its ``nprobe`` nearest lists and ranks
+    THOSE vectors by PQ asymmetric distance. Scan cost drops from
+    O(corpus) to O(corpus * nprobe / k_coarse) on top of PQ's
+    per-vector compression — the two multiplicative levers that make
+    billion-vector search tractable.
+
+    Physical shape: corpus encodes map-only (coarse cid + PQ codes in
+    ONE projection, centroids/codebooks inline as literals — no join,
+    no shuffle of the corpus); query probes and LUTs are
+    dimension-sized and broadcast; the probe restriction is a broadcast
+    semi-join on the coarse cid, so unprobed inverted lists are
+    filtered before any ADC work. Selection/tie rules are the
+    ``_kmeans_argmin`` contract throughout; distances are exact
+    integers, so ann06's oracle replays every stage bit-for-bit.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = vectors.sparkSession
+
+    xm = _micro_vec(F.col(vec_col))
+    enc = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _kmeans_argmin_fast(xm, coarse)["c"].alias("vcid"),
+        *[F.slice(xm, s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
+    )
+    enc = enc.select(
+        "neighbor_id",
+        "vcid",
+        F.array(
+            *[_kmeans_argmin_fast(F.col(f"__sub{s}"), codebooks[s])["c"] for s in range(m)]
+        ).alias("codes"),
+    )
+
+    qm = queries.select(
+        F.col(query_id_col).alias("query_id"), _micro_vec(F.col(query_vec_col)).alias("__qm")
+    )
+    cand = F.array(
+        *[
+            F.struct(
+                _kmeans_argmin_fast(F.col("__qm"), [c])["d"].alias("d"),
+                F.lit(j).alias("c"),
+            )
+            for j, c in enumerate(coarse)
+        ]
+    )
+    probes = qm.select(
+        "query_id",
+        F.explode(
+            F.transform(F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["c"])
+        ).alias("vcid"),
+    )
+
+    cb_rows = [(s, c, codebooks[s][c]) for s in range(m) for c in range(ksub)]
+    cb = spark.createDataFrame(cb_rows, "s int, c int, cm array<long>")
+    sub_dist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__qm"), F.col("s") * dsub + 1, dsub),
+            F.col("cm"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    luts = (
+        qm.join(F.broadcast(cb))
+        .select("query_id", F.struct("s", "c", sub_dist.alias("d")).alias("e"))
+        .groupBy("query_id")
+        .agg(F.transform(F.array_sort(F.collect_list("e")), lambda e: e["d"]).alias("__lut"))
+    )
+    adc = F.aggregate(
+        F.transform(
+            F.col("codes"), lambda c, i: F.element_at(F.col("__lut"), i * ksub + c + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "vcid")
+        .join(F.broadcast(luts), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist", "vcid")
+    )

@@ -367,3 +367,26 @@ def test_pq_fit_validations(spark):
         similarity.pq_fit(df, m=2, ksub=1, n_iter=1)
     with _pytest.raises(ValueError, match="at least ksub"):
         similarity.pq_fit(df, m=3, ksub=4, n_iter=1)
+
+
+def test_ivfpq_probe_all_equals_pq(spark):
+    """With nprobe = k_coarse (probe every inverted list) IVF-PQ must
+    degenerate to plain PQ ADC ranking — same neighbors, same ranks."""
+    import random
+
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id % 20 = 0").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    coarse = similarity.kmeans_fit(emb, k=4, n_iter=1, dim=16)
+    books = similarity.pq_fit(emb, m=4, ksub=4, n_iter=1)
+    full = similarity.pq_topk(emb, q, books, k=3)
+    ivf = similarity.ivfpq_topk(emb, q, coarse, books, nprobe=4, k=3)
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"]) for r in full.collect())
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"]) for r in ivf.collect())
+    assert a == b
+    # with nprobe=1 the candidate set shrinks (a real restriction)
+    narrow = similarity.ivfpq_topk(emb, q, coarse, books, nprobe=1, k=3)
+    assert narrow.count() <= ivf.count()
