@@ -93,6 +93,7 @@ EXTENDED = [
     "mm09_image_dhash",
     "mm10_image_neardup_pairs",
     "ann06_ivfpq_topk",
+    "tx16_heldout_logprob",
 ]
 
 HEADLINE = [

@@ -3502,6 +3502,7 @@ _DRIVER_PRIORITY = [
     "mm09_image_dhash",
     "mm10_image_neardup_pairs",
     "ann06_ivfpq_topk",
+    "tx16_heldout_logprob",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

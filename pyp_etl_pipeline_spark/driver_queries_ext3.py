@@ -2712,7 +2712,54 @@ QUALIFY match_rank <= {k}
 
 ANN06_SQL = _ann06_sql()
 
+
+# --------------------------------------------------------------------------
+# tx16: held-out perplexity gate (no self-scoring leakage)
+# --------------------------------------------------------------------------
+
+def tx16_heldout_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Odd docs scored under the add-one unigram LM fit on EVEN docs
+    (operators/textan.heldout_unigram_logprob) — the leakage-free
+    variant of the tx06 quality gate, with OOV counts."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    return _textan.heldout_unigram_logprob(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+def _tx16_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.aggregates import sql_exact_avg as _seav  # noqa: PLC0415
+
+    return f"""
+WITH tr AS (
+  SELECT unnest(string_split({_snt("text")}, ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (SELECT tok, count(*) AS tok_n FROM tr WHERE tok <> '' GROUP BY 1),
+scal AS (SELECT sum(tok_n) AS train_n, count(*) AS train_v FROM counts),
+ex AS (
+  SELECT doc_id AS id, unnest(string_split({_snt("text")}, ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 1
+),
+sc AS (
+  SELECT e.id, c.tok_n,
+         ln((coalesce(c.tok_n, 0) + 1) / (s.train_n + s.train_v + 1)) AS logp
+  FROM ex e LEFT JOIN counts c USING (tok) CROSS JOIN scal s
+  WHERE e.tok <> ''
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tok_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       {_seav("logp")} AS mean_logprob
+FROM sc GROUP BY 1
+"""
+
+
+TX16_SQL = _tx16_sql()
+
 QUERIES3 = {
+    "tx16_heldout_logprob": (tx16_heldout_logprob, TX16_SQL),
     "ann06_ivfpq_topk": (ann06_ivfpq_topk, ANN06_SQL),
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),

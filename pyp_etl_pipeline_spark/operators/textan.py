@@ -647,3 +647,47 @@ def readability_features(
             ).cast("long"),
         ),
     )
+
+
+def heldout_unigram_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out perplexity gate: score one corpus half under a unigram
+    LM fit on the OTHER half, add-one smoothed over the train
+    vocabulary plus an UNK class (p(w) = (c(w)+1) / (N + V + 1)).
+    The eval-discipline upgrade of ``unigram_logprob``'s self-scored
+    variant — self-scoring lets a doc inflate its own token
+    probabilities, exactly the leakage a quality gate must not have.
+
+    Same physical shape as tx06: one map-side-combined vocab count on
+    the train half, broadcast scalars for N/V, a token join for the
+    score half (train vocabularies AQE-broadcast), and exact integer
+    micro means. Output: (id, n_tokens, n_oov, mean_logprob)."""
+    toks = F.split(normalized_text(text_col), " ")
+    tr = train.select(F.explode(toks).alias("tok")).filter(F.col("tok") != "")
+    counts = tr.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    scalars = counts.agg(
+        F.sum("tok_n").alias("train_n"), F.count("*").alias("train_v")
+    )
+    ex = score.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    scored = (
+        ex.join(counts, "tok", "left")
+        .join(F.broadcast(scalars))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("tok_n"), F.lit(0)) + 1)
+                / (F.col("train_n") + F.col("train_v") + 1)
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("tok_n").isNull().cast("long")).cast("long").alias("n_oov"),
+        aggregates.exact_avg("logp").alias("mean_logprob"),
+    )

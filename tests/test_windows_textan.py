@@ -707,3 +707,23 @@ def test_ohlc_bars(spark):
         .collect()[0]
     )
     assert (out["open"], out["close"], out["high"], out["low"]) == (7.0, 42.0, 99.0, 1.0)
+
+
+def test_heldout_logprob_oov_and_leakage_direction(spark):
+    import math
+
+    from pyp_etl_pipeline_spark.operators.textan import heldout_unigram_logprob
+
+    train = spark.createDataFrame([(0, "aa aa bb")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "aa bb"), (3, "zz zz")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in heldout_unigram_logprob(train, score).collect()}
+    # N=3, V=2 -> denom 6; p(aa)=3/6, p(bb)=2/6, p(unseen)=1/6
+    assert out[1]["n_oov"] == 0
+    exp1 = (math.log(3 / 6) + math.log(2 / 6)) / 2
+    assert out[1]["mean_logprob"] == round(exp1, 4)
+    assert out[3]["n_oov"] == 2
+    assert out[3]["mean_logprob"] == round(math.log(1 / 6), 4)
+    # OOV-heavy doc scores strictly lower — the gate's direction
+    assert out[3]["mean_logprob"] < out[1]["mean_logprob"]
