@@ -94,6 +94,8 @@ EXTENDED = [
     "mm10_image_neardup_pairs",
     "ann06_ivfpq_topk",
     "tx16_heldout_logprob",
+    "ws01_weighted_sample",
+    "mm11_audio_fingerprint_groups",
 ]
 
 HEADLINE = [

@@ -3503,6 +3503,8 @@ _DRIVER_PRIORITY = [
     "mm10_image_neardup_pairs",
     "ann06_ivfpq_topk",
     "tx16_heldout_logprob",
+    "ws01_weighted_sample",
+    "mm11_audio_fingerprint_groups",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

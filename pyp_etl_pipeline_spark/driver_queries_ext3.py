@@ -2758,7 +2758,79 @@ FROM sc GROUP BY 1
 
 TX16_SQL = _tx16_sql()
 
+
+# --------------------------------------------------------------------------
+# ws01: RNG-free weighted sampling (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+def ws01_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 documents under char-count-weighted A-ES sampling
+    (operators/sampling.weighted_sample) — inclusion odds proportional
+    to length, bit-reproducible (md5-uniform keys, no RNG)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return _sampling.weighted_sample(d, "n_chars")
+
+
+from pyp_etl_pipeline_spark.operators import sampling as _sampling  # noqa: E402
+
+
+WS01_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           ln((('0x' || substring(md5(doc_id::VARCHAR || 'wsample-v1'), 1, 12))::BIGINT + 1)
+              / 281474976710657.0)
+           / n_chars * 1000000 + 0.5) AS BIGINT) AS sample_key_micro
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, sample_key_micro
+FROM keyed ORDER BY sample_key_micro DESC, doc_id ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# mm11: audio fingerprint groups from the WHT sequency spectrum
+# --------------------------------------------------------------------------
+
+def mm11_audio_fingerprint_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup grouping: each clip's 8-bit spectral fingerprint
+    sets bit b when band b holds more than 1/8 of the clip's energy
+    (mm08's exact-int64 WHT bands), then clips bucket by fingerprint —
+    the audio analog of mm10's image dHash buckets, all integer."""
+    spec = mm08_hadamard_spectrum(spark, sf)
+    tot = spec.groupBy("media_id").agg(F.sum("energy").alias("total"))
+    fp = (
+        spec.join(tot, "media_id")
+        .withColumn(
+            "bit",
+            # shiftleft() takes a python int, not a Column — expr form
+            F.when(F.col("energy") * 8 > F.col("total"), F.expr("shiftleft(1, band)")).otherwise(F.lit(0)),
+        )
+        .groupBy("media_id")
+        .agg(F.sum("bit").cast("int").alias("fingerprint"))
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").cast("long").alias("n_clips"),
+        F.min("media_id").alias("min_media_id"),
+    )
+
+
+MM11_SQL = f"""
+WITH spec AS ({{MM08_BODY}}),
+tot AS (SELECT media_id, sum(energy) AS total FROM spec GROUP BY 1),
+fp AS (
+  SELECT s.media_id,
+         CAST(sum(CASE WHEN s.energy * 8 > t.total THEN (1 << s.band) ELSE 0 END) AS INT) AS fingerprint
+  FROM spec s JOIN tot t USING (media_id) GROUP BY 1
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_clips, min(media_id) AS min_media_id
+FROM fp GROUP BY 1
+"""
+MM11_SQL = MM11_SQL.replace("{MM08_BODY}", MM08_SQL)
+
 QUERIES3 = {
+    "mm11_audio_fingerprint_groups": (mm11_audio_fingerprint_groups, MM11_SQL),
+    "ws01_weighted_sample": (ws01_weighted_sample, WS01_SQL),
     "tx16_heldout_logprob": (tx16_heldout_logprob, TX16_SQL),
     "ann06_ivfpq_topk": (ann06_ivfpq_topk, ANN06_SQL),
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),

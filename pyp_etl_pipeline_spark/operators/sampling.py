@@ -226,3 +226,37 @@ def epoch_shuffle(
         "shard",
         F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)).cast("int"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row gets key = ln(u) / w with u a
+    DETERMINISTIC md5-uniform in (0,1), and the k largest keys win —
+    inclusion probability proportional to weight, yet fully
+    reproducible and retry-safe (no RNG state; the id+salt decide).
+    The quality-weighted corpus-sampling primitive: weight by a quality
+    score and heavy docs surface proportionally.
+
+    Shape: map-only key derivation + TakeOrderedAndProject (distributed
+    partial top-k; no global sort). Keys floor to integer micro (the
+    tx06 log-portability contract) so selection is engine-identical.
+    Zero/negative weights are excluded (A-ES requires w > 0)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12), 16, 10
+    ).cast("long")
+    # u in (0, 1): (h + 1) / (2^48 + 1) — never 0 or 1, ln defined
+    u = (h + 1) / F.lit(float((1 << 48) + 1))
+    key_micro = F.floor(F.log(u) / F.col(weight_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    ranked = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__key", key_micro)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return ranked.withColumnRenamed("__key", "sample_key_micro")

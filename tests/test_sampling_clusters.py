@@ -431,3 +431,19 @@ def test_bloom_no_false_negatives_and_merge(spark):
     merged = h1.unionByName(h2).groupBy("word").agg(F.bit_or("bits").alias("bits"))
     direct = {r["word"]: r["bits"] for r in bloom.collect()}
     assert {r["word"]: r["bits"] for r in merged.collect()} == direct
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from pyp_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 if i < 90 else 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [r["doc_id"] for r in weighted_sample(df, "w", k=10).collect()]
+    b = [r["doc_id"] for r in weighted_sample(df.repartition(7), "w", k=10).collect()]
+    assert a == b  # deterministic under any layout
+    # the 10 heavy items (1000x weight) should dominate the sample
+    heavy = sum(1 for d in a if d >= 90)
+    assert heavy >= 8
+    # zero-weight rows can never be selected
+    z = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, w long")
+    assert [r["doc_id"] for r in weighted_sample(z, "w", k=5).collect()] == [2]
