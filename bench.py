@@ -96,6 +96,7 @@ EXTENDED = [
     "tx16_heldout_logprob",
     "ws01_weighted_sample",
     "mm11_audio_fingerprint_groups",
+    "pp02_multimodal_curation",
 ]
 
 HEADLINE = [

@@ -3461,9 +3461,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 # part 3: validators, text T4/T6, limits, summaries, set ops, date funcs,
 # streaming sliding, multimodal plumbing
-from pyp_etl_pipeline_spark.driver_queries_ext3 import QUERIES3  # noqa: E402
+from pyp_etl_pipeline_spark import driver_queries_ext3 as _ext3  # noqa: E402
 
-REGISTRY.update(QUERIES3)
+# _ext3._finalize() composes the cross-module oracles (a03/ev01/pp02).
+# When ext3 is imported FIRST, its own bottom _finalize() call is still
+# on the stack while THIS module executes — so its patches would land
+# after our REGISTRY snapshot. Re-running it here (idempotent) before
+# the update makes the registry correct under either import order.
+_ext3._finalize()
+REGISTRY.update(_ext3.QUERIES3)
 
 # The driver's correctness gate only covers the first 50 registry entries.
 # Round-7 rotation: (a) the six queries NO driver round has ever sampled
@@ -3505,6 +3511,7 @@ _DRIVER_PRIORITY = [
     "tx16_heldout_logprob",
     "ws01_weighted_sample",
     "mm11_audio_fingerprint_groups",
+    "pp02_multimodal_curation",
     "o08_keyset_pagination",
     "a10_length_histogram",
     "tx11_quality_percentile_gate",

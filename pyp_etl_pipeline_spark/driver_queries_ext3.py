@@ -2828,7 +2828,83 @@ FROM fp GROUP BY 1
 """
 MM11_SQL = MM11_SQL.replace("{MM08_BODY}", MM08_SQL)
 
+
+# --------------------------------------------------------------------------
+# pp02: multimodal curation manifest — text dedup ∘ Gopher ∘ image near-dup
+# --------------------------------------------------------------------------
+
+def pp02_multimodal_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end multimodal curation: every document gets a keep/drop
+    decision with a REASON — exact-text duplicate (non-minimal id of a
+    fingerprint group), Gopher quality failure, or near-duplicate image
+    (a smaller-id image within dHash hamming 12, mm10's pairs). The
+    pp01 pattern extended across modalities; all three gates are
+    individually hash-certified queries, and the composed manifest is
+    certified again here. First matching reason wins (dup before
+    quality before image — dedup order mirrors pp01)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    fp = d.select("doc_id", _dedup.fingerprint("text").alias("f"))
+    keeper = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    tdup = fp.join(keeper, "f").select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_text_dup")
+    )
+    g = _textan.gopher_quality_flags(d).select(
+        F.col("id").alias("doc_id"), "gopher_pass"
+    )
+    img_drop = (
+        mm10_image_neardup_pairs(spark, sf)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("img_dup", F.lit(True))
+    )
+    manifest = (
+        d.select("doc_id", (F.col("doc_id") % 2 == 0).alias("has_image"))
+        .join(tdup, "doc_id")
+        .join(g, "doc_id")
+        .join(img_drop, "doc_id", "left")
+    )
+    status = (
+        F.when(F.col("is_text_dup"), F.lit("text_dup"))
+        .when(~F.col("gopher_pass"), F.lit("gopher_fail"))
+        .when(F.coalesce(F.col("img_dup"), F.lit(False)), F.lit("image_neardup"))
+        .otherwise(F.lit("kept"))
+    )
+    return manifest.select(
+        "doc_id", "has_image", status.alias("status"), (status == "kept").alias("keep")
+    )
+
+
+def _pp02_sql(TX07_SQL: str) -> str:
+    from pyp_etl_pipeline_spark.driver_queries import sql_normalized_text as _snt2  # noqa: PLC0415
+
+    return f"""
+WITH fp AS (SELECT doc_id, md5({_snt2("text")}) AS f FROM documents),
+keeper AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+tdup AS (SELECT fp.doc_id, fp.doc_id <> k.keep_id AS is_text_dup FROM fp JOIN keeper k USING (f)),
+g AS (SELECT doc_id, gopher_pass FROM ({TX07_SQL})),
+ip AS (SELECT DISTINCT id_b AS doc_id FROM ({{MM10_BODY}})),
+m AS (
+  SELECT d.doc_id, d.doc_id % 2 = 0 AS has_image,
+         CASE WHEN t.is_text_dup THEN 'text_dup'
+              WHEN NOT g.gopher_pass THEN 'gopher_fail'
+              WHEN ip.doc_id IS NOT NULL THEN 'image_neardup'
+              ELSE 'kept' END AS status
+  FROM documents d
+  JOIN tdup t ON t.doc_id = d.doc_id
+  JOIN g ON g.doc_id = d.doc_id
+  LEFT JOIN ip ON ip.doc_id = d.doc_id
+)
+SELECT doc_id, has_image, status, status = 'kept' AS keep FROM m
+"""
+
+
+PP02_SQL: str | None = None  # composed in _finalize (needs ext's TX07 twin)
+
 QUERIES3 = {
+    "pp02_multimodal_curation": (pp02_multimodal_curation, None),  # oracle composed below
     "mm11_audio_fingerprint_groups": (mm11_audio_fingerprint_groups, MM11_SQL),
     "ws01_weighted_sample": (ws01_weighted_sample, WS01_SQL),
     "tx16_heldout_logprob": (tx16_heldout_logprob, TX16_SQL),
@@ -2931,6 +3007,13 @@ SELECT n_pred, n_truth, tp, fp, fn, precision_micro, recall_micro,
 FROM m
 """
     QUERIES3["ev01_linkage_eval"] = (ev01_linkage_eval, ev01_sql)
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import TX07_SQL  # noqa: PLC0415
+
+    QUERIES3["pp02_multimodal_curation"] = (
+        pp02_multimodal_curation,
+        _pp02_sql(TX07_SQL).replace("{MM10_BODY}", MM10_SQL),
+    )
 
 
 _finalize()

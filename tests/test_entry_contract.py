@@ -49,3 +49,25 @@ def test_spark_oracle_column_names_align(spark, sf_dir):
         if spark_cols != oracle_cols:
             mismatches[name] = (spark_cols, oracle_cols)
     assert not mismatches, f"column-name drift: {mismatches}"
+
+
+def test_registry_complete_under_either_import_order():
+    """Every registry query must carry its oracle regardless of which
+    driver_queries module is imported first (the cross-module composed
+    oracles — a03/ev01/pp02 — once raced the REGISTRY snapshot)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "import pyp_etl_pipeline_spark.driver_queries_ext3 as m3;"
+        "from pyp_etl_pipeline_spark import driver_queries_ext as m;"
+        "qs, os_ = m.queries(), m.oracle_sql();"
+        "missing = sorted(set(qs) - set(os_));"
+        "assert not missing, missing; print(len(qs), len(os_))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp", check=True
+    )
+    n_q, n_o = out.stdout.split()
+    assert n_q == n_o

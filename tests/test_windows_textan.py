@@ -727,3 +727,19 @@ def test_heldout_logprob_oov_and_leakage_direction(spark):
     assert out[3]["mean_logprob"] == round(math.log(1 / 6), 4)
     # OOV-heavy doc scores strictly lower — the gate's direction
     assert out[3]["mean_logprob"] < out[1]["mean_logprob"]
+
+
+def test_pp02_manifest_invariants(spark):
+    """Composition invariants: every doc appears exactly once; reasons
+    are exclusive; text-dup keepers survive unless gated downstream."""
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import pp02_multimodal_curation
+
+    rows = pp02_multimodal_curation(spark, "/root/testdata/sf0.001").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    statuses = {r["status"] for r in rows}
+    assert statuses <= {"kept", "text_dup", "gopher_fail", "image_neardup"}
+    for r in rows:
+        assert r["keep"] == (r["status"] == "kept")
+        if r["status"] == "image_neardup":
+            assert r["has_image"]  # only docs WITH images can fail the image gate
