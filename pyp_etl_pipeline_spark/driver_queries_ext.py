@@ -1405,9 +1405,9 @@ def _ex03_sql() -> str:
     return f"""
 SELECT ({h} % 16)::INT AS shard,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
-       sum({h} % 1000000000) AS checksum,
-       sum(length(text)) AS sum_text_len
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({h} % 1000000000) AS BIGINT) AS checksum,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
 FROM documents GROUP BY 1
 """
 
@@ -1840,20 +1840,20 @@ def dq01_expectation_report(spark: SparkSession, sf: str) -> DataFrame:
 
 DQ01_SQL = """
 SELECT 'not_null:c_name' AS rule, CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS metric,
-       0.0 AS threshold, (CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) <= 0.0 AS ok FROM customer
+       CAST(0.0 AS DOUBLE) AS threshold, (CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) <= 0.0 AS ok FROM customer
 UNION ALL
 SELECT 'not_null:c_mktsegment', CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
-       0.05, (CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) <= 0.05 FROM customer
+       CAST(0.05 AS DOUBLE), (CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) <= 0.05 FROM customer
 UNION ALL
 SELECT 'unique:c_custkey', CAST(count(*) - count(DISTINCT c_custkey) AS DOUBLE) / count(*),
-       0.0, (count(*) - count(DISTINCT c_custkey)) <= 0 FROM customer
+       CAST(0.0 AS DOUBLE), (count(*) - count(DISTINCT c_custkey)) <= 0 FROM customer
 UNION ALL
 SELECT 'range:c_acctbal', CAST(sum(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
-       1.0, (CAST(sum(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) >= 1.0 FROM customer
+       CAST(1.0 AS DOUBLE), (CAST(sum(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) >= 1.0 FROM customer
 UNION ALL
 SELECT 'fk:o_custkey->c_custkey',
        CAST(count(*) - sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
-       1.0, sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+       CAST(1.0 AS DOUBLE), sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
 FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
 """
 
@@ -2657,7 +2657,7 @@ def _ann05_sql(m: int = 4, ksub: int = 8, n_iter: int = 1, dim: int = 64, k: int
         + f"""
 SELECT query_id, neighbor_id,
        row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS match_rank,
-       adc_dist
+       CAST(adc_dist AS BIGINT) AS adc_dist
 FROM scored
 QUALIFY match_rank <= {k}
 """
@@ -3334,7 +3334,7 @@ p2 AS (
 )
 SELECT node,
        CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-       node // 2 AS key, pr
+       node // 2 AS key, CAST(pr AS BIGINT) AS pr
 FROM p2
 """
 

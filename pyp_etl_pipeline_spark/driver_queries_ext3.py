@@ -916,7 +916,8 @@ c AS (
            ROWS UNBOUNDED PRECEDING) AS cum_weight
   FROM t
 )
-SELECT source, doc_id, n_tokens, fill_rank_bucket, cum_weight
+SELECT source, doc_id, n_tokens, fill_rank_bucket,
+       CAST(cum_weight AS BIGINT) AS cum_weight
 FROM c WHERE cum_weight - n_tokens < 4000
 """
 
@@ -1148,7 +1149,8 @@ WITH t AS (
   SELECT doc_id, CAST(len({_PK_TOKS}) AS BIGINT) AS n FROM documents WHERE doc_id IS NOT NULL
 ),
 c AS (
-  SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS gend
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gend
   FROM t WHERE n > 0
 ),
 s AS (SELECT doc_id, n, gend - n AS gstart, gend FROM c),
@@ -2703,7 +2705,7 @@ def _ann06_sql(
         + f"""
 SELECT query_id, neighbor_id,
        row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS match_rank,
-       adc_dist, CAST(vcid AS INT) AS vcid
+       CAST(adc_dist AS BIGINT) AS adc_dist, CAST(vcid AS INT) AS vcid
 FROM scored
 QUALIFY match_rank <= {k}
 """

@@ -39,32 +39,78 @@ def grouped_prefix_sum(
     ``value_col`` over rows ordered by (order_col, *extra_order_cols)
     within each ``group_cols`` group.
 
-    ``order_col`` must be numeric (the range bucket is a monotone
-    function of its value); ``extra_order_cols`` break ties within equal
-    order values — make the combination unique or the cum of tied rows
-    is window-order dependent. Pass ``bounds=(lo, hi)`` when the order
-    key's domain is known statically (e.g. a hash bucket in [0, 2^20)) —
-    that skips the bounds aggregate entirely. The offsets relation is
-    |groups| x n_buckets rows and is broadcast; keep group cardinality
-    dimension-sized (corpus-sized groups want ``order_col`` itself
-    re-keyed per group instead).
+    ``order_col`` may be numeric, date, timestamp, or string — each gets
+    a MONOTONE numeric projection for range bucketing (dates → epoch
+    days, timestamps → epoch seconds, strings → the first 8 UTF-8 bytes
+    as a big-endian integer, zero-right-padded so byte-prefix order is
+    preserved); any other type degrades to a single bucket — the
+    single-partition-window scale killer — and warns loudly (ADVICE r7).
+    ``extra_order_cols`` break ties within equal order values — make the
+    combination unique or the cum of tied rows is window-order
+    dependent. Pass ``bounds=(lo, hi)`` when the order key's numeric
+    projection domain is known statically (e.g. a hash bucket in
+    [0, 2^20)) — that skips the bounds aggregate entirely. The offsets
+    relation is |groups| x n_buckets rows and is broadcast; keep group
+    cardinality dimension-sized (corpus-sized groups want ``order_col``
+    itself re-keyed per group instead).
     """
-    from pyspark.sql.types import NumericType  # noqa: PLC0415
+    import warnings  # noqa: PLC0415
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     try:
         n_buckets = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     except (TypeError, ValueError):
         n_buckets = 200
     cols = df.columns
-    numeric = isinstance(df.schema[order_col].dataType, NumericType)
-    od = F.col(order_col).cast("double")
-
+    dt = df.schema[order_col].dataType
+    numeric = True
+    if isinstance(dt, NumericType):
+        od = F.col(order_col).cast("double")
+    elif isinstance(dt, DateType):
+        od = F.unix_date(F.col(order_col)).cast("double")
+    elif isinstance(dt, (TimestampType, TimestampNTZType)):
+        # instants cast straight to epoch seconds; NTZ monotone under any
+        # fixed session tz (DST overlaps/gaps are non-decreasing maps)
+        od = F.col(order_col).cast("timestamp").cast("double")
+    elif isinstance(dt, StringType):
+        # first 8 UTF-8 bytes, big-endian, zero-right-padded: UTF-8 byte
+        # order == code-point order, and left-aligned padding preserves
+        # prefix comparisons, so this is monotone in string order
+        od = F.conv(
+            F.rpad(F.substring(F.hex(F.encode(F.col(order_col), "UTF-8")), 1, 16), 16, "0"),
+            16,
+            10,
+        ).cast("double")
+    else:
+        numeric = False
+        od = F.col(order_col).cast("double")
+        warnings.warn(
+            f"grouped_prefix_sum: order column {order_col!r} has unbucketable type "
+            f"{dt.simpleString()}; degrading to ONE bucket — the whole relation flows "
+            "through a single window partition. Project a numeric/date/string order key.",
+            stacklevel=2,
+        )
     def bucket_expr(lo: Column, span: Column) -> Column:
         # monotone in the order key; least() clamps the hi endpoint when
-        # span rounds down at double precision
-        return F.least(
-            F.floor((od - lo) / span * F.lit(float(n_buckets))),
-            F.lit(n_buckets - 1),
+        # span rounds down at double precision. Null order values sort
+        # FIRST under ASC window order so they belong in bucket 0 — and a
+        # null __pid would silently DROP rows at the offsets equi-join.
+        return F.coalesce(
+            F.greatest(
+                F.least(
+                    F.floor((od - lo) / span * F.lit(float(n_buckets))),
+                    F.lit(n_buckets - 1),
+                ),
+                F.lit(0),
+            ),
+            F.lit(0),
         ).cast("int")
 
     if not numeric or n_buckets == 1:

@@ -350,7 +350,7 @@ def bloom_build(
 ) -> DataFrame:
     """Engine-portable Bloom filter as a SPARSE BITSET RELATION
     (word, bits): position r = h48(item || salt:r) mod n_bits, word =
-    pos DIV 64, and a map-side-combinable ``bit_or`` folds the masks.
+    pos DIV 63, and a map-side-combinable ``bit_or`` folds the masks.
     Completes the module's mergeable-sketch family (HLL, count-min,
     histogram): filters over disjoint batches MERGE by bit_or on word,
     the bitset is at most n_bits/64 rows (broadcastable at any corpus
@@ -383,25 +383,29 @@ def bloom_probe(
     k: int = 4,
     salt: str = "bloom-v1",
 ) -> DataFrame:
-    """``might_contain`` per probe row: all k positions set. The probe
-    side explodes to k rows, joins the BROADCAST bitset on word, and a
-    per-probe count of set positions == k decides membership — the probe
-    relation never shuffles on content. Output: input columns +
-    ``might_contain`` boolean."""
-    cols = probes.columns
-    pr = probes.select(
-        "*",
-        F.posexplode(
-            F.array(*[F.pmod(_h48(F.col(item_col), f"{salt}:{r}"), F.lit(n_bits)) for r in range(k)])
-        ).alias("__r", "__pos"),
-    ).select(
-        "*",
-        F.expr("__pos DIV 63").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))").alias("__mask"),
+    """``might_contain`` per probe row: all k positions set. The bitset
+    (at most n_bits/63 rows by construction) folds into a ONE-ROW
+    word→bits map that broadcast-cross-joins onto the probes, and
+    membership is k static ``element_at`` lookups — fully map-only on
+    the probe side: no explode, no shuffle, no aggregation. Output: the
+    input rows (multiplicity preserved — duplicate probes each get their
+    own verdict, so the no-false-negative guarantee holds row-for-row)
+    + ``might_contain`` boolean."""
+    bm = bloom.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bm")
     )
-    j = pr.join(F.broadcast(bloom), "word", "left")
-    hit = ((F.col("bits").isNotNull()) & (F.col("bits").bitwiseAND(F.col("__mask")) != 0)).cast("int")
-    return (
-        j.groupBy(*cols)
-        .agg((F.sum(hit) == F.lit(k)).alias("might_contain"))
-    )
+    hits = []
+    for r in range(k):
+        pos = F.pmod(_h48(F.col(item_col), f"{salt}:{r}"), F.lit(n_bits))
+        word = (pos / 63).cast("long")  # pos >= 0, so floor-div == DIV 63
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 63).cast("int"))
+        hits.append(
+            F.coalesce(
+                F.element_at(F.col("__bm"), word).bitwiseAND(mask) != 0, F.lit(False)
+            )
+        )
+    out = probes.crossJoin(F.broadcast(bm))
+    verdict = hits[0]
+    for h in hits[1:]:
+        verdict = verdict & h
+    return out.select(*probes.columns, verdict.alias("might_contain"))

@@ -34,7 +34,18 @@ def test_registry_shapes():
 
 @pytest.mark.slow
 def test_spark_oracle_column_names_align(spark, sf_dir):
-    """Schema-only pass: Spark .columns vs DuckDB described columns."""
+    """Schema-only pass: Spark .columns vs DuckDB described columns, PLUS
+    the driver-fidelity dtype check (VERDICT r7): any twin output column
+    DuckDB types as HUGEINT (the silent ``sum(BIGINT)``/``list_sum``/
+    windowed-sum widening) hashes as float64 on the driver while Spark
+    emits int64 — local string-normalized compares can't see it, so it
+    is banned structurally here. A twin that trips this needs a
+    ``CAST(... AS BIGINT)``."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import dtype_mismatches, duck_described_types  # noqa: PLC0415
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -43,12 +54,19 @@ def test_spark_oracle_column_names_align(spark, sf_dir):
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     mismatches = {}
+    dtype_bad = {}
     for name, sql in o.items():
-        spark_cols = sorted(q[name](spark, sf_dir).columns)
-        oracle_cols = sorted(d[0] for d in con.execute(f"DESCRIBE {sql}").fetchall())
+        sdf = q[name](spark, sf_dir)
+        spark_cols = sorted(sdf.columns)
+        duck_types = duck_described_types(con, sql)
+        oracle_cols = sorted(c for c, _ in duck_types)
         if spark_cols != oracle_cols:
             mismatches[name] = (spark_cols, oracle_cols)
+        bad = dtype_mismatches(dict(sdf.dtypes), duck_types)
+        if bad:
+            dtype_bad[name] = bad
     assert not mismatches, f"column-name drift: {mismatches}"
+    assert not dtype_bad, f"driver-visible dtype drift (HUGEINT/DECIMAL twins): {dtype_bad}"
 
 
 def test_registry_complete_under_either_import_order():

@@ -265,6 +265,51 @@ def test_grouped_prefix_sum_matches_sequential(spark):
     assert {(r["k"]): r["cum"] for r in one} == {i: want[("a", i)] for i in range(50)}
 
 
+def test_grouped_prefix_sum_nonnumeric_order_keys(spark):
+    """ADVICE r7: date/string order keys once silently collapsed to ONE
+    bucket (the single-partition window the module exists to avoid). Now
+    they get monotone numeric projections — results must still equal the
+    sequential cumsum, and the bucketing must actually spread rows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.operators.prefix import grouped_prefix_sum
+
+    # date keys
+    rows = [(datetime.date(2020, 1, 1) + datetime.timedelta(days=i), i % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    got = {r["d"]: r["cum"] for r in grouped_prefix_sum(df.repartition(5), "v", "d").collect()}
+    run = 0
+    for d, v in rows:
+        run += v
+        assert got[d] == run
+    # the projection must produce >1 bucket (no silent degradation)
+    n_pids = (
+        df.select(F.unix_date("d").cast("double").alias("od"))
+        .agg(F.count_distinct(F.expr("least(floor((od - 18262) / 200 * 8), 7)")))
+        .collect()[0][0]
+    )
+    assert n_pids > 1
+
+    # string keys: cum must follow Spark's own string sort order
+    srows = [(f"k{i:04d}", i % 5 + 1) for i in range(150)]
+    sdf = spark.createDataFrame(srows, "s string, v long")
+    sgot = {r["s"]: r["cum"] for r in grouped_prefix_sum(sdf.repartition(7), "v", "s").collect()}
+    run = 0
+    for s, v in sorted(srows):
+        run += v
+        assert sgot[s] == run
+    # multibyte strings keep monotone byte order too
+    mrows = [("a", 1), ("aa", 2), ("b", 3), ("ß", 4), ("日本", 5), ("日本語", 6)]
+    mdf = spark.createDataFrame(mrows, "s string, v long")
+    mgot = {r["s"]: r["cum"] for r in grouped_prefix_sum(mdf, "v", "s").collect()}
+    run = 0
+    for s, v in sorted(mrows):
+        run += v
+        assert mgot[s] == run
+
+
 def test_budget_fill_contract(spark):
     """Greedy fill in keyed-hash order: selected = exactly the prefix of
     the hash-ordered docs whose exclusive cumsum is < budget; per group;
@@ -431,6 +476,21 @@ def test_bloom_no_false_negatives_and_merge(spark):
     merged = h1.unionByName(h2).groupBy("word").agg(F.bit_or("bits").alias("bits"))
     direct = {r["word"]: r["bits"] for r in bloom.collect()}
     assert {r["word"]: r["bits"] for r in merged.collect()} == direct
+
+
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """ADVICE r7: duplicate probe rows once collapsed into one group where
+    sum(hit)=2k != k → a FALSE NEGATIVE for an item that IS in the filter.
+    Probing is now per-row (no aggregation): duplicates keep their
+    multiplicity and each copy probes positive."""
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    members = spark.createDataFrame([("itemA",), ("itemB",)], "v string")
+    bloom = sketch.bloom_build(members, "v", n_bits=4096, k=4)
+    dup = spark.createDataFrame([("itemA",), ("itemA",), ("itemB",)], "v string")
+    got = sketch.bloom_probe(dup, bloom, "v", n_bits=4096, k=4).collect()
+    assert len(got) == 3  # multiplicity preserved
+    assert all(r["might_contain"] for r in got)
 
 
 def test_weighted_sample_deterministic_and_weight_sensitive(spark):

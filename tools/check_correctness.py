@@ -51,6 +51,41 @@ def row_multiset(rows, colnames) -> Counter:
     return Counter("|".join(norm_value(r[i]) for i in order) for r in rows)
 
 
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def dtype_mismatches(spark_dtypes: dict[str, str], duck_types: list[tuple[str, str]]) -> list[str]:
+    """Driver-fidelity dtype check (VERDICT r7 item 2).
+
+    The driver materializes DuckDB results through pandas/arrow, where
+    HUGEINT (the silent widening of ``sum(BIGINT)``/``list_sum``/windowed
+    sums) becomes float64 — so ``32`` hashes as ``"32.0"`` and the driver
+    gate fails even though every value is numerically identical.  The
+    local gate's string normalization cannot see this class, so we flag
+    it structurally: any twin output column typed HUGEINT (Spark has no
+    128-bit int, so it can never agree), or DECIMAL against a
+    non-decimal Spark column, is an error the twin must CAST away.
+    """
+    bad = []
+    for col, dt in duck_types:
+        base = dt.upper().split("(")[0].strip()
+        s = spark_dtypes.get(col)
+        if s is None:
+            continue  # column-set mismatch reported elsewhere
+        if base in ("HUGEINT", "UHUGEINT"):
+            bad.append(f"{col}: duckdb {dt} vs spark {s} — CAST the twin to BIGINT")
+        elif base == "DECIMAL" and not s.startswith("decimal"):
+            bad.append(f"{col}: duckdb {dt} vs spark {s} — CAST the twin to match")
+        elif base in ("DOUBLE", "FLOAT", "REAL") and s in _SPARK_INTEGRAL:
+            bad.append(f"{col}: duckdb {dt} vs spark {s} — integer/float dtype split")
+    return bad
+
+
+def duck_described_types(con, sql: str) -> list[tuple[str, str]]:
+    """(column_name, column_type) for a query via bind-only DESCRIBE."""
+    return [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--plain-session"]
     plain = "--plain-session" in sys.argv[1:]
@@ -112,6 +147,13 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             msgs.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        try:
+            dt_bad = dtype_mismatches(dict(sdf.dtypes), duck_described_types(con, sql))
+        except Exception as exc:  # DESCRIBE should never fail if execute worked
+            dt_bad = [f"DESCRIBE failed: {exc}"]
+        if dt_bad:
+            ok = False
+            msgs.append("dtype: " + "; ".join(dt_bad))
         if len(s_rows) != len(d_rows):
             ok = False
             msgs.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
