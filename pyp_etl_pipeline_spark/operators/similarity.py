@@ -366,25 +366,37 @@ def _micro_vec(c: Column) -> Column:
     return F.transform(c, lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"))
 
 
-def _kmeans_dist(xm: Column, centroid: list[int]) -> Column:
-    ca = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+def _matrix_lit(centroids: list[list[int]]) -> Column:
+    """The whole k x dim centroid table as ONE array<array<bigint>>
+    Literal. The previous shape — k separate per-centroid expression
+    trees, each carrying dim Literal nodes — made Catalyst ANALYSIS the
+    dominant cost of every small fit job (512+ nodes per argmin, re-
+    analyzed per job); a single Literal is O(1) nodes regardless of k
+    and dim, and the arithmetic moves into a ``transform`` over it."""
+    return F.lit([[int(v) for v in c] for c in centroids]).cast("array<array<bigint>>")
+
+
+def _sq_l2(xm: Column, cm: Column) -> Column:
     return F.aggregate(
-        F.zip_with(xm, ca, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(xm, cm, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
+def _kmeans_dist(xm: Column, centroid: list[int]) -> Column:
+    return _sq_l2(xm, F.lit([int(v) for v in centroid]).cast("array<bigint>"))
+
+
 def _kmeans_argmin(xm: Column, centroids: list[list[int]]) -> Column:
     """struct(dist, cluster) of the nearest centroid; ``array_min`` on
     structs compares lexicographically, so equal distances break to the
-    smaller cluster id — the documented tie rule."""
+    smaller cluster id — the documented tie rule. The centroid table is
+    a single matrix Literal (see ``_matrix_lit``)."""
     return F.array_min(
-        F.array(
-            *[
-                F.struct(_kmeans_dist(xm, c).alias("d"), F.lit(j).alias("c"))
-                for j, c in enumerate(centroids)
-            ]
+        F.transform(
+            _matrix_lit(centroids),
+            lambda c, j: F.struct(_sq_l2(xm, c).alias("d"), j.cast("int").alias("c")),
         )
     )
 
@@ -394,34 +406,29 @@ def _kmeans_argmin_fast(xm: Column, centroids: list[list[int]]) -> Column:
     rule) but with the row-constant ||x||^2 term of the squared L2
     dropped: d' = ||c||^2 - 2<x, c>. Subtracting the same value from
     every candidate preserves the (d, c) struct order EXACTLY — including
-    equal-distance ties — while roughly halving the per-centroid
-    expression tree (one multiply in the zip_with instead of
-    subtract+square), which matters because Catalyst analysis/codegen of
-    the k-way inline-literal argmin dominates small-batch k-means jobs.
-    ONLY for call sites that consume ``["c"]`` — the d' values are
-    shifted and must never be exposed (``assign_clusters`` keeps the
-    exact-distance variant)."""
+    equal-distance ties — with one multiply in the zip_with instead of
+    subtract+square. The ||c||^2 terms ride as a second small array
+    Literal indexed by cluster id. ONLY for call sites that consume
+    ``["c"]`` — the d' values are shifted and must never be exposed
+    (``assign_clusters`` keeps the exact-distance variant)."""
+    norms = F.lit([int(sum(int(v) * int(v) for v in c)) for c in centroids]).cast(
+        "array<bigint>"
+    )
     return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(int(sum(int(v) * int(v) for v in c)))
-                        - 2
-                        * F.aggregate(
-                            F.zip_with(
-                                xm,
-                                F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                                lambda a, b: a * b,
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("d"),
-                    F.lit(j).alias("c"),
-                )
-                for j, c in enumerate(centroids)
-            ]
+        F.transform(
+            _matrix_lit(centroids),
+            lambda c, j: F.struct(
+                (
+                    F.element_at(norms, j + 1)
+                    - 2
+                    * F.aggregate(
+                        F.zip_with(xm, c, lambda a, b: a * b),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                j.cast("int").alias("c"),
+            ),
         )
     )
 
@@ -682,6 +689,117 @@ def pq_fit(
     return books
 
 
+def ivfpq_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> tuple[list[list[int]], list[list[list[int]]]]:
+    """Train the IVF coarse quantizer AND the PQ codebooks in the SAME
+    fit loop — bit-identical to ``kmeans_fit(k, n_iter)`` +
+    ``pq_fit(m, ksub, n_iter)`` run separately (same seeding, tie, and
+    rounding contracts), at half the job count: one persisted micro
+    projection instead of two, ONE seeds collect (the max(k, ksub)
+    smallest ids serve both), and per iteration ONE scan computing the
+    coarse assignment and all m subspace assignments in a single
+    projection, whose exploded components fold through a single
+    (space, cluster, j) partial-sum shuffle (space = -1 is the coarse
+    quantizer, 0..m-1 the subspaces). At 100 TB this halves the
+    full-corpus training scans — the dominant fit cost.
+
+    Returns ``(centroids, codebooks)`` exactly as the two separate
+    trainers would."""
+    if sample_fraction is not None:
+        from pyp_etl_pipeline_spark.operators.sampling import deterministic_sample  # noqa: PLC0415
+
+        vectors = deterministic_sample(vectors, id_col, sample_fraction, salt="ivfpq-fit-v1")
+    v = vectors.select(
+        F.col(id_col).alias("id"), _micro_vec(F.col(vec_col)).alias("__xm")
+    ).persist()
+    try:
+        nseed = max(k, ksub)
+        seeds = v.orderBy("id").limit(nseed).collect()
+        if len(seeds) < nseed:
+            raise ValueError(
+                f"ivfpq_fit: need at least max(k, ksub)={nseed} vectors to seed, got {len(seeds)}"
+            )
+        dim = len(seeds[0]["__xm"])
+        bad = next((r for r in seeds if len(r["__xm"]) != dim), None)
+        if bad is not None:
+            raise ValueError(
+                f"ivfpq_fit: ragged embeddings — seed lengths {len(bad['__xm'])} vs {dim}"
+            )
+        if dim % m != 0:
+            raise ValueError(f"ivfpq_fit: dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        centroids: list[list[int]] = [list(r["__xm"]) for r in seeds[:k]]
+        books: list[list[list[int]]] = [
+            [list(r["__xm"])[s * dsub : (s + 1) * dsub] for r in seeds[:ksub]] for s in range(m)
+        ]
+        for _ in range(n_iter):
+            sliced = v.select(
+                F.col("__xm"),
+                *[F.slice(F.col("__xm"), s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
+            )
+            codes = F.array(
+                *[_kmeans_argmin_fast(F.col(f"__sub{s}"), books[s])["c"] for s in range(m)]
+            )
+            assigned = sliced.select(
+                _kmeans_argmin_fast(F.col("__xm"), centroids)["c"].alias("__cc"),
+                codes.alias("__codes"),
+                F.col("__xm"),
+            )
+            exploded = assigned.select("__cc", "__codes", F.posexplode("__xm").alias("i", "x"))
+            s_col = (F.col("i") / dsub).cast("int")
+            # each vector component feeds exactly two partial sums: its
+            # coarse (space=-1, full-dim j) cell and its subspace cell
+            pairs = exploded.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(-1).alias("s"),
+                            F.col("__cc").alias("cluster"),
+                            F.col("i").alias("j"),
+                            F.col("x").alias("x"),
+                        ),
+                        F.struct(
+                            s_col.alias("s"),
+                            F.element_at("__codes", s_col + 1).alias("cluster"),
+                            (F.col("i") % dsub).alias("j"),
+                            F.col("x").alias("x"),
+                        ),
+                    )
+                ).alias("e")
+            ).select("e.*")
+            comps = pairs.groupBy("s", "cluster", "j").agg(
+                F.floor(F.sum("x") / F.count("*") + F.lit(0.5)).cast("long").alias("comp")
+            )
+            gotc: dict[int, dict[int, int]] = {}
+            gots: dict[tuple[int, int, int], int] = {}
+            for r in comps.collect():
+                if r["s"] == -1:
+                    gotc.setdefault(r["cluster"], {})[r["j"]] = r["comp"]
+                else:
+                    gots[(r["s"], r["cluster"], r["j"])] = r["comp"]
+            centroids = [
+                [gotc[c][i] for i in range(dim)] if c in gotc else centroids[c] for c in range(k)
+            ]
+            books = [
+                [
+                    [gots.get((s, c, j), books[s][c][j]) for j in range(dsub)]
+                    for c in range(ksub)
+                ]
+                for s in range(m)
+            ]
+    finally:
+        v.unpersist(blocking=False)
+    return centroids, books
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[int]]],
@@ -838,14 +956,26 @@ def ivfpq_topk(
     qm = queries.select(
         F.col(query_id_col).alias("query_id"), _micro_vec(F.col(query_vec_col)).alias("__qm")
     )
-    cand = F.array(
-        *[
-            F.struct(
-                _kmeans_argmin_fast(F.col("__qm"), [c])["d"].alias("d"),
-                F.lit(j).alias("c"),
-            )
-            for j, c in enumerate(coarse)
-        ]
+    # nprobe nearest coarse lists per query: d' = ||c||^2 - 2<q, c> (the
+    # row-constant ||q||^2 dropped — ordering and ties preserved), over
+    # the single matrix Literal
+    coarse_norms = F.lit([int(sum(int(v) * int(v) for v in c)) for c in coarse]).cast(
+        "array<bigint>"
+    )
+    cand = F.transform(
+        _matrix_lit(coarse),
+        lambda c, j: F.struct(
+            (
+                F.element_at(coarse_norms, j + 1)
+                - 2
+                * F.aggregate(
+                    F.zip_with(F.col("__qm"), c, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("d"),
+            j.cast("int").alias("c"),
+        ),
     )
     probes = qm.select(
         "query_id",
