@@ -97,6 +97,8 @@ EXTENDED = [
     "ws01_weighted_sample",
     "mm11_audio_fingerprint_groups",
     "pp02_multimodal_curation",
+    # round 8
+    "ann07_ivfpq_refine_topk",
 ]
 
 HEADLINE = [

@@ -1209,7 +1209,13 @@ def tx05_repetition(spark: SparkSession, sf: str) -> DataFrame:
 def _tx05_sql() -> str:
     toks = f"string_split({core.sql_normalized_text('text')}, ' ')"
     gram = f"list_transform(generate_series(1, len({toks}) - 2), i -> array_to_string({toks}[i:i+2], ' '))"
-    grams = f"(CASE WHEN len({toks}) >= 3 THEN {gram} ELSE [array_to_string({toks}, ' ')] END)"
+    # the IS NULL arm mirrors the operator: NULL text -> NULL grams (all
+    # metrics NULL), never the [NULL] singleton
+    grams = (
+        f"(CASE WHEN len({toks}) >= 3 THEN {gram} "
+        f"WHEN {toks} IS NULL THEN NULL "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
     return f"""
 WITH g AS (SELECT doc_id, len({toks}) AS n_tokens, {grams} AS grams FROM documents)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -808,7 +808,7 @@ def mm04_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
 
 MM04_SQL = """
 SELECT doc_id AS media_id,
-       (1000 * unnest(generate_series(0, greatest((length(text) * 10) // 1000, 1) - 1)))::BIGINT AS frame_ts_ms
+       (1000 * unnest(generate_series(0, greatest((n_chars * 10) // 1000, 1) - 1)))::BIGINT AS frame_ts_ms
 FROM documents
 WHERE doc_id % 3 = 2
 """
@@ -2045,7 +2045,10 @@ m AS (
               w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS n_syllables
   FROM t
 )
-SELECT doc_id, n_words, n_sentences, coalesce(n_syllables, 0) AS n_syllables,
+SELECT doc_id, n_words, n_sentences,
+       -- coalesce is for EMPTY token lists (list_sum([]) is NULL); a NULL
+       -- text (n_words NULL) must stay NULL like the Spark aggregate
+       CASE WHEN n_words IS NULL THEN NULL ELSE coalesce(n_syllables, 0) END AS n_syllables,
        CASE WHEN n_words > 0 AND n_sentences > 0 THEN
          CAST(floor(
            (206.835
@@ -2223,14 +2226,19 @@ def bf01_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
 
     d = _load_corpus(spark, sf, "documents")
+    # null text shingles to a single NULL entry (array_join(NULL)) —
+    # filter it so null-text docs are absent from the report, matching
+    # the twin's unnest(NULL)-drops-row semantics (null sweep, r8)
     bench_sh = (
         d.filter(F.col("doc_id") % 25 == 0)
         .select(F.explode(word_shingles("text")).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     corpus_sh = (
         d.filter(F.col("doc_id") % 25 != 0)
         .select(F.col("doc_id"), F.explode(word_shingles("text")).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     bloom = _sketch.bloom_build(bench_sh, "shingle")
@@ -2716,6 +2724,61 @@ QUALIFY match_rank <= {k}
 ANN06_SQL = _ann06_sql()
 
 
+def ann07_ivfpq_refine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking (FAISS IVFPQR; hnsw/refine precedent
+    in the reference's `memberSchema (2).gql:86` embedding search): the
+    ADC scan shortlists k*r candidates per query, then the EXACT integer
+    micro L2 on the raw vectors decides the final top-k — the standard
+    production recall fix. The shortlist broadcasts into the raw-vector
+    scan (map-only second touch of the corpus); the twin replays the
+    full ann06 pipeline at k*r and the rerank join bit-for-bit."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
+
+    emb = _load_corpus(spark, sf, "embeddings")
+    coarse, books = _sim.ivfpq_fit(emb, k=8, m=4, ksub=8, n_iter=1)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = _sim.ivfpq_refine_topk(emb, q, coarse, books, nprobe=2, k=5, r_factor=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("match_rank"),
+        "exact_dist",
+        "adc_dist",
+    )
+
+
+def _ann07_sql(k: int = 5, r_factor: int = 3, dim: int = 64) -> str:
+    micro = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (eq.xm[i] - ev.xm[i]) * (eq.xm[i] - ev.xm[i])))"
+    )
+    return f"""
+WITH short AS ({_ann06_sql(k=k * r_factor)}),
+e2 AS (SELECT vec_id, {micro} AS xm FROM embeddings),
+rr AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_dist,
+         CAST({dist} AS BIGINT) AS exact_dist
+  FROM short s
+  JOIN e2 ev ON ev.vec_id = s.neighbor_id
+  JOIN e2 eq ON eq.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY exact_dist ASC, neighbor_id ASC) AS match_rank,
+       exact_dist, adc_dist
+FROM rr
+QUALIFY match_rank <= {k}
+"""
+
+
+ANN07_SQL = _ann07_sql()
+
+
 # --------------------------------------------------------------------------
 # tx16: held-out perplexity gate (no self-scoring leakage)
 # --------------------------------------------------------------------------
@@ -2912,6 +2975,7 @@ QUERIES3 = {
     "ws01_weighted_sample": (ws01_weighted_sample, WS01_SQL),
     "tx16_heldout_logprob": (tx16_heldout_logprob, TX16_SQL),
     "ann06_ivfpq_topk": (ann06_ivfpq_topk, ANN06_SQL),
+    "ann07_ivfpq_refine_topk": (ann07_ivfpq_refine_topk, ANN07_SQL),
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
     "w10_ohlc_bars": (w10_ohlc_bars, W10_SQL),

@@ -215,13 +215,20 @@ def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
                 )
 
                 decode_real(b"", "image")  # pragma: no cover
-            feats = [(fake(p if p is not None else b"")) for p in payloads]
+            # a MISSING payload is not an EMPTY payload: NULL in -> NULL
+            # features out (md5('') for a null blob was a lie the null-
+            # injection sweep caught, r8)
+            feats = [fake(p) if p is not None else (None, None) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                    "checksum": [hashlib.md5(p or b"").hexdigest() for p in payloads],
+                    "n_bytes": pd.array(
+                        [len(p) if p is not None else None for p in payloads], dtype="Int64"
+                    ),
+                    "checksum": [
+                        hashlib.md5(p).hexdigest() if p is not None else None for p in payloads
+                    ],
                     "feat0": [f[0] for f in feats],
                     "feat1": [f[1] for f in feats],
                 }

@@ -407,10 +407,15 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
         shifts = np.arange(64, dtype=np.uint64)
         cache: dict = {}
         out = np.zeros(len(texts), dtype=np.int64)
+        # a doc with no tokens has NO fingerprint (a majority vote over
+        # zero tokens is undefined; fp=0 made every null/empty doc a
+        # mutual near-dup — found by the null-injection sweep, r8)
+        valid = np.zeros(len(texts), dtype=bool)
         for i, t in enumerate(texts):
             toks = (t or "").lower().split()
             if not toks:
                 continue
+            valid[i] = True
             hs = np.empty(len(toks), dtype=np.uint64)
             for j, tok in enumerate(toks):
                 h = cache.get(tok)
@@ -422,7 +427,9 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
             votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             fp = int(((votes > 0).astype(np.uint64) << shifts).sum())
             out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp  # wrap to signed
-        return pd.Series(out, dtype="int64")
+        s = pd.Series(out, dtype="Int64")  # nullable: tokenless docs -> NULL
+        s[~valid] = pd.NA
+        return s
 
     import pandas as pd  # noqa: PLC0415
 
@@ -439,8 +446,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs. Blocking: 4 x 16-bit key chunks — two docs
     within Hamming distance 3 of each other must agree on >= 1 chunk
-    (pigeonhole), so the self-join runs per chunk, never all-pairs."""
-    fps = simhash_fingerprints(df, id_col, text_col)
+    (pigeonhole), so the self-join runs per chunk, never all-pairs.
+    Tokenless (null/empty) docs have no fingerprint and never pair."""
+    fps = simhash_fingerprints(df, id_col, text_col).filter(F.col("simhash").isNotNull())
     chunks = fps.select(
         "id",
         "simhash",

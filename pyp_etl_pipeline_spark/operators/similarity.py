@@ -1020,3 +1020,66 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist", "vcid")
     )
+
+
+def ivfpq_refine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    nprobe: int = 2,
+    k: int = 5,
+    r_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ with an exact re-ranking stage (FAISS ``IVFPQR`` /
+    refine): the ADC scan produces a shortlist of ``k * r_factor``
+    candidates per query, whose EXACT integer squared L2 (on the raw
+    micro vectors) then decides the final top-k. This is the standard
+    production recall fix — ADC error only has to keep the true
+    neighbors inside the shortlist, not rank them perfectly.
+
+    Physical shape: the shortlist (|queries| * k * r_factor rows —
+    dimension-sized) BROADCASTS into a semi-join against the raw-vector
+    scan, so the corpus is touched map-only exactly once more and only
+    shortlisted rows pay the full-dim distance; the final rank is a
+    per-query window over k*r_factor rows. Distances stay exact
+    integers end to end (oracle-checkable, ann07).
+
+    Output: (query_id, neighbor_id, rank, exact_dist, adc_dist) —
+    ``rank`` is the refined order (ties exact_dist -> neighbor_id).
+    """
+    if r_factor < 1:
+        raise ValueError(f"ivfpq_refine_topk: r_factor must be >= 1, got {r_factor}")
+    shortlist = ivfpq_topk(
+        vectors,
+        queries,
+        coarse,
+        codebooks,
+        nprobe=nprobe,
+        k=k * r_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id", "adc_dist")
+    vm = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _micro_vec(F.col(vec_col)).alias("__vm")
+    )
+    qm = queries.select(
+        F.col(query_id_col).alias("query_id"), _micro_vec(F.col(query_vec_col)).alias("__qm")
+    )
+    refined = (
+        vm.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qm), "query_id")
+        .withColumn("exact_dist", _sq_l2(F.col("__qm"), F.col("__vm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("exact_dist"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "exact_dist", "adc_dist")
+    )

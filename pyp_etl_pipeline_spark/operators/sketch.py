@@ -361,7 +361,10 @@ def bloom_build(
     pos = F.explode(
         F.array(*[F.pmod(_h48(F.col(item_col), f"{salt}:{r}"), F.lit(n_bits)) for r in range(k)])
     )
-    rows = items.select(pos.alias("pos"))
+    # NULL items set no bits (a Bloom filter has no NULL member; a null
+    # word row would also be an illegal map key in bloom_probe's folded
+    # bitset) — probing NULL correspondingly returns false
+    rows = items.filter(F.col(item_col).isNotNull()).select(pos.alias("pos"))
     # 63-bit words: shift stays <= 62, below BOTH engines' signed-shift
     # edge (DuckDB raises on 1 << 63; Java wraps silently) — same layout
     # on each side by construction

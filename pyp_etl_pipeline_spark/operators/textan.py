@@ -153,7 +153,12 @@ def repetition_features(
     grams = F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    ).when(
+        # NULL text: every metric NULL, not the [NULL] singleton the
+        # otherwise-branch would build (null-injection sweep, r8)
+        toks.isNotNull(),
+        F.array(F.array_join(toks, " ")),
+    )
     out = df.select(F.col(id_col).alias("id"), F.size(toks).alias("n_tokens"), grams.alias("__g"))
     return out.select(
         "id",

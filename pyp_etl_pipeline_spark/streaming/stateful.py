@@ -61,7 +61,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         n, total_micro, peak = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
             vals = pdf["value"].astype(float)
+            # SQL aggregate null contract: count(*) counts every row,
+            # sum/max skip NULLs. A NaN reaching astype('int64') is
+            # UNDEFINED (it materializes as int64-min and poisons the
+            # running total with -9.2e12 — found by the null-injection
+            # sweep, tools/check_nulls.py), so nulls are masked out.
             n += len(pdf)
+            vals = vals[vals.notna()]
             # accumulate micro-unit INTEGERS: float accumulation is
             # order-dependent and batch splitting varies with partition
             # layout, flipping the rounded cent between sessions (same
@@ -83,8 +89,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         s = int(total_micro)
         cents = (abs(s) + 5000) // 10000
         sum_value = (-cents if s < 0 else cents) / 100.0
+        if peak == float("-inf"):
+            # no non-null value seen yet: SQL sum/max over zero rows are
+            # NULL, not 0/-inf
+            sum_value = None
+            out_peak = None
+        else:
+            out_peak = peak
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [sum_value], "max_value": [peak]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [sum_value],
+                "max_value": [out_peak],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

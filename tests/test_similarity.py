@@ -398,6 +398,53 @@ def test_ivfpq_fit_fused_equals_separate(spark):
         similarity.ivfpq_fit(emb.limit(3), k=4, m=4, ksub=4, n_iter=1)
 
 
+def test_ivfpq_refine_recovers_exact_topk(spark):
+    """With nprobe = k_coarse and a shortlist covering the whole corpus,
+    the refined ranking must equal the exact integer-L2 brute-force
+    top-k — ADC error can only reorder candidates, and refine erases
+    that within the shortlist. Also: refined exact_dist is the true
+    micro L2 (checked against a python reference), and a small r_factor
+    still returns k rows per query."""
+    import math
+    import random
+
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    random.seed(13)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id % 15 = 0").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    coarse, books = similarity.ivfpq_fit(emb, k=4, m=4, ksub=4, n_iter=1)
+    got = similarity.ivfpq_refine_topk(
+        emb, q, coarse, books, nprobe=4, k=3, r_factor=20
+    ).collect()
+
+    def micro(v):
+        # match _micro_vec on float32 inputs: cast to double first
+        import struct as _s
+
+        return [int(math.floor(_s.unpack("f", _s.pack("f", x))[0] * 1_000_000 + 0.5)) for x in v]
+
+    vecs = {i: micro(v) for i, v in rows}
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 15, 30, 45}
+    for qid, rs in by_q.items():
+        want = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[i])), i)
+            for i in vecs
+            if i != qid
+        )[:3]
+        rs.sort(key=lambda r: r["rank"])
+        assert [(r["exact_dist"], r["neighbor_id"]) for r in rs] == want, qid
+    # small r_factor: still exactly k rows per query
+    narrow = similarity.ivfpq_refine_topk(emb, q, coarse, books, nprobe=4, k=3, r_factor=1)
+    assert narrow.groupBy("query_id").count().filter("count <> 3").count() == 0
+    with pytest.raises(ValueError, match="r_factor"):
+        similarity.ivfpq_refine_topk(emb, q, coarse, books, k=3, r_factor=0)
+
+
 def test_ivfpq_probe_all_equals_pq(spark):
     """With nprobe = k_coarse (probe every inverted list) IVF-PQ must
     degenerate to plain PQ ADC ranking — same neighbors, same ranks."""

@@ -93,7 +93,9 @@ def test_extract_features_deterministic(media):
     assert out[1]["n_bytes"] == len(payload)
     assert out[1]["checksum"] == hashlib.md5(payload).hexdigest()
     assert out[1]["feat0"] == (sum(payload) % 997) / 997.0
-    assert out[4]["n_bytes"] == 0 and out[4]["feat0"] == 0.0  # NULL payload safe
+    # a MISSING payload yields NULL features (not md5('')/0 — r8 contract)
+    assert out[4]["n_bytes"] is None and out[4]["feat0"] is None
+    assert out[4]["checksum"] is None and out[4]["kind"] is not None
 
 
 def test_decode_real_is_stubbed():

@@ -1,0 +1,98 @@
+"""Null-robustness sweep for the oracle registry (VERDICT r7 item 6).
+
+The driver's testdata currently contains NO nulls, so any Spark/DuckDB
+null-semantics divergence in a (query, twin) pair is latent — it "passes
+because sf0.01 lacks the edge" (the W06 class: the twin assumed non-null
+events.value and broke the day the operator's null filter mattered).
+
+This tool makes the edge real: it copies a small sf dir to a scratch
+location, injects a deterministic ~5% of NULLs into the plausible
+nullable NON-KEY columns (documents.text/lang, events.value/event_type/
+props, customer.c_mktsegment/c_acctbal, orders.o_orderpriority,
+lineitem.l_returnflag), and runs the full check_correctness gate on it.
+A twin that diverges from its operator on nulls fails the value hash
+here even though the stock gate is green.
+
+Determinism: row selection is hash(key) % 20 == r per column (r varies
+by column), so reruns and engines agree.
+
+Usage: python tools/check_nulls.py [src_sf_dir] [name_filter...]
+Exit 0 = every oracle pair is null-robust (or legitimately skipped).
+
+Some queries CONSUME the injected columns as mandatory inputs in their
+build step (driver-side collects — e.g. BPE training on text) and raise
+on null before any comparison happens; those surface as SPARK/DUCKDB
+errors, not silent wrongness, which is the acceptable contract. Use the
+name filters to focus.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (table, column, residue) — residue varies so nulls don't align across columns
+INJECT = [
+    ("documents", "text", "doc_id", 3),
+    ("documents", "lang", "doc_id", 7),
+    ("events", "value", "event_id", 4),
+    ("events", "event_type", "event_id", 11),
+    ("events", "props", "event_id", 16),
+    ("customer", "c_mktsegment", "c_custkey", 5),
+    ("customer", "c_acctbal", "c_custkey", 12),
+    ("orders", "o_orderpriority", "o_orderkey", 9),
+    ("lineitem", "l_returnflag", "l_orderkey", 14),
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def build_nulled_dir(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    by_table: dict[str, list[tuple[str, str, int]]] = {}
+    for t, col, key, r in INJECT:
+        by_table.setdefault(t, []).append((col, key, r))
+    for t in TABLES:
+        src_file = f"{src}/{t}.parquet"
+        dst_file = f"{dst}/{t}.parquet"
+        mods = by_table.get(t, [])
+        if not mods:
+            con.execute(f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)")
+            continue
+        cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src_file}')").fetchall()]
+        mod_map = {col: (key, r) for col, key, r in mods}
+        exprs = []
+        for c in cols:
+            if c in mod_map:
+                key, r = mod_map[c]
+                exprs.append(
+                    f"CASE WHEN hash({key}) % 20 = {r} THEN NULL ELSE {c} END AS {c}"
+                )
+            else:
+                exprs.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+        )
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    filters = args[1:] if args and os.path.isdir(args[0]) else args
+    dst = "/tmp/spark_graft_sfnull"
+    build_nulled_dir(src, dst)
+    print(f"null-injected copy of {src} at {dst}; running gate...", flush=True)
+    cmd = [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), dst, *filters]
+    return subprocess.call(cmd)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
