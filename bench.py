@@ -195,6 +195,7 @@ def main() -> None:
         ("BENCH_ANCHOR.json", "vs_anchor", "vs_anchor_total"),
         ("BENCH_ANCHOR_R6.json", "vs_anchor_r6", "vs_anchor_r6_total"),
         ("BENCH_ANCHOR_R7.json", "vs_anchor_r7", "vs_anchor_r7_total"),
+        ("BENCH_ANCHOR_R8.json", "vs_anchor_r8", "vs_anchor_r8_total"),
     ):
         anchor_path = os.path.join(REPO, path)
         if not os.path.exists(anchor_path):

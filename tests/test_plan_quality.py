@@ -85,6 +85,29 @@ def test_tx05_repetition_is_python_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bloom_probe_side_never_shuffles(spark, sf_dir):
+    """SCALE.md's r8 claim for sketch.bloom_probe: membership is k
+    element_at lookups against a one-row broadcast map — the probe
+    relation must reach the verdict with ZERO exchanges (the pre-r8
+    groupBy on all probe columns was a full shuffle; its removal also
+    fixed the duplicate-probe false negative). The bitset fold itself is
+    a one-row aggregate on the (tiny) bloom side, planned as broadcast."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.operators import sketch  # noqa: PLC0415
+
+    probes = spark.range(1000).select(F.concat(F.lit("it"), F.col("id")).alias("v"))
+    bloom = sketch.bloom_build(probes.limit(100), "v")
+    plan = sketch.bloom_probe(probes, bloom, "v")._jdf.queryExecution().executedPlan().toString()
+    # the only shuffles allowed are the bitset fold's (keyed on 'word');
+    # any hashpartitioning on probe columns means the probe side shuffled
+    import re  # noqa: PLC0415
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "word" in m.group(1), plan
+    assert plan.count("BroadcastExchange") >= 1  # the one-row map rides broadcast
+
+
 def test_no_row_python_eval_registry_wide(spark, sf_dir):
     """SCALE.md's headline plan-quality claim: no row-at-a-time Python UDF
     anywhere in the engine. Arrow-vectorized nodes (ArrowEvalPython /
