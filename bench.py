@@ -99,6 +99,8 @@ EXTENDED = [
     "pp02_multimodal_curation",
     # round 8
     "ann07_ivfpq_refine_topk",
+    "mx03_temperature_mixture",
+    "ks01_keep_best_per_cluster",
 ]
 
 HEADLINE = [

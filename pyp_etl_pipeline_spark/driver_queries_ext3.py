@@ -14,7 +14,7 @@ the greedy/iterative ones exactly replayable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark.functions import text, validation
@@ -2779,6 +2779,127 @@ QUALIFY match_rank <= {k}
 ANN07_SQL = _ann07_sql()
 
 
+def mx03_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled corpus mixture with EXACT integer apportionment
+    — the multilingual/pretraining sampling standard (p_i ∝ w_i^τ with
+    τ = 0.5, i.e. square-root tempering, then a hard token budget split
+    by the largest-remainder method so the allocations sum EXACTLY to
+    the budget). Engine-portable by construction: sqrt(double) is IEEE
+    correctly-rounded on every engine (unlike pow), the tempered weight
+    floors to integer micro immediately, and base/remainder/leftover are
+    pure BIGINT arithmetic — ties in the remainder rank break by source
+    name. The relation is |sources|-sized (dimension-sized): the only
+    corpus-scale work is the one partial-agg scan computing the weights."""
+    N = 100_000
+    d = load_table(spark, sf, "documents")
+    w = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("weight"))
+    m = F.floor(F.sqrt(F.col("weight").cast("double")) * 1_000_000 + F.lit(0.5)).cast("long")
+    t = w.select("source", "weight", m.alias("__m"))
+    tot = t.agg(F.sum("__m").cast("long").alias("__s"), F.count("*").alias("__k"))
+    j = t.crossJoin(F.broadcast(tot))
+    base = F.expr(f"CAST({N} AS BIGINT) * __m DIV __s")
+    rem = F.expr(f"CAST({N} AS BIGINT) * __m % __s")
+    j = j.select("source", "weight", "__s", base.alias("__base"), rem.alias("__rem"))
+    lw = Window.orderBy(F.desc("__rem"), F.asc("source"))
+    sw = Window.partitionBy(F.lit(1))
+    out = j.select(
+        "source",
+        "weight",
+        "__base",
+        F.row_number().over(lw).alias("__rk"),
+        (F.lit(N) - F.sum("__base").over(sw)).alias("__left"),
+    )
+    return out.select(
+        "source",
+        "weight",
+        (F.col("__base") + (F.col("__rk") <= F.col("__left")).cast("long")).alias("alloc_tokens"),
+    )
+
+
+MX03_SQL = """
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight FROM documents GROUP BY 1
+),
+t AS (
+  SELECT source, weight,
+         CAST(floor(sqrt(CAST(weight AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS m
+  FROM w
+),
+s AS (SELECT CAST(sum(m) AS BIGINT) AS s FROM t),
+j AS (
+  SELECT source, weight,
+         (100000::BIGINT * m) // s AS base,
+         (100000::BIGINT * m) % s AS rem
+  FROM t CROSS JOIN s
+),
+r AS (
+  SELECT source, weight, base,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         100000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+  FROM j
+)
+SELECT source, weight,
+       CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS alloc_tokens
+FROM r
+"""
+
+
+def ks01_keep_best_per_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-priority dedup survivorship: near-dup clusters (dd02
+    pairs -> dd04 connected components) keep their HIGHEST-QUALITY
+    member (max n_chars, ties to the smaller doc_id) instead of dd07's
+    min-id representative — the curation rule real pipelines want (keep
+    the best copy, not the first). Keeper election is a map-side-
+    combinable min(struct(-quality, id)) per cluster — no window over
+    the corpus; the keeper relation (one row per cluster) joins back on
+    cluster_id, already co-partitioned from the aggregate (AQE
+    broadcasts it when small). Output: every clustered doc with its
+    keeper and verdict."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    pairs = _dedup.shingle_pairs_jaccard(d, threshold=0.5)
+    clusters = _dedup.dup_clusters(pairs)
+    member = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    keepers = member.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("n_chars")).alias("nq"), F.col("doc_id").alias("id"))).alias("__k")
+    )
+    return (
+        member.join(keepers, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("__k.id").alias("keeper_id"),
+            (F.col("doc_id") == F.col("__k.id")).alias("kept"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _ks01_sql() -> str:
+    from pyp_etl_pipeline_spark.driver_queries_ext import DD04_SQL  # noqa: PLC0415
+
+    return f"""
+WITH c AS ({DD04_SQL}),
+member AS (
+  SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM c JOIN documents d ON d.doc_id = c.doc_id
+),
+keeper AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM member) WHERE rn = 1
+)
+SELECT m.doc_id, m.cluster_id, k.keeper_id, m.doc_id = k.keeper_id AS kept, m.n_chars
+FROM member m JOIN keeper k USING (cluster_id)
+"""
+
+
+KS01_SQL = _ks01_sql()
+
+
 # --------------------------------------------------------------------------
 # tx16: held-out perplexity gate (no self-scoring leakage)
 # --------------------------------------------------------------------------
@@ -2976,6 +3097,8 @@ QUERIES3 = {
     "tx16_heldout_logprob": (tx16_heldout_logprob, TX16_SQL),
     "ann06_ivfpq_topk": (ann06_ivfpq_topk, ANN06_SQL),
     "ann07_ivfpq_refine_topk": (ann07_ivfpq_refine_topk, ANN07_SQL),
+    "mx03_temperature_mixture": (mx03_temperature_mixture, MX03_SQL),
+    "ks01_keep_best_per_cluster": (ks01_keep_best_per_cluster, KS01_SQL),
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
     "w10_ohlc_bars": (w10_ohlc_bars, W10_SQL),

@@ -493,6 +493,49 @@ def test_bloom_probe_duplicate_rows_no_false_negative(spark):
     assert all(r["might_contain"] for r in got)
 
 
+def test_mx03_largest_remainder_allocation(spark, sf_dir):
+    """The temperature mixture must apportion EXACTLY the budget (the
+    whole point of largest-remainder), monotonically in weight, with at
+    most 1 token difference from the unrounded share."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import REGISTRY
+
+    fn, _ = REGISTRY["mx03_temperature_mixture"]
+    rows = fn(spark, sf_dir).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 100_000
+    # monotone: a strictly heavier source never gets fewer tokens
+    by_w = sorted(rows, key=lambda r: (r["weight"], r["alloc_tokens"]))
+    for a, b in zip(by_w, by_w[1:]):
+        if b["weight"] > a["weight"]:
+            assert b["alloc_tokens"] >= a["alloc_tokens"]
+    # each allocation within 1 of the exact tempered share
+    import math
+
+    ms = {r["source"]: math.floor(math.sqrt(r["weight"]) * 1e6 + 0.5) for r in rows}
+    s = sum(ms.values())
+    for r in rows:
+        exact = 100_000 * ms[r["source"]] / s
+        assert abs(r["alloc_tokens"] - exact) < 1.0 + 1e-9, r
+
+
+def test_ks01_keeper_is_best_member(spark, sf_dir):
+    """Every cluster's keeper must be its max-n_chars member (ties to
+    the smaller doc_id), exactly one keeper per cluster, all members
+    agreeing on it."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import REGISTRY
+
+    fn, _ = REGISTRY["ks01_keep_best_per_cluster"]
+    rows = fn(spark, sf_dir).collect()
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], []).append(r)
+    assert by_c
+    for cid, members in by_c.items():
+        best = min(members, key=lambda r: (-r["n_chars"], r["doc_id"]))
+        assert all(r["keeper_id"] == best["doc_id"] for r in members), cid
+        assert sum(1 for r in members if r["kept"]) == 1
+        assert next(r for r in members if r["kept"])["doc_id"] == best["doc_id"]
+
+
 def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     from pyp_etl_pipeline_spark.operators.sampling import weighted_sample
 
