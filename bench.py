@@ -101,6 +101,7 @@ EXTENDED = [
     "ann07_ivfpq_refine_topk",
     "mx03_temperature_mixture",
     "ks01_keep_best_per_cluster",
+    "ev02_ann_recall",
 ]
 
 HEADLINE = [

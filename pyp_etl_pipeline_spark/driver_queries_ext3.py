@@ -2779,6 +2779,57 @@ QUALIFY match_rank <= {k}
 ANN07_SQL = _ann07_sql()
 
 
+def ev02_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the production IVF-PQ search (ann06 configuration,
+    nprobe=2) against the exact integer-L2 ground truth — the evaluation
+    loop every ANN deployment tunes nprobe/codebooks by (the eval-tier
+    sibling of ev01's linkage metrics). The twin replays the ENTIRE
+    ann06 pipeline plus the brute-force ranking and the overlap count,
+    so the measured recall itself is hash-certified."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
+
+    emb = _load_corpus(spark, sf, "embeddings")
+    coarse, books = _sim.ivfpq_fit(emb, k=8, m=4, ksub=8, n_iter=1)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = _sim.ivfpq_topk(emb, q, coarse, books, nprobe=2, k=5)
+    exact = _sim.exact_l2_topk(emb, q, k=5)
+    return _sim.ann_recall(approx, exact, k=5)
+
+
+def _ev02_sql(k: int = 5, dim: int = 64) -> str:
+    micro = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (eq.xm[i] - ev.xm[i]) * (eq.xm[i] - ev.xm[i])))"
+    )
+    return f"""
+WITH approx AS ({_ann06_sql(k=k)}),
+e2 AS (SELECT vec_id, {micro} AS xm FROM embeddings),
+ex AS (
+  SELECT eq.vec_id AS query_id, ev.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY eq.vec_id
+                            ORDER BY {dist} ASC, ev.vec_id ASC) AS rn
+  FROM e2 eq JOIN e2 ev ON ev.vec_id <> eq.vec_id
+  WHERE eq.vec_id % 100 = 0
+),
+hits AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= {k})
+SELECT a.query_id,
+       CAST(count(h.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(h.neighbor_id) * 1000000 // {k} AS BIGINT) AS recall_micro
+FROM approx a
+LEFT JOIN hits h ON h.query_id = a.query_id AND h.neighbor_id = a.neighbor_id
+GROUP BY 1
+"""
+
+
+EV02_SQL = _ev02_sql()
+
+
 def mx03_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled corpus mixture with EXACT integer apportionment
     — the multilingual/pretraining sampling standard (p_i ∝ w_i^τ with
@@ -2877,9 +2928,7 @@ def ks01_keep_best_per_cluster(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ks01_sql() -> str:
-    from pyp_etl_pipeline_spark.driver_queries_ext import DD04_SQL  # noqa: PLC0415
-
+def _ks01_sql(DD04_SQL: str) -> str:
     return f"""
 WITH c AS ({DD04_SQL}),
 member AS (
@@ -2897,7 +2946,7 @@ FROM member m JOIN keeper k USING (cluster_id)
 """
 
 
-KS01_SQL = _ks01_sql()
+KS01_SQL: str | None = None  # composed in _finalize (needs ext's DD04 twin)
 
 
 # --------------------------------------------------------------------------
@@ -3098,7 +3147,8 @@ QUERIES3 = {
     "ann06_ivfpq_topk": (ann06_ivfpq_topk, ANN06_SQL),
     "ann07_ivfpq_refine_topk": (ann07_ivfpq_refine_topk, ANN07_SQL),
     "mx03_temperature_mixture": (mx03_temperature_mixture, MX03_SQL),
-    "ks01_keep_best_per_cluster": (ks01_keep_best_per_cluster, KS01_SQL),
+    "ev02_ann_recall": (ev02_ann_recall, EV02_SQL),
+    "ks01_keep_best_per_cluster": (ks01_keep_best_per_cluster, None),  # oracle composed below
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
     "w10_ohlc_bars": (w10_ohlc_bars, W10_SQL),
@@ -3165,7 +3215,15 @@ def _finalize() -> None:
         f"SELECT action, count(*) AS n_members FROM ({J09_SQL}) GROUP BY 1",
     )
 
-    from pyp_etl_pipeline_spark.driver_queries_ext import DD02_SQL, SH01_SQL  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.driver_queries_ext import (  # noqa: PLC0415
+        DD02_SQL,
+        DD04_SQL,
+        SH01_SQL,
+    )
+
+    global KS01_SQL
+    KS01_SQL = _ks01_sql(DD04_SQL)
+    QUERIES3["ks01_keep_best_per_cluster"] = (ks01_keep_best_per_cluster, KS01_SQL)
 
     ev01_sql = f"""
 WITH pred AS (SELECT DISTINCT id_a, id_b FROM ({SH01_SQL})),

@@ -1022,6 +1022,64 @@ def ivfpq_topk(
     )
 
 
+def exact_l2_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact integer-micro squared-L2 top-k — the brute-force ground
+    truth the ANN tier is measured against (and the L2 counterpart of
+    ``brute_force_topk``'s cosine). Queries broadcast into a map-only
+    pass over the corpus; ranking is a per-query window (partitioned —
+    parallel across queries). O(corpus x queries): an EVALUATION tool to
+    run on a query sample, not a serving path."""
+    vm = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _micro_vec(F.col(vec_col)).alias("__vm")
+    )
+    qm = queries.select(
+        F.col(query_id_col).alias("query_id"), _micro_vec(F.col(query_vec_col)).alias("__qm")
+    )
+    scored = (
+        vm.join(F.broadcast(qm))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("exact_dist", _sq_l2(F.col("__qm"), F.col("__vm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("exact_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "exact_dist")
+    )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
+    """Recall@k of an ANN result against the exact ground truth — the
+    metric every production ANN deployment tunes nprobe/bands/codebook
+    size by. Both inputs carry (query_id, neighbor_id) rows (top-k per
+    query, deterministic tie rules). Output per query: ``n_hits`` (the
+    overlap) and ``recall_micro`` = n_hits * 1e6 / k floored — exact
+    integers, engine-portable. One broadcast-sized left join + one
+    aggregate; never touches the corpus."""
+    hits = exact.select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        approx.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            # integer DIV: exact for any k (double division could round
+            # across an integer boundary before the floor)
+            F.expr(f"n_hits * CAST(1000000 AS BIGINT) DIV {int(k)}").alias("recall_micro"),
+        )
+    )
+
+
 def ivfpq_refine_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -445,6 +445,34 @@ def test_ivfpq_refine_recovers_exact_topk(spark):
         similarity.ivfpq_refine_topk(emb, q, coarse, books, k=3, r_factor=0)
 
 
+def test_ann_recall_metric(spark):
+    """recall@k semantics: probing every list recovers the exact top-k
+    through refine (recall 1.0); a deliberately wrong 'approx' scores 0;
+    integer micro division is exact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.operators import similarity
+
+    random.seed(17)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id % 15 = 0").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    exact = similarity.exact_l2_topk(emb, q, k=4)
+    coarse, books = similarity.ivfpq_fit(emb, k=4, m=4, ksub=4, n_iter=1)
+    perfect = similarity.ivfpq_refine_topk(emb, q, coarse, books, nprobe=4, k=4, r_factor=20)
+    rec = {r["query_id"]: r for r in similarity.ann_recall(perfect, exact, k=4).collect()}
+    assert all(r["n_hits"] == 4 and r["recall_micro"] == 1_000_000 for r in rec.values())
+    # shifted ids never overlap -> recall 0
+    wrong = exact.select("query_id", (F.col("neighbor_id") + 1000).alias("neighbor_id"))
+    rec0 = similarity.ann_recall(wrong, exact, k=4).collect()
+    assert all(r["n_hits"] == 0 and r["recall_micro"] == 0 for r in rec0)
+    # k=3 division floors exactly
+    three = similarity.ann_recall(exact.filter("rank <= 1"), exact.filter("rank <= 3"), k=3)
+    assert all(r["recall_micro"] == 333_333 for r in three.collect())
+
+
 def test_ivfpq_probe_all_equals_pq(spark):
     """With nprobe = k_coarse (probe every inverted list) IVF-PQ must
     degenerate to plain PQ ADC ranking — same neighbors, same ranks."""
