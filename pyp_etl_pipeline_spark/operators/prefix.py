@@ -102,16 +102,13 @@ def grouped_prefix_sum(
         # span rounds down at double precision. Null order values sort
         # FIRST under ASC window order so they belong in bucket 0 — and a
         # null __pid would silently DROP rows at the offsets equi-join.
-        return F.coalesce(
-            F.greatest(
-                F.least(
-                    F.floor((od - lo) / span * F.lit(float(n_buckets))),
-                    F.lit(n_buckets - 1),
-                ),
-                F.lit(0),
-            ),
-            F.lit(0),
-        ).cast("int")
+        # coalesce BEFORE least/greatest: Spark's least/greatest SKIP
+        # nulls (least(NULL, 31) = 31), which would send null keys to the
+        # LAST bucket while the window sorts them FIRST
+        raw = F.coalesce(
+            F.floor((od - lo) / span * F.lit(float(n_buckets))), F.lit(0).cast("long")
+        )
+        return F.greatest(F.least(raw, F.lit(n_buckets - 1)), F.lit(0)).cast("int")
 
     if not numeric or n_buckets == 1:
         bucketed = df.withColumn("__pid", F.lit(0))

@@ -309,6 +309,20 @@ def test_grouped_prefix_sum_nonnumeric_order_keys(spark):
         run += v
         assert mgot[s] == run
 
+    # timestamp keys (epoch-seconds projection) and NULL order keys
+    # (bucket 0, sorted first — previously DROPPED at the offsets join)
+    trows = [(datetime.datetime(2021, 1, 1) + datetime.timedelta(minutes=7 * i), i % 4 + 1) for i in range(100)]
+    tdf = spark.createDataFrame(trows, "t timestamp, v long")
+    tgot = {r["t"]: r["cum"] for r in grouped_prefix_sum(tdf.repartition(6), "v", "t").collect()}
+    run = 0
+    for t, v in trows:
+        run += v
+        assert tgot[t] == run
+    ndf = spark.createDataFrame([(None, 5), (1, 1), (2, 2)], "k int, v long")
+    ngot = {r["k"]: r["cum"] for r in grouped_prefix_sum(ndf, "v", "k").collect()}
+    assert len(ngot) == 3  # the NULL-key row survives
+    assert ngot[None] == 5 and ngot[1] == 6 and ngot[2] == 8
+
 
 def test_budget_fill_contract(spark):
     """Greedy fill in keyed-hash order: selected = exactly the prefix of
