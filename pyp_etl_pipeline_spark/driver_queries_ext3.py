@@ -1793,8 +1793,12 @@ def js01_json_extract_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 JS01_SQL = """
 WITH x AS (
+  -- json_valid guard: DuckDB json_extract RAISES on malformed/empty
+  -- input while Spark's from_json reads it as NULL (the operator's
+  -- tolerant-reader contract; empty-string sweep, r8)
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,

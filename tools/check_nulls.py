@@ -54,7 +54,10 @@ TABLES = (
 ).split()
 
 
-def build_nulled_dir(src: str, dst: str) -> None:
+def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
+    """mode='null' injects NULLs into every INJECT column; mode='empty'
+    injects '' into the STRING columns only (empty-vs-null is its own
+    divergence class: e.g. DuckDB string_split('') vs Spark split(''))."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     by_table: dict[str, list[tuple[str, str, int]]] = {}
@@ -67,14 +70,17 @@ def build_nulled_dir(src: str, dst: str) -> None:
         if not mods:
             con.execute(f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)")
             continue
-        cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src_file}')").fetchall()]
+        described = con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src_file}')").fetchall()
+        types = {c[0]: c[1] for c in described}
+        cols = [c[0] for c in described]
         mod_map = {col: (key, r) for col, key, r in mods}
         exprs = []
         for c in cols:
-            if c in mod_map:
+            if c in mod_map and (mode == "null" or types[c].upper().startswith("VARCHAR")):
                 key, r = mod_map[c]
+                repl = "NULL" if mode == "null" else "''"
                 exprs.append(
-                    f"CASE WHEN hash({key}) % 20 = {r} THEN NULL ELSE {c} END AS {c}"
+                    f"CASE WHEN hash({key}) % 20 = {r} THEN {repl} ELSE {c} END AS {c}"
                 )
             else:
                 exprs.append(c)
@@ -85,11 +91,13 @@ def build_nulled_dir(src: str, dst: str) -> None:
 
 def main() -> int:
     args = sys.argv[1:]
+    mode = "empty" if "--empty" in args else "null"
+    args = [a for a in args if a != "--empty"]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
-    dst = "/tmp/spark_graft_sfnull"
-    build_nulled_dir(src, dst)
-    print(f"null-injected copy of {src} at {dst}; running gate...", flush=True)
+    dst = f"/tmp/spark_graft_sf{mode}"
+    build_nulled_dir(src, dst, mode)
+    print(f"{mode}-injected copy of {src} at {dst}; running gate...", flush=True)
     cmd = [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), dst, *filters]
     return subprocess.call(cmd)
 
