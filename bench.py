@@ -102,6 +102,7 @@ EXTENDED = [
     "mx03_temperature_mixture",
     "ks01_keep_best_per_cluster",
     "ev02_ann_recall",
+    "se01_schema_evolution",
 ]
 
 HEADLINE = [

@@ -2783,6 +2783,57 @@ QUALIFY match_rank <= {k}
 ANN07_SQL = _ann07_sql()
 
 
+def se01_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution read — the ingestion reality of any long-lived
+    lake: batch p=1 is written with the OLD schema (doc_id, text), batch
+    p=2 with the evolved superset (+ lang, n_chars); one
+    ``mergeSchema`` read must union them with NULLs backfilling the
+    old batch's missing columns, and partition discovery must type the
+    p= directory key. The rollup is certified against an ANALYTIC twin
+    on the source table, so any column mis-mapped, dropped, or
+    spuriously backfilled by the evolving read breaks the hash."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    d = load_table(spark, sf, "documents")
+    root = os.path.join(tempfile.gettempdir(), "se01_evolve")
+    shutil.rmtree(root, ignore_errors=True)
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.parquet(
+        os.path.join(root, "p=1")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang", "n_chars").write.parquet(
+        os.path.join(root, "p=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return back.groupBy(F.col("p").cast("int").alias("p")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("lang").cast("long").alias("n_lang"),
+        F.count_distinct("lang").cast("long").alias("n_lang_distinct"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+    )
+
+
+SE01_SQL = """
+SELECT 1 AS p,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_lang,
+       CAST(0 AS BIGINT) AS n_lang_distinct,
+       CAST(NULL AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 2 AS p,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(lang) AS BIGINT) AS n_lang,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_lang_distinct,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 def ev02_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@5 of the production IVF-PQ search (ann06 configuration,
     nprobe=2) against the exact integer-L2 ground truth — the evaluation
@@ -3152,6 +3203,7 @@ QUERIES3 = {
     "ann07_ivfpq_refine_topk": (ann07_ivfpq_refine_topk, ANN07_SQL),
     "mx03_temperature_mixture": (mx03_temperature_mixture, MX03_SQL),
     "ev02_ann_recall": (ev02_ann_recall, EV02_SQL),
+    "se01_schema_evolution": (se01_schema_evolution, SE01_SQL),
     "ks01_keep_best_per_cluster": (ks01_keep_best_per_cluster, None),  # oracle composed below
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
