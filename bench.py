@@ -103,6 +103,7 @@ EXTENDED = [
     "ks01_keep_best_per_cluster",
     "ev02_ann_recall",
     "se01_schema_evolution",
+    "mm12_gif_decode",
 ]
 
 HEADLINE = [

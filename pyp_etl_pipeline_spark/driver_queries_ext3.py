@@ -2783,6 +2783,67 @@ QUALIFY match_rank <= {k}
 ANN07_SQL = _ann07_sql()
 
 
+def mm12_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode end to end: per doc_id a valid GIF89a is
+    synthesized (``codecs.gif_encode_gray_pixels`` — 256-gray global
+    color table + genuine LZW compression with variable code widths),
+    then ``binary_ops.gif_pixel_stats`` walks the actual container and
+    LZW-DECOMPRESSES the pixel indices back (sub-block reassembly,
+    KwKwK case, width growth). The DuckDB twin computes every statistic
+    analytically from doc_id — pixel p(x,y) = (3x + 7y + doc_id) % 256
+    on a (1 + doc_id%16) x (1 + doc_id%8) grid — so any codec bug
+    (wrong width schedule, shifted scanline, palette misread) breaks
+    the position-weighted checksum."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        gif_pixel_stats,
+    )
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import gif_encode_gray_pixels  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + i % 8
+                px = [[(3 * x + 7 * y + i) % 256 for x in range(w)] for y in range(h)]
+                rows["media_id"].append(i)
+                rows["payload"].append(gif_encode_gray_pixels(px))
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return gif_pixel_stats(media)
+
+
+MM12_SQL = """
+WITH g AS (
+  SELECT doc_id, (1 + doc_id % 16)::INT AS w, (1 + doc_id % 8)::INT AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         flatten(list_transform(generate_series(0, h - 1),
+           y -> list_transform(generate_series(0, w - 1),
+             x -> (3 * x + 7 * y + doc_id) % 256))) AS p
+  FROM g
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(list_sum(p) AS BIGINT) AS sum_pixels,
+       CAST(list_sum(list_transform(generate_series(1, w * h),
+              i -> i * p[i])) % 1000000007 AS BIGINT) AS checksum
+FROM px
+"""
+
+
 def se01_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Schema-evolution read — the ingestion reality of any long-lived
     lake: batch p=1 is written with the OLD schema (doc_id, text), batch
@@ -3204,6 +3265,7 @@ QUERIES3 = {
     "mx03_temperature_mixture": (mx03_temperature_mixture, MX03_SQL),
     "ev02_ann_recall": (ev02_ann_recall, EV02_SQL),
     "se01_schema_evolution": (se01_schema_evolution, SE01_SQL),
+    "mm12_gif_decode": (mm12_gif_decode, MM12_SQL),
     "ks01_keep_best_per_cluster": (ks01_keep_best_per_cluster, None),  # oracle composed below
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),

@@ -36,10 +36,12 @@ WAV_MAGIC = b"RIFF"
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """'png' / 'wav' / 'avi' / 'jpeg' / 'mp4' when the magic bytes
-    match, else None."""
+    """'png' / 'wav' / 'avi' / 'jpeg' / 'mp4' / 'gif' when the magic
+    bytes match, else None."""
     if payload.startswith(PNG_MAGIC):
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"AVI ":
@@ -777,4 +779,203 @@ def avi_mjpeg_decode(payload: bytes) -> dict:
         "duration_ms": 1000.0 * n * scale / rate,
         "codec": codec,
         "frames": frames,
+    }
+
+
+# ------------------------------------------------------------------- GIF
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_pack(codes: list[tuple[int, int]]) -> bytes:
+    """Pack (code, bit_width) pairs LSB-first into the GIF bit stream."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: leading CLEAR, variable code width
+    (min_code_size+1 .. 12 bits, LSB-first), dictionary reset via CLEAR
+    when the 4096-entry table fills. The width grows one entry LATER
+    than the encoder's own table would suggest because the decoder's
+    table trails the encoder's by exactly one entry (the classic
+    non-early-change GIF convention)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    d: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    codes: list[tuple[int, int]] = [(clear, width)]
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in d:
+            w = wk
+            continue
+        codes.append((d[w], width))
+        if next_code < 4096:
+            d[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            d = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        codes.append((d[w], width))
+    codes.append((eoi, width))
+    return _lzw_pack(codes)
+
+
+def gif_lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of ``gif_lzw_compress`` — the full GIF LZW decoder
+    (KwKwK case, width growth at table size 2^width, CLEAR resets,
+    additions stop at 4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    pos = 0
+    total_bits = len(data) * 8
+    out = bytearray()
+    prev: int | None = None
+    while True:
+        if pos + width > total_bits:
+            break  # truncated stream: emit what we have (tolerant reader)
+        byte_i = pos >> 3
+        val = (int.from_bytes(data[byte_i : byte_i + 3], "little") >> (pos & 7)) & (
+            (1 << width) - 1
+        )
+        pos += width
+        c = val
+        if c == eoi:
+            break
+        if c == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if c >= len(table) or not table[c]:
+                raise ValueError(f"gif: invalid first code {c}")
+            out += table[c]
+            prev = c
+            continue
+        if c < len(table):
+            entry = table[c]
+        elif c == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"gif: code {c} beyond table size {len(table)}")
+        if len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = c
+    return bytes(out)
+
+
+def gif_encode_gray_pixels(rows: list[list[int]]) -> bytes:
+    """Minimal valid GIF89a: one image, 256-entry grayscale global color
+    table (palette[i] = (i, i, i)), real LZW-compressed pixel indices."""
+    h = len(rows)
+    w = len(rows[0])
+    if any(len(r) != w for r in rows):
+        raise ValueError("gif_encode_gray_pixels: ragged rows")
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0x00, 0x00])
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    data = gif_lzw_compress(bytes(b for r in rows for b in r), 8)
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255] for i in range(0, len(data), 255)
+    )
+    return hdr + gct + desc + b"\x08" + blocks + b"\x00" + b"\x3b"
+
+
+def gif_decode_pixels(payload: bytes) -> tuple["np.ndarray", int, int]:
+    """Parse the GIF container (header, logical screen descriptor,
+    global/local color tables, extension skip, image descriptor,
+    sub-block reassembly) and LZW-decompress the first image's indices.
+    Returns (pixels h x w as int16 gray, width, height); color palettes
+    map through integer luminance (r*299 + g*587 + b*114) // 1000.
+    Interlaced images and missing color tables raise with the field
+    named."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("gif: bad magic")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("gif: interlaced images unsupported")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("gif: no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            gif_lzw_decompress(b"".join(chunks), min_code), dtype=np.uint8
+        )
+        if len(idx) < iw * ih:
+            raise ValueError(f"gif: {len(idx)} indices for {iw}x{ih} image")
+        pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        lum = (pal[:, 0] * 299 + pal[:, 1] * 587 + pal[:, 2] * 114) // 1000
+        px = lum[idx[: iw * ih]].reshape(ih, iw).astype(np.int16)
+        return px, iw, ih
+    raise ValueError("gif: no image descriptor")
+
+
+def gif_decode(payload: bytes) -> dict:
+    """Container + LZW decode -> width/height/mean pixel (micro)."""
+    px, w, h = gif_decode_pixels(payload)
+    return {
+        "width": w,
+        "height": h,
+        "mean_val": float(px.mean()),
+        "sum_pixels": int(px.sum()),
     }

@@ -371,3 +371,112 @@ def test_dhash_from_real_png_pixels(spark):
         out[1]["dhash_hi"] ^ out[3]["dhash_hi"]
     ).count("1")
     assert ham <= 2
+
+
+def test_gif_lzw_roundtrip_and_container():
+    """Full GIF round-trip: genuine LZW (variable code widths, KwKwK,
+    CLEAR resets) + container walk. The large random image forces
+    12-bit codes AND the 4096-entry dictionary reset path."""
+    import random
+
+    import numpy as np
+
+    from pyp_etl_pipeline_spark.multimodal.codecs import (
+        gif_decode,
+        gif_decode_pixels,
+        gif_encode_gray_pixels,
+        gif_lzw_compress,
+        gif_lzw_decompress,
+        sniff_kind,
+    )
+
+    rows = [[(3 * x + 7 * y + 11) % 256 for x in range(16)] for y in range(8)]
+    payload = gif_encode_gray_pixels(rows)
+    assert sniff_kind(payload) == "gif"
+    px, w, h = gif_decode_pixels(payload)
+    assert (w, h) == (16, 8) and (px == np.array(rows)).all()
+    d = gif_decode(payload)
+    assert d["sum_pixels"] == int(np.array(rows).sum())
+
+    random.seed(41)
+    big = [[random.randrange(256) for _ in range(90)] for _ in range(90)]
+    px2, w2, h2 = gif_decode_pixels(gif_encode_gray_pixels(big))
+    assert (w2, h2) == (90, 90) and (px2 == np.array(big)).all()
+
+    # raw LZW stream round-trip at a small min_code_size (width growth path)
+    random.seed(42)
+    idx = bytes(random.randrange(4) for _ in range(5000))
+    assert gif_lzw_decompress(gif_lzw_compress(idx, 2), 2) == idx
+
+    # KwKwK corner: aaaa... produces the c == len(table) case immediately
+    run = b"\x00" * 500
+    assert gif_lzw_decompress(gif_lzw_compress(run, 2), 2) == run
+
+
+def test_gif_color_palette_luminance_and_malformed():
+    """A color (non-gray) palette maps through integer luminance; and
+    malformed payloads raise ValueError (never garbage pixels)."""
+    import struct
+
+    import pytest as _pytest
+
+    from pyp_etl_pipeline_spark.multimodal.codecs import (
+        gif_decode_pixels,
+        gif_encode_gray_pixels,
+        gif_lzw_compress,
+    )
+
+    # hand-built 4-color GIF: red, green, blue, white; indices 0..3
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    data = gif_lzw_compress(bytes([0, 1, 2, 3]), 2)
+    payload = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x81, 0, 0]) + pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2, len(data)]) + data + b"\x00\x3b"
+    )
+    px, w, h = gif_decode_pixels(payload)
+    lum = [(255 * 299) // 1000, (255 * 587) // 1000, (255 * 114) // 1000,
+           (255 * 299 + 255 * 587 + 255 * 114) // 1000]
+    assert px.reshape(-1).tolist() == lum
+
+    with _pytest.raises(ValueError, match="magic"):
+        gif_decode_pixels(b"NOTAGIF" + b"\x00" * 20)
+    good = gif_encode_gray_pixels([[1, 2], [3, 4]])
+    with _pytest.raises((ValueError, IndexError, struct.error)):
+        gif_decode_pixels(good[:20])  # truncated before image data
+
+
+def test_gif_pixel_stats_operator(spark):
+    """gif_pixel_stats decodes REAL bytes; the position-weighted
+    checksum detects a transposed image; NULL/stray payloads yield
+    NULL stats."""
+    import numpy as np
+    import pandas as pd
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import gif_pixel_stats
+    from pyp_etl_pipeline_spark.multimodal.codecs import gif_encode_gray_pixels
+
+    rows = [[(x * 5 + y) % 256 for x in range(6)] for y in range(3)]
+    transposed = [list(r) for r in np.array(rows).T.tolist()]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3, 4],
+                "payload": [
+                    gif_encode_gray_pixels(rows),
+                    gif_encode_gray_pixels(transposed),
+                    b"junk bytes",
+                    None,
+                ],
+            }
+        ),
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in gif_pixel_stats(df).collect()}
+    a = np.array(rows, dtype=np.int64).reshape(-1)
+    wts = np.arange(1, a.size + 1)
+    assert out[1]["sum_pixels"] == int(a.sum())
+    assert out[1]["checksum"] == int((wts * a).sum() % 1_000_000_007)
+    assert out[2]["sum_pixels"] == out[1]["sum_pixels"]  # same multiset
+    assert out[2]["checksum"] != out[1]["checksum"]  # different layout
+    assert out[3]["sum_pixels"] is None and out[4]["checksum"] is None
