@@ -104,6 +104,7 @@ EXTENDED = [
     "ev02_ann_recall",
     "se01_schema_evolution",
     "mm12_gif_decode",
+    "mm13_gif_animation_frames",
 ]
 
 HEADLINE = [

@@ -2844,6 +2844,77 @@ FROM px
 """
 
 
+def mm13_gif_animation_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Animated-GIF frame extraction end to end: every 4th document
+    carries an animation of 1 + doc_id%5 frames (frame f pixel =
+    (3x + 7y + doc_id + 13f) % 256, delay 4 + doc_id%7 cs), encoded
+    with the real LZW writer and decoded back frame by frame
+    (``binary_ops.gif_frame_stats`` — GCE delays + per-frame LZW). The
+    twin reproduces every frame's position-weighted checksum
+    analytically, so a frame-boundary bug (GCE misparse, leaked dict
+    state across frames, wrong sub-block stitch) breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        gif_frame_stats,
+    )
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 4 == 0)
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import (  # noqa: PLC0415
+            gif_encode_gray_animation,
+        )
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + i % 8
+                frames = [
+                    [[(3 * x + 7 * y + i + 13 * f) % 256 for x in range(w)] for y in range(h)]
+                    for f in range(1 + i % 5)
+                ]
+                rows["media_id"].append(i)
+                rows["payload"].append(
+                    gif_encode_gray_animation(frames, delay_cs=4 + i % 7)
+                )
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return gif_frame_stats(media)
+
+
+MM13_SQL = """
+WITH g AS (
+  SELECT doc_id, (1 + doc_id % 16)::INT AS w, (1 + doc_id % 8)::INT AS h,
+         (1 + doc_id % 5)::INT AS nf, (4 + doc_id % 7)::INT AS delay_cs
+  FROM documents WHERE doc_id % 4 = 0
+),
+fr AS (
+  SELECT doc_id, w, h, delay_cs, unnest(generate_series(0, nf - 1))::INT AS f FROM g
+),
+px AS (
+  SELECT doc_id, f, delay_cs, w, h,
+         flatten(list_transform(generate_series(0, h - 1),
+           y -> list_transform(generate_series(0, w - 1),
+             x -> (3 * x + 7 * y + doc_id + 13 * f) % 256))) AS p
+  FROM fr
+)
+SELECT doc_id AS media_id, f AS frame_idx, delay_cs,
+       CAST(list_sum(p) AS BIGINT) AS sum_pixels,
+       CAST(list_sum(list_transform(generate_series(1, w * h),
+              i -> i * p[i])) % 1000000007 AS BIGINT) AS checksum
+FROM px
+"""
+
+
 def se01_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Schema-evolution read — the ingestion reality of any long-lived
     lake: batch p=1 is written with the OLD schema (doc_id, text), batch
@@ -3266,6 +3337,7 @@ QUERIES3 = {
     "ev02_ann_recall": (ev02_ann_recall, EV02_SQL),
     "se01_schema_evolution": (se01_schema_evolution, SE01_SQL),
     "mm12_gif_decode": (mm12_gif_decode, MM12_SQL),
+    "mm13_gif_animation_frames": (mm13_gif_animation_frames, MM13_SQL),
     "ks01_keep_best_per_cluster": (ks01_keep_best_per_cluster, None),  # oracle composed below
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),

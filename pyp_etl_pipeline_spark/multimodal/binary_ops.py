@@ -238,6 +238,58 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def gif_frame_stats(df: DataFrame) -> DataFrame:
+    """Animated-GIF frame extraction from REAL bytes: the container walk
+    reads every graphics-control extension + image descriptor and
+    LZW-decompresses each frame (``codecs.gif_decode_frames``). One
+    output row per frame: (media_id, frame_idx, delay_cs, sum_pixels,
+    checksum) with the same position-weighted checksum contract as
+    ``gif_pixel_stats`` — the GIF sibling of mm07's MJPEG-AVI frame
+    sampling. Malformed payloads contribute zero rows (tolerant
+    reader); partition-preserving Arrow batches."""
+    repo_root = REPO_ROOT
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        import numpy as np  # noqa: PLC0415
+
+        from pyp_etl_pipeline_spark.multimodal import codecs  # noqa: PLC0415
+
+        mod = 1_000_000_007
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = codecs.gif_decode_frames(bytes(payload))
+                except (TypeError, ValueError, IndexError, struct.error):
+                    continue
+                for fi, f in enumerate(frames):
+                    flat = f["pixels"].astype(np.int64).reshape(-1)
+                    weights = np.arange(1, flat.size + 1, dtype=np.int64)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "delay_cs": f["delay_cs"],
+                            "sum_pixels": int(flat.sum()),
+                            "checksum": int((weights * flat).sum() % mod),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "delay_cs", "sum_pixels", "checksum"],
+            )
+
+    return df.mapInPandas(
+        op,
+        schema="media_id long, frame_idx int, delay_cs int, sum_pixels long, checksum long",
+    )
+
+
 def _fake_features(payload: bytes) -> tuple[float, float]:
     """Deterministic stand-in features derived from the raw bytes."""
     if not payload:

@@ -908,14 +908,15 @@ def gif_encode_gray_pixels(rows: list[list[int]]) -> bytes:
     return hdr + gct + desc + b"\x08" + blocks + b"\x00" + b"\x3b"
 
 
-def gif_decode_pixels(payload: bytes) -> tuple["np.ndarray", int, int]:
+def gif_decode_frames(payload: bytes) -> list[dict]:
     """Parse the GIF container (header, logical screen descriptor,
-    global/local color tables, extension skip, image descriptor,
-    sub-block reassembly) and LZW-decompress the first image's indices.
-    Returns (pixels h x w as int16 gray, width, height); color palettes
-    map through integer luminance (r*299 + g*587 + b*114) // 1000.
-    Interlaced images and missing color tables raise with the field
-    named."""
+    global/local color tables, graphics-control extensions, image
+    descriptors, sub-block reassembly) and LZW-decompress EVERY frame.
+    Returns a list of {pixels (h x w int16 gray), width, height,
+    delay_cs} — delay from the preceding GCE in centiseconds (0 for
+    still images); color palettes map through integer luminance
+    (r*299 + g*587 + b*114) // 1000. Interlaced images and missing
+    color tables raise with the field named."""
     if payload[:6] not in GIF_MAGICS:
         raise ValueError("gif: bad magic")
     w, h = struct.unpack_from("<HH", payload, 6)
@@ -926,12 +927,18 @@ def gif_decode_pixels(payload: bytes) -> tuple["np.ndarray", int, int]:
         n = 2 << (packed & 0x07)
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
+    frames: list[dict] = []
+    delay_cs = 0
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: label + sub-blocks
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 3:
+                # graphics control: packed(1) delay(2 LE, cs) transparent(1)
+                delay_cs = struct.unpack_from("<H", payload, pos + 2)[0]
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
@@ -966,8 +973,47 @@ def gif_decode_pixels(payload: bytes) -> tuple["np.ndarray", int, int]:
         pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
         lum = (pal[:, 0] * 299 + pal[:, 1] * 587 + pal[:, 2] * 114) // 1000
         px = lum[idx[: iw * ih]].reshape(ih, iw).astype(np.int16)
-        return px, iw, ih
-    raise ValueError("gif: no image descriptor")
+        frames.append({"pixels": px, "width": iw, "height": ih, "delay_cs": delay_cs})
+        delay_cs = 0
+    if not frames:
+        raise ValueError("gif: no image descriptor")
+    return frames
+
+
+def gif_decode_pixels(payload: bytes) -> tuple["np.ndarray", int, int]:
+    """First frame of ``gif_decode_frames`` as (pixels, width, height)."""
+    f = gif_decode_frames(payload)[0]
+    return f["pixels"], f["width"], f["height"]
+
+
+def gif_encode_gray_animation(
+    frames: list[list[list[int]]], delay_cs: int = 10
+) -> bytes:
+    """Animated GIF89a: Netscape loop extension, per-frame graphics
+    control (delay in centiseconds) + image descriptor + real LZW data;
+    all frames share the 256-gray global color table."""
+    if not frames:
+        raise ValueError("gif_encode_gray_animation: no frames")
+    h = len(frames[0])
+    w = len(frames[0][0])
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0x00, 0x00])
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    loop = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    out = bytearray(hdr + gct + loop)
+    for rows in frames:
+        if len(rows) != h or any(len(r) != w for r in rows):
+            raise ValueError("gif_encode_gray_animation: frame size mismatch")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        data = gif_lzw_compress(bytes(b for r in rows for b in r), 8)
+        out += b"\x08"
+        out += b"".join(
+            bytes([len(data[i : i + 255])]) + data[i : i + 255]
+            for i in range(0, len(data), 255)
+        )
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def gif_decode(payload: bytes) -> dict:

@@ -480,3 +480,45 @@ def test_gif_pixel_stats_operator(spark):
     assert out[2]["sum_pixels"] == out[1]["sum_pixels"]  # same multiset
     assert out[2]["checksum"] != out[1]["checksum"]  # different layout
     assert out[3]["sum_pixels"] is None and out[4]["checksum"] is None
+
+
+def test_gif_animation_roundtrip_and_frame_stats(spark):
+    """Animated GIF: every frame + GCE delay round-trips; the frame
+    stats operator emits one row per frame with exact stats; a stray
+    payload contributes zero rows."""
+    import numpy as np
+    import pandas as pd
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import gif_frame_stats
+    from pyp_etl_pipeline_spark.multimodal.codecs import (
+        gif_decode_frames,
+        gif_decode_pixels,
+        gif_encode_gray_animation,
+    )
+
+    frames = [
+        [[(3 * x + 7 * y + 13 * f) % 256 for x in range(10)] for y in range(6)]
+        for f in range(4)
+    ]
+    payload = gif_encode_gray_animation(frames, delay_cs=12)
+    got = gif_decode_frames(payload)
+    assert len(got) == 4
+    for f, g in zip(frames, got):
+        assert (g["pixels"] == np.array(f)).all()
+        assert g["delay_cs"] == 12 and (g["width"], g["height"]) == (10, 6)
+    # first-frame API reads the animation's first frame
+    px, w, h = gif_decode_pixels(payload)
+    assert (px == np.array(frames[0])).all()
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [payload, b"nope"]}),
+        "media_id long, payload binary",
+    )
+    rows = gif_frame_stats(df).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+    assert all(r["media_id"] == 1 and r["delay_cs"] == 12 for r in rows)
+    for r in rows:
+        a = np.array(frames[r["frame_idx"]], dtype=np.int64).reshape(-1)
+        wts = np.arange(1, a.size + 1)
+        assert r["sum_pixels"] == int(a.sum())
+        assert r["checksum"] == int((wts * a).sum() % 1_000_000_007)
