@@ -105,6 +105,7 @@ EXTENDED = [
     "se01_schema_evolution",
     "mm12_gif_decode",
     "mm13_gif_animation_frames",
+    "fm01_orc_roundtrip",
 ]
 
 HEADLINE = [

@@ -2783,6 +2783,51 @@ QUALIFY match_rank <= {k}
 ANN07_SQL = _ann07_sql()
 
 
+def fm01_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC round-trip certification — the second columnar format big
+    lakes actually hold (Hive heritage). The orders table is written as
+    zlib ORC partitioned-free, read back, and rolled up; the analytic
+    twin on the source view certifies that types (timestamps included),
+    row counts, and exact integer sums survive the format conversion.
+    Columnar-format interop is a real migration surface: a 100 TB lake
+    conversion job is exactly this plan at scale (scan -> write -> audit)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.functions.aggregates import exact_sum  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders")
+    path = os.path.join(tempfile.gettempdir(), "fm01_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    o.write.option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+def _fm01_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.aggregates import sql_exact_sum  # noqa: PLC0415
+
+    return f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_exact_sum("o_totalprice")} AS total_price,
+       CAST(min(o_orderdate) AS DATE) AS first_date,
+       CAST(max(o_orderdate) AS DATE) AS last_date,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+
+FM01_SQL = _fm01_sql()
+
+
 def mm12_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL GIF decode end to end: per doc_id a valid GIF89a is
     synthesized (``codecs.gif_encode_gray_pixels`` — 256-gray global
@@ -3338,6 +3383,7 @@ QUERIES3 = {
     "se01_schema_evolution": (se01_schema_evolution, SE01_SQL),
     "mm12_gif_decode": (mm12_gif_decode, MM12_SQL),
     "mm13_gif_animation_frames": (mm13_gif_animation_frames, MM13_SQL),
+    "fm01_orc_roundtrip": (fm01_orc_roundtrip, FM01_SQL),
     "ks01_keep_best_per_cluster": (ks01_keep_best_per_cluster, None),  # oracle composed below
     "mm10_image_neardup_pairs": (mm10_image_neardup_pairs, MM10_SQL),
     "mm09_image_dhash": (mm09_image_dhash, MM09_SQL),
