@@ -3371,7 +3371,177 @@ SELECT doc_id, has_image, status, status = 'kept' AS keep FROM m
 
 PP02_SQL: str | None = None  # composed in _finalize (needs ext's TX07 twin)
 
+
+# --------------------------------------------------------------------------
+# bfs01: multi-source BFS reach (iterative frontier expansion)
+# --------------------------------------------------------------------------
+
+def bfs01_reach_levels(spark: SparkSession, sf: str) -> DataFrame:
+    """Min-hop distance (<= 3) from the nation-0 suppliers over the
+    bidirectional customer-supplier interaction graph (same edge
+    relation as gr01/dd04) — ``graph.bfs_levels``, the Pregel frontier
+    shape. Reach analysis is the third canonical iterative graph
+    workload next to PageRank and connected components: "everything
+    within k links of these seeds" (contamination radius, influence
+    cohorts). Exact set algebra, so the recursive-CTE twin replays it
+    identically: the CTE's UNION-dedup walk with min(dist) IS
+    breadth-first distance."""
+    from pyp_etl_pipeline_spark.operators import graph  # noqa: PLC0415
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+    rev = pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    seeds = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    dist = graph.bfs_levels(fwd.unionAll(rev), seeds, max_hops=3)
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer")).otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node DIV 2").alias("key"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+BFS01_SQL = """
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+),
+seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0),
+walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 3
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key,
+       CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# hh01: guaranteed heavy hitters without shuffling the long tail
+# --------------------------------------------------------------------------
+
+def hh01_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """All corpus tokens with frequency >= n/200 (``sketch.heavy_hitters``):
+    a map-only vectorized candidate pass (per-batch local heavy hitters
+    are a pigeonhole-guaranteed superset of the global ones), then an
+    exact recount restricted to the broadcast candidate set — the
+    shuffle carries candidate keys only, never the billion-key tail.
+    Complements tx09 (exact top-k by rank) with the threshold-guarantee
+    form ("everything above 0.5%"), whose output size is data-driven.
+    The final exact-count filter makes the result partitioning-
+    independent, so the plain GROUP BY .. HAVING twin is exact."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import dedup as _dd  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import sketch as _sk  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(_dd.normalized_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return _sk.heavy_hitters(toks, col="tok", k=200)
+
+
+HH01_SQL = f"""
+WITH t AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split({_snt("text")}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+n AS (SELECT count(*) AS total FROM t)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+FROM t CROSS JOIN n
+GROUP BY tok, total
+HAVING count(*) * 200 >= total
+"""
+
+
+# --------------------------------------------------------------------------
+# sq01: session path transitions (event-sequence mining)
+# --------------------------------------------------------------------------
+
+def sq01_session_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type transition matrix: per user, consecutive event pairs
+    (by event time, event_id tiebreak) no more than 30 min apart,
+    counted per (src, dst) pair with an integer-micro share of all
+    transitions. The Markov-chain view of user paths — what w03's
+    sessionizer feeds into when the question is "where do users go
+    NEXT". One lag window partitioned by user (scales with users, no
+    single-partition window), then a map-side-combined pair count.
+    Rows without a timestamp are excluded up front: the two engines
+    disagree on NULL-first vs NULL-last ordering inside the lag
+    window, so they must not participate in the sequence."""
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ep"),
+    ).filter(F.col("ep").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    t = (
+        e.select(
+            "event_type",
+            "ep",
+            F.lag("event_type").over(w).alias("src_event"),
+            F.lag("ep").over(w).alias("prev_ep"),
+        )
+        .filter(F.col("prev_ep").isNotNull() & (F.col("ep") - F.col("prev_ep") <= 1800))
+        .select("src_event", F.col("event_type").alias("dst_event"))
+    )
+    agg = t.groupBy("src_event", "dst_event").agg(F.count("*").cast("long").alias("n_trans"))
+    total = agg.agg(F.sum("n_trans").alias("__total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "src_event",
+        "dst_event",
+        "n_trans",
+        F.expr("(n_trans * 1000000) DIV __total").cast("long").alias("share_micro"),
+    )
+
+
+SQ01_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events WHERE ts IS NOT NULL
+),
+t AS (
+  SELECT lag(event_type) OVER w AS src_event,
+         lag(ep) OVER w AS prev_ep,
+         event_type AS dst_event, ep
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+agg AS (
+  SELECT src_event, dst_event, CAST(count(*) AS BIGINT) AS n_trans
+  FROM t WHERE prev_ep IS NOT NULL AND ep - prev_ep <= 1800
+  GROUP BY 1, 2
+),
+n AS (SELECT CAST(sum(n_trans) AS BIGINT) AS total FROM agg)
+SELECT src_event, dst_event, n_trans,
+       CAST((n_trans * 1000000) // total AS BIGINT) AS share_micro
+FROM agg CROSS JOIN n
+"""
+
 QUERIES3 = {
+    "bfs01_reach_levels": (bfs01_reach_levels, BFS01_SQL),
+    "hh01_threshold_heavy_hitters": (hh01_heavy_hitters, HH01_SQL),
+    "sq01_session_transitions": (sq01_session_transitions, SQ01_SQL),
     "pp02_multimodal_curation": (pp02_multimodal_curation, None),  # oracle composed below
     "mm11_audio_fingerprint_groups": (mm11_audio_fingerprint_groups, MM11_SQL),
     "ws01_weighted_sample": (ws01_weighted_sample, WS01_SQL),

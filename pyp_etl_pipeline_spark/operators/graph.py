@@ -160,3 +160,63 @@ def triangle_stats(
             ).cast("long").alias("gcc_micro"),
         )
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node, out to
+    ``max_hops``. Returns (node, dist) with dist in [0, max_hops];
+    unreachable nodes are absent.
+
+    The Pregel frontier shape — the third canonical iterative graph
+    workload next to ``pagerank`` and ``dedup.dup_clusters`` (reach /
+    contamination-radius analysis: "everything within k links of these
+    seeds"). Per hop: ONE join of the current frontier onto the edge
+    list keyed by source (the BFS shuffle — co-partition edges and the
+    frontier on the node key to pay it once), a distinct on the
+    neighbor set, and a left-anti join against the settled set so each
+    node is labeled at its FIRST (minimal) hop. The frontier shrinks to
+    new nodes only, so per-hop work is proportional to the expanding
+    ring, never the whole settled set; an isEmpty probe stops early
+    once the component is exhausted. All relations are
+    localCheckpointed per hop — BFS lineage is inherently iterative and
+    an unanchored chain would re-derive every prior hop per iteration.
+
+    Everything is exact set algebra (no floats, no randomness), so the
+    result is independent of partitioning and identical to a serial
+    BFS by definition.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        neigh = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            neigh.join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new.select("node")
+    return dist

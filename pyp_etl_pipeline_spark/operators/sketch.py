@@ -412,3 +412,59 @@ def bloom_probe(
     for h in hits[1:]:
         verdict = verdict & h
     return out.select(*probes.columns, verdict.alias("might_contain"))
+
+
+def heavy_hitters(items: DataFrame, col: str = "tok", k: int = 200) -> DataFrame:
+    """All items with global frequency >= n/k (count*k >= n), found
+    WITHOUT shuffling the long tail. Returns (col, cnt) — exact counts.
+
+    The 100 TB story: a plain ``groupBy(col).count()`` shuffles the
+    full item cardinality (every distinct URL / token / entity — often
+    billions of tail keys that can never be heavy). This is the
+    classic two-pass guaranteed-superset scheme instead:
+
+    1. **Candidate pass (map-only, vectorized)**: per Arrow batch, a
+       pandas ``value_counts`` emits items whose LOCAL frequency is
+       >= 1/k of the batch. By pigeonhole, any item with global
+       frequency >= n/k must reach local frequency >= 1/k in at least
+       one batch (if count/n >= 1/k globally, sum over batches forces
+       count_b/n_b >= 1/k somewhere) — so the union of local
+       candidates is a GUARANTEED superset of the true heavy hitters.
+       No per-row Python: ``value_counts`` is one hashed C pass.
+    2. **Exact recount (candidates only)**: broadcast the (small)
+       candidate set, semi-join the stream against it, and count just
+       those — the shuffle now carries only candidate keys, bounded by
+       k * num_batches regardless of tail cardinality — then filter by
+       the exact global threshold ``cnt * k >= n``.
+
+    Because the final filter uses EXACT global counts against the
+    EXACT global n, the output is identical for every partitioning /
+    batching of the input (the candidate set varies; the superset
+    property makes that invisible) — deterministic under AQE, task
+    retry, and any cluster layout.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _local_candidates(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            s = pdf[col]
+            vc = s.value_counts()
+            hh = vc[vc * k >= len(s)]
+            yield pd.DataFrame({col: hh.index})
+
+    items = items.filter(F.col(col).isNotNull())
+    candidates = items.mapInPandas(_local_candidates, schema=f"{col} string").distinct()
+    total = items.agg(F.count("*").alias("__total"))
+    counts = (
+        items.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k >= F.col("__total"))
+        .select(col, "cnt")
+    )

@@ -564,3 +564,56 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     # zero-weight rows can never be selected
     z = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, w long")
     assert [r["doc_id"] for r in weighted_sample(z, "w", k=5).collect()] == [2]
+
+
+def test_bfs_levels_chain_and_multisource(spark):
+    """Hand-checkable path graph 0-1-2-3-4-5 (bidirectional): dist from
+    seed 0 is the index, capped at max_hops; unreachable nodes absent;
+    a second seed makes dist the MIN over seeds; results identical
+    under a different input partitioning (pure set algebra)."""
+    from pyp_etl_pipeline_spark.operators import graph
+
+    chain = [(i, i + 1) for i in range(5)] + [(i + 1, i) for i in range(5)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in graph.bfs_levels(e, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond the cap
+
+    both = spark.createDataFrame([(0,), (5,)], "node long")
+    got2 = {r["node"]: r["dist"] for r in graph.bfs_levels(e, both, max_hops=3).collect()}
+    assert got2 == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+    again = {r["node"]: r["dist"]
+             for r in graph.bfs_levels(e.repartition(7), seeds, max_hops=3).collect()}
+    assert again == got
+
+    # early exit: isolated seed expands nowhere but keeps dist 0
+    iso = spark.createDataFrame([(99,)], "node long")
+    assert {r["node"]: r["dist"] for r in graph.bfs_levels(e, iso, max_hops=3).collect()} == {99: 0}
+
+
+def test_heavy_hitters_exact_threshold_and_partition_independence(spark):
+    """Zipf-ish stream: the k=10 threshold (n/10 = 72) keeps exactly the
+    two genuinely heavy tokens with their EXACT counts, drops the
+    100-token tail, ignores nulls, and — the core contract — returns
+    the identical result under any partitioning/batching, because the
+    candidate pass is a guaranteed superset and the final filter uses
+    exact global counts."""
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    rows = [("a",)] * 500 + [("b",)] * 120 + [(f"tail{i}",) for i in range(100)] + [(None,)] * 9
+    df = spark.createDataFrame(rows, "tok string")
+    got = {r["tok"]: r["cnt"] for r in sketch.heavy_hitters(df, "tok", k=10).collect()}
+    assert got == {"a": 500, "b": 120}  # n=720 (nulls excluded), threshold 72
+
+    for parts in (1, 13):
+        again = {r["tok"]: r["cnt"]
+                 for r in sketch.heavy_hitters(df.repartition(parts), "tok", k=10).collect()}
+        assert again == got
+
+    # k=1: only a token with frequency == n qualifies; none here
+    assert sketch.heavy_hitters(df, "tok", k=1).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sketch.heavy_hitters(df, "tok", k=0)

