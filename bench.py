@@ -106,6 +106,10 @@ EXTENDED = [
     "mm12_gif_decode",
     "mm13_gif_animation_frames",
     "fm01_orc_roundtrip",
+    # round 8, second batch
+    "bfs01_reach_levels",
+    "hh01_threshold_heavy_hitters",
+    "sq01_session_transitions",
 ]
 
 HEADLINE = [
