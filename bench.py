@@ -108,6 +108,7 @@ EXTENDED = [
     "fm01_orc_roundtrip",
     # round 8, second batch
     "bfs01_reach_levels",
+    "hy01_hybrid_rrf_fusion",
     "hh01_threshold_heavy_hitters",
     "sq01_session_transitions",
 ]

@@ -3373,6 +3373,92 @@ PP02_SQL: str | None = None  # composed in _finalize (needs ext's TX07 twin)
 
 
 # --------------------------------------------------------------------------
+# hy01: hybrid retrieval — BM25 + vector cosine fused by integer RRF
+# --------------------------------------------------------------------------
+
+def hy01_hybrid_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid search result fusion, the retrieval/RAG serving shape:
+    the lexical top-10 (bm01's Okapi BM25 over the mid-df query terms)
+    and the semantic top-10 (exact cosine of document embeddings —
+    vec_id == doc_id — against the vec_id-0 query vector) merged by
+    Reciprocal Rank Fusion. RRF is done in EXACT integers
+    (``1e9 DIV (60 + rank)`` per list, missing -> 0), so the fusion is
+    engine-portable bit-for-bit; only the two source rankings order by
+    floats, and those are the already-certified bm01/ann01 orderings.
+    Scale shape: each source list is its own certified top-k pipeline
+    (broadcast query side, WindowGroupLimit/TakeOrdered — never a
+    global shuffle), and the fusion joins two k-row relations: the
+    candidate set is bounded at 2k rows BY CONSTRUCTION, so the final
+    full-outer join + rank is a constant-size epilogue at any corpus
+    size."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
+
+    text_list = _textan.bm25_rank(_load_corpus(spark, sf, "documents")).select(
+        "doc_id", F.col("rank").alias("text_rank")
+    )
+    emb = _load_corpus(spark, sf, "embeddings")
+    doc_vecs = emb.join(
+        load_table(spark, sf, "documents").select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_list = _sim.brute_force_topk(doc_vecs, q, k=10).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    cand = (
+        text_list.join(vec_list, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.col("text_rank").cast("long").alias("text_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            (
+                F.coalesce(F.expr("1000000000 DIV (60 + text_rank)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000 DIV (60 + vec_rank)"), F.lit(0))
+            ).cast("long").alias("rrf_nano"),
+        )
+    )
+    # candidate set is <= 20 rows by construction (union of two top-10
+    # lists) — the single-partition window here is size-bounded, not a
+    # scale hazard
+    w = Window.orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+    return (
+        cand.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+HY01_SQL = """
+WITH bm AS ({BM01_BODY}),
+text_list AS (SELECT doc_id, rank AS text_rank FROM bm),
+dv AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM documents)
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT doc_id, list_cosine_similarity(qv, v) AS cos FROM dv, q),
+vec_list AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
+  FROM scored QUALIFY vec_rank <= 10
+),
+cand AS (
+  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+         CAST(t.text_rank AS BIGINT) AS text_rank,
+         CAST(v.vec_rank AS BIGINT) AS vec_rank,
+         CAST(coalesce(1000000000 // (60 + t.text_rank), 0)
+              + coalesce(1000000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_nano
+  FROM text_list t FULL JOIN vec_list v ON t.doc_id = v.doc_id
+)
+SELECT doc_id, text_rank, vec_rank, rrf_nano,
+       CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT) AS fused_rank
+FROM cand QUALIFY fused_rank <= 10
+"""
+HY01_SQL = HY01_SQL.replace("{BM01_BODY}", BM01_SQL)
+
+
+# --------------------------------------------------------------------------
 # bfs01: multi-source BFS reach (iterative frontier expansion)
 # --------------------------------------------------------------------------
 
@@ -3539,6 +3625,7 @@ FROM agg CROSS JOIN n
 """
 
 QUERIES3 = {
+    "hy01_hybrid_rrf_fusion": (hy01_hybrid_rrf_fusion, HY01_SQL),
     "bfs01_reach_levels": (bfs01_reach_levels, BFS01_SQL),
     "hh01_threshold_heavy_hitters": (hh01_heavy_hitters, HH01_SQL),
     "sq01_session_transitions": (sq01_session_transitions, SQ01_SQL),

@@ -762,3 +762,30 @@ def test_sq01_session_transitions_hand_checked(spark):
     assert 1_000_000 - len(rows) <= share_sum <= 1_000_000
     for r in rows:
         assert r["share_micro"] == r["n_trans"] * 1_000_000 // total
+
+
+def test_hy01_rrf_fusion_invariants(spark):
+    """RRF arithmetic replayed in Python: every candidate's rrf_nano is
+    exactly the sum of 1e9 DIV (60 + rank) over the lists containing
+    it; fused ranks are 1..n dense over the candidate union; the
+    fused order is (rrf desc, doc_id asc)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import hy01_hybrid_rrf_fusion
+
+    rows = sorted(
+        hy01_hybrid_rrf_fusion(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["fused_rank"],
+    )
+    assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert 0 < len(rows) <= 10
+    prev = None
+    for r in rows:
+        expect = 0
+        if r["text_rank"] is not None:
+            expect += 1_000_000_000 // (60 + r["text_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1_000_000_000 // (60 + r["vec_rank"])
+        assert r["rrf_nano"] == expect and expect > 0
+        if prev is not None:
+            assert (prev["rrf_nano"], -prev["doc_id"]) >= (r["rrf_nano"], -r["doc_id"])
+            assert prev["rrf_nano"] > r["rrf_nano"] or prev["doc_id"] < r["doc_id"]
+        prev = r
