@@ -111,6 +111,8 @@ EXTENDED = [
     "hy01_hybrid_rrf_fusion",
     "hh01_threshold_heavy_hitters",
     "sq01_session_transitions",
+    "uv01_unpivot_part_attrs",
+    "gs01_grouping_sets",
 ]
 
 HEADLINE = [

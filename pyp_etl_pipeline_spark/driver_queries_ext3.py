@@ -3459,6 +3459,94 @@ HY01_SQL = HY01_SQL.replace("{BM01_BODY}", BM01_SQL)
 
 
 # --------------------------------------------------------------------------
+# uv01: unpivot/melt — the inverse reshape of a09's pivot
+# --------------------------------------------------------------------------
+
+def uv01_unpivot_part_attrs(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long reshape (`DataFrame.unpivot`, a09-pivot's inverse):
+    part's numeric attributes melted to (brand, attr, val) rows, then
+    rolled up per (brand, attr) with the exact centi-unit sum. Unpivot
+    compiles to a map-only Expand — each input row emits one row per
+    value column, no shuffle until the rollup — so the reshape itself
+    is free of data movement at any scale."""
+    p = load_table(spark, sf, "part").select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    long = p.unpivot(
+        ids=["p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+    return (
+        long.filter(F.col("val").isNotNull())
+        .groupBy("p_brand", "attr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("sum_centi"),
+        )
+    )
+
+
+UV01_SQL = """
+WITH long AS (
+  UNPIVOT (SELECT p_brand, p_size::DOUBLE AS p_size, p_retailprice::DOUBLE AS p_retailprice FROM part)
+  ON p_size, p_retailprice INTO NAME attr VALUE val
+)
+SELECT p_brand, attr, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(val * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_centi
+FROM long
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# gs01: explicit GROUPING SETS with per-column grouping flags
+# --------------------------------------------------------------------------
+
+def gs01_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) in ONE
+    expand+hash-agg pass (`DataFrame.groupingSets`, completing the
+    a07-rollup / a11-cube family), with per-column `grouping()` flags —
+    the flags, not NULL-punning, distinguish super-aggregate rows from
+    genuine NULL groups, so the result stays unambiguous on nullable
+    group keys. Revenue is the order-independent scaled-long sum."""
+    from pyp_etl_pipeline_spark.functions.aggregates import exact_sum  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def _gs01_sql() -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       count(*) AS n_orders,
+       {_ses("o_totalprice")} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+GS01_SQL = _gs01_sql()
+
+
+# --------------------------------------------------------------------------
 # bfs01: multi-source BFS reach (iterative frontier expansion)
 # --------------------------------------------------------------------------
 
@@ -3625,6 +3713,8 @@ FROM agg CROSS JOIN n
 """
 
 QUERIES3 = {
+    "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
+    "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
     "hy01_hybrid_rrf_fusion": (hy01_hybrid_rrf_fusion, HY01_SQL),
     "bfs01_reach_levels": (bfs01_reach_levels, BFS01_SQL),
     "hh01_threshold_heavy_hitters": (hh01_heavy_hitters, HH01_SQL),

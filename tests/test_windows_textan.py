@@ -789,3 +789,41 @@ def test_hy01_rrf_fusion_invariants(spark):
             assert (prev["rrf_nano"], -prev["doc_id"]) >= (r["rrf_nano"], -r["doc_id"])
             assert prev["rrf_nano"] > r["rrf_nano"] or prev["doc_id"] < r["doc_id"]
         prev = r
+
+
+def test_gs01_grouping_flags_semantics(spark):
+    """The flags, not NULL-punning, mark super-aggregates: exactly one
+    grand-total row (both flags 1), per-status subtotals have only the
+    priority flag set, and each subtotal equals the sum of its leaves."""
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import gs01_grouping_sets
+
+    rows = gs01_grouping_sets(spark, "/root/testdata/sf0.001").collect()
+    grand = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(grand) == 1
+    leaves = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 0]
+    subs = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 1]
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in leaves)
+    for s in subs:
+        mine = [r for r in leaves if r["o_orderstatus"] == s["o_orderstatus"]]
+        assert s["n_orders"] == sum(r["n_orders"] for r in mine)
+
+
+def test_uv01_unpivot_inverse_of_wide(spark):
+    """Melting part's two numeric attrs doubles the row count pre-rollup
+    and partitions it exactly by attr; per-attr totals equal the wide
+    column sums (exact centi units)."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import uv01_unpivot_part_attrs
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    out = uv01_unpivot_part_attrs(spark, "/root/testdata/sf0.001")
+    per_attr = {r["attr"]: (r["n"], r["sum"]) for r in
+                out.groupBy("attr").agg(F.sum("n").alias("n"), F.sum("sum_centi").alias("sum")).collect()}
+    p = load_table(spark, "/root/testdata/sf0.001", "part")
+    n_parts = p.count()
+    for attr in ("p_size", "p_retailprice"):
+        wide = p.agg(
+            F.sum(F.floor(F.col(attr).cast("double") * 100 + F.lit(0.5)).cast("long"))
+        ).collect()[0][0]
+        assert per_attr[attr] == (n_parts, wide)
