@@ -113,6 +113,7 @@ EXTENDED = [
     "sq01_session_transitions",
     "uv01_unpivot_part_attrs",
     "gs01_grouping_sets",
+    "ka01_k_anonymity",
 ]
 
 HEADLINE = [

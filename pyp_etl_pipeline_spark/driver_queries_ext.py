@@ -3490,6 +3490,7 @@ REGISTRY.update(_ext3.QUERIES3)
 _DRIVER_PRIORITY = [
     # round-8 rotation: this session's NEW queries first (zero driver
     # evidence), then the r7-flagged set, then stalest-first as before.
+    "ka01_k_anonymity",
     "uv01_unpivot_part_attrs",
     "gs01_grouping_sets",
     "hy01_hybrid_rrf_fusion",

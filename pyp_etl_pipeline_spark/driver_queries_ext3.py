@@ -3459,6 +3459,92 @@ HY01_SQL = HY01_SQL.replace("{BM01_BODY}", BM01_SQL)
 
 
 # --------------------------------------------------------------------------
+# ka01: k-anonymity via a global-recoding generalization ladder
+# --------------------------------------------------------------------------
+
+def ka01_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """K-anonymity enforcement by global recoding — the release-side
+    privacy operator completing px01 (PII scrub) and px02
+    (pseudonymization): the quasi-identifier pair (nation, segment) is
+    generalized up a fixed ladder — L0 (nation, segment) -> L1
+    (region, segment) -> L2 (region, *) -> L3 (*, *) — and the FIRST
+    level whose smallest group reaches k=25 is released, with its
+    group sizes. Levels are four aggs of the same broadcast-enriched
+    scan unioned and tagged (one expand-style pass, no re-scan per
+    level in spirit of GROUPING SETS); the selector is a 4-row
+    aggregate joined back by broadcast — no driver collect decides
+    anything. All set algebra + counts: partition-independent, and the
+    twin replays the identical ladder."""
+    k = 25
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    base = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select(
+            F.col("c_nationkey").cast("string").alias("nat"),
+            F.coalesce(F.col("r_name"), F.lit("?")).alias("reg"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    levels = []
+    for lvl, (q1, q2) in enumerate(
+        [
+            (F.col("nat"), F.col("seg")),
+            (F.col("reg"), F.col("seg")),
+            (F.col("reg"), F.lit("*")),
+            (F.lit("*"), F.lit("*")),
+        ]
+    ):
+        levels.append(
+            base.select(q1.alias("qi_nation"), q2.alias("qi_segment"))
+            .groupBy("qi_nation", "qi_segment")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit(lvl).cast("long").alias("level"), "qi_nation", "qi_segment", "n")
+        )
+    groups = levels[0]
+    for g in levels[1:]:
+        groups = groups.unionAll(g)
+    stats = groups.groupBy("level").agg(F.min("n").alias("min_n"))
+    sel = stats.filter(F.col("min_n") >= k).agg(
+        F.coalesce(F.min("level"), F.lit(3)).cast("long").alias("level")
+    )
+    return groups.join(F.broadcast(sel), "level").select(
+        "level", "qi_nation", "qi_segment", "n"
+    )
+
+
+KA01_SQL = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS nat,
+         coalesce(r_name, '?') AS reg,
+         c_mktsegment AS seg
+  FROM customer
+  LEFT JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN region ON n_regionkey = r_regionkey
+),
+groups AS (
+  SELECT CAST(0 AS BIGINT) AS level, nat AS qi_nation, seg AS qi_segment,
+         CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 1, reg, seg, CAST(count(*) AS BIGINT) FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 2, reg, '*', CAST(count(*) AS BIGINT) FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 3, '*', '*', CAST(count(*) AS BIGINT) FROM base GROUP BY 2, 3
+),
+stats AS (SELECT level, min(n) AS min_n FROM groups GROUP BY 1),
+sel AS (
+  SELECT CAST(coalesce(min(level) FILTER (min_n >= 25), 3) AS BIGINT) AS level
+  FROM stats
+)
+SELECT level, qi_nation, qi_segment, n
+FROM groups JOIN sel USING (level)
+"""
+
+
+# --------------------------------------------------------------------------
 # uv01: unpivot/melt — the inverse reshape of a09's pivot
 # --------------------------------------------------------------------------
 
@@ -3713,6 +3799,7 @@ FROM agg CROSS JOIN n
 """
 
 QUERIES3 = {
+    "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
     "hy01_hybrid_rrf_fusion": (hy01_hybrid_rrf_fusion, HY01_SQL),

@@ -827,3 +827,25 @@ def test_uv01_unpivot_inverse_of_wide(spark):
             F.sum(F.floor(F.col(attr).cast("double") * 100 + F.lit(0.5)).cast("long"))
         ).collect()[0][0]
         assert per_attr[attr] == (n_parts, wide)
+
+
+def test_ka01_k_anonymity_ladder(spark):
+    """The released level is the FIRST whose smallest group >= 25; every
+    released group meets k; totals are preserved (no row suppressed by
+    generalization); and more-general levels never release while a
+    finer compliant level exists."""
+    from pyspark.sql import functions as F
+
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import ka01_k_anonymity
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    rows = ka01_k_anonymity(spark, "/root/testdata/sf0.001").collect()
+    levels = {r["level"] for r in rows}
+    assert len(levels) == 1
+    lvl = levels.pop()
+    n_customers = load_table(spark, "/root/testdata/sf0.001", "customer").count()
+    assert sum(r["n"] for r in rows) == n_customers
+    if lvl < 3:
+        assert all(r["n"] >= 25 for r in rows)
+    else:
+        assert len(rows) == 1 and rows[0]["qi_nation"] == "*" and rows[0]["qi_segment"] == "*"
