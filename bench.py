@@ -114,6 +114,13 @@ EXTENDED = [
     "uv01_unpivot_part_attrs",
     "gs01_grouping_sets",
     "ka01_k_anonymity",
+    # round 8, third batch
+    "hn01_hard_negatives",
+    "ev03_rank_agreement",
+    "cu01_curriculum_schedule",
+    "dp01_noisy_counts",
+    "mk01_mlm_masking_plan",
+    "sa01_skew_audit",
 ]
 
 HEADLINE = [

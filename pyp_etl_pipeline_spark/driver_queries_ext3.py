@@ -3798,7 +3798,310 @@ SELECT src_event, dst_event, n_trans,
 FROM agg CROSS JOIN n
 """
 
+
+# --------------------------------------------------------------------------
+# hn01: hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+
+def hn01_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Triplet mining over the labeled embedding corpus: per anchor
+    (every 100th vector), the hardest same-label positive and the 3
+    hardest different-label negatives by cosine — the batch that feeds
+    a contrastive fine-tune (see operators/similarity.py:
+    hard_negative_mining for the plan shape and the ANN-shortlist
+    production variant)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
+
+    emb = _load_corpus(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return _sim.hard_negative_mining(emb, anchors, k_neg=3)
+
+
+HN01_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.qid AS query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+         list_cosine_similarity(qv, e.v) AS cos
+  FROM q JOIN e ON e.vec_id <> q.qid
+),
+neg AS (
+  SELECT query_id, neighbor_id, 'neg' AS role,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS match_rank,
+         round(cos, 6) AS cosine
+  FROM scored WHERE label IS DISTINCT FROM qlabel AND cos IS NOT NULL
+  QUALIFY match_rank <= 3
+),
+pos AS (
+  SELECT query_id, neighbor_id, 'pos' AS role,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos ASC, neighbor_id ASC) AS BIGINT) AS match_rank,
+         round(cos, 6) AS cosine
+  FROM scored WHERE label IS NOT DISTINCT FROM qlabel AND cos IS NOT NULL
+  QUALIFY match_rank <= 1
+)
+SELECT * FROM neg UNION ALL SELECT * FROM pos
+"""
+
+
+# --------------------------------------------------------------------------
+# ev03: lexical-vs-semantic rank agreement (the retrieval-eval sibling
+# of hy01's fusion)
+# --------------------------------------------------------------------------
+
+def ev03_rank_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """How much do the two retrieval channels AGREE? Overlap@10,
+    Jaccard@10 (micro) and the Spearman footrule (sum of |rank-rank|
+    over the intersection) between bm01's BM25 top-10 and the exact
+    cosine top-10 — the diagnostic every hybrid-retrieval deployment
+    reads before trusting RRF weights (low overlap = channels are
+    complementary; high footrule on the overlap = they disagree about
+    order). Inputs are the two already-certified top-k pipelines from
+    hy01; the epilogue is a full join of two 10-row relations plus one
+    single-row aggregate — constant-size at any corpus scale. All
+    metrics exact integers."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
+
+    text_list = _textan.bm25_rank(_load_corpus(spark, sf, "documents")).select(
+        "doc_id", F.col("rank").cast("long").alias("text_rank")
+    )
+    emb = _load_corpus(spark, sf, "embeddings")
+    doc_vecs = emb.join(
+        load_table(spark, sf, "documents").select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_list = _sim.brute_force_topk(doc_vecs, q, k=10).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("vec_rank")
+    )
+    both = F.col("text_rank").isNotNull() & F.col("vec_rank").isNotNull()
+    agg = (
+        text_list.join(vec_list, "doc_id", "full")
+        .agg(
+            F.count("text_rank").cast("long").alias("n_text"),
+            F.count("vec_rank").cast("long").alias("n_vec"),
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_overlap"),
+            F.coalesce(
+                F.sum(F.when(both, F.abs(F.col("text_rank") - F.col("vec_rank")))),
+                F.lit(0),
+            ).cast("long").alias("footrule"),
+        )
+    )
+    return agg.select(
+        "n_text",
+        "n_vec",
+        "n_overlap",
+        F.expr(
+            "CASE WHEN n_text + n_vec - n_overlap > 0"
+            " THEN n_overlap * CAST(1000000 AS BIGINT) DIV (n_text + n_vec - n_overlap) END"
+        ).alias("jaccard_micro"),
+        "footrule",
+    )
+
+
+EV03_SQL = """
+WITH bm AS ({BM01_BODY}),
+text_list AS (SELECT doc_id, CAST(rank AS BIGINT) AS text_rank FROM bm),
+dv AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM documents)
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT doc_id, list_cosine_similarity(qv, v) AS cos FROM dv, q),
+vec_list AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS vec_rank
+  FROM scored QUALIFY vec_rank <= 10
+),
+j AS (
+  SELECT t.text_rank, v.vec_rank
+  FROM text_list t FULL JOIN vec_list v ON t.doc_id = v.doc_id
+),
+a AS (
+  SELECT CAST(count(text_rank) AS BIGINT) AS n_text,
+         CAST(count(vec_rank) AS BIGINT) AS n_vec,
+         CAST(coalesce(sum(CASE WHEN text_rank IS NOT NULL AND vec_rank IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overlap,
+         CAST(coalesce(sum(CASE WHEN text_rank IS NOT NULL AND vec_rank IS NOT NULL THEN abs(text_rank - vec_rank) END), 0) AS BIGINT) AS footrule
+  FROM j
+)
+SELECT n_text, n_vec, n_overlap,
+       CASE WHEN n_text + n_vec - n_overlap > 0
+            THEN CAST(n_overlap * 1000000 // (n_text + n_vec - n_overlap) AS BIGINT) END AS jaccard_micro,
+       footrule
+FROM a
+"""
+EV03_SQL = EV03_SQL.replace("{BM01_BODY}", BM01_SQL)
+
+
+# --------------------------------------------------------------------------
+# cu01: curriculum-learning schedule
+# --------------------------------------------------------------------------
+
+def cu01_curriculum_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Easy-to-hard curriculum assignment over the document corpus:
+    difficulty = mean word length in micro, phase from a static
+    threshold ladder, within-phase order from a keyed hash — entirely
+    map-only (see operators/sampling.py: curriculum_schedule for why
+    NOT ntile)."""
+    from pyp_etl_pipeline_spark.operators import sampling as _sampling  # noqa: PLC0415
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    diff = F.floor(_textan.mean_word_length(F.col("text")) * 1000000 + F.lit(0.5))
+    return _sampling.curriculum_schedule(docs, diff)
+
+
+def _cu01_sql() -> str:
+    from pyp_etl_pipeline_spark.operators.sampling import sql_hash_bucket  # noqa: PLC0415
+
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL),
+d AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE coalesce(list_sum(list_transform(toks, w -> length(w))), 0) / len(toks)
+         END AS mwl
+  FROM t
+),
+m AS (SELECT doc_id, CAST(floor(mwl * 1000000 + 0.5) AS BIGINT) AS difficulty_micro FROM d)
+SELECT doc_id, difficulty_micro,
+       CAST((CASE WHEN difficulty_micro >= 4000000 THEN 1 ELSE 0 END)
+            + (CASE WHEN difficulty_micro >= 5000000 THEN 1 ELSE 0 END)
+            + (CASE WHEN difficulty_micro >= 6000000 THEN 1 ELSE 0 END) AS BIGINT) AS phase,
+       CAST({sql_hash_bucket("doc_id", "curriculum-v1")} AS BIGINT) AS order_key
+FROM m
+"""
+
+
+CU01_SQL = _cu01_sql()
+
+
+# --------------------------------------------------------------------------
+# dp01: privacy-budgeted noisy count release
+# --------------------------------------------------------------------------
+
+def dp01_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(lang, source) document counts perturbed by deterministic
+    bounded noise before release — the publication end of the privacy
+    family (px01 scrub -> px02 pseudonymize -> ka01 k-anonymize -> dp01
+    noisy release). See functions/masking.py: noisy_group_counts."""
+    from pyp_etl_pipeline_spark.functions import masking as _masking  # noqa: PLC0415
+
+    docs = load_table(spark, sf, "documents")
+    return _masking.noisy_group_counts(docs, ("lang", "source"), noise_bound=20)
+
+
+DP01_SQL = """
+WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+nz AS (
+  SELECT lang, source, n,
+         (('0x' || substring(md5(concat_ws('|', coalesce(lang::VARCHAR, '␀'), coalesce(source::VARCHAR, '␀')) || 'dp-v1'), 1, 7))::BIGINT % 41) - 20 AS noise
+  FROM g
+)
+SELECT lang, source, CAST(greatest(0, n + noise) AS BIGINT) AS noisy_count FROM nz
+"""
+
+
+# --------------------------------------------------------------------------
+# mk01: MLM masking plan
+# --------------------------------------------------------------------------
+
+def mk01_mlm_masking_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 15% token-masking plan for MLM pretraining over the
+    document corpus, with the first-10-token masked preview certifying
+    the substitution (see operators/textan.py: mlm_masking_plan)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    docs = _load_corpus(spark, sf, "documents")
+    return _textan.mlm_masking_plan(docs)
+
+
+def _mk01_sql(mask_pct: int = 15, salt: str = "mlm-v1", preview_n: int = 10) -> str:
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+    bucket = (
+        "(('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || '" + salt + "'), 1, 7))::BIGINT % 100)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL),
+m AS (
+  SELECT doc_id, toks,
+         list_filter(generate_series(1, len(toks)), i -> {bucket} < {mask_pct}) AS mpos
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(mpos) AS BIGINT) AS n_masked,
+       CAST(mpos[1] AS BIGINT) AS first_masked_pos,
+       coalesce(array_to_string(
+         list_transform(generate_series(1, least(len(toks), {preview_n})),
+                        i -> CASE WHEN {bucket} < {mask_pct} THEN '[MASK]' ELSE toks[i] END),
+         ' '), '') AS masked_preview
+FROM m
+"""
+
+
+MK01_SQL = _mk01_sql()
+
+
+# --------------------------------------------------------------------------
+# sa01: key-skew audit
+# --------------------------------------------------------------------------
+
+def sa01_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-distribution audit of events.user_id — the diagnosis that
+    decides between plain hash partitioning, AQE skew splitting, and
+    sk01's salted join (see operators/skew.py: skew_audit for the
+    metric definitions and plan shape)."""
+    from pyp_etl_pipeline_spark.operators import skew as _skew  # noqa: PLC0415
+
+    return _skew.skew_audit(load_table(spark, sf, "events"), "user_id", top_n=10)
+
+
+SA01_SQL = """
+WITH counts AS (
+  SELECT user_id AS key_value, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n_rows) AS BIGINT) AS max_rows
+  FROM counts
+),
+top AS (
+  SELECT key_value, n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, key_value ASC NULLS FIRST) AS BIGINT) AS key_rank
+  FROM counts
+  QUALIFY key_rank <= 10
+)
+SELECT key_rank, key_value::VARCHAR AS key_value, n_rows,
+       CAST(n_rows * 1000000 // total_rows AS BIGINT) AS share_micro,
+       total_rows, n_keys,
+       CAST(max_rows * n_keys * 1000000 // total_rows AS BIGINT) AS skew_micro,
+       CAST((max_rows * n_keys + total_rows - 1) // total_rows AS BIGINT) AS salt_factor
+FROM top CROSS JOIN totals
+"""
+
+
 QUERIES3 = {
+    "hn01_hard_negatives": (hn01_hard_negatives, HN01_SQL),
+    "ev03_rank_agreement": (ev03_rank_agreement, EV03_SQL),
+    "cu01_curriculum_schedule": (cu01_curriculum_schedule, CU01_SQL),
+    "dp01_noisy_counts": (dp01_noisy_counts, DP01_SQL),
+    "mk01_mlm_masking_plan": (mk01_mlm_masking_plan, MK01_SQL),
+    "sa01_skew_audit": (sa01_skew_audit, SA01_SQL),
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),

@@ -116,3 +116,39 @@ def pseudonymize(c: Column | str, cls: str, salt: str = "pseudo-v1") -> Column:
         ),
         F.element_at(parts, -1),
     )
+
+
+def noisy_group_counts(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    noise_bound: int = 20,
+    salt: str = "dp-v1",
+) -> DataFrame:
+    """Privacy-budgeted count release: per-group counts perturbed by
+    BOUNDED integer noise before publication — the release-side
+    complement of px01 (scrub), px02 (pseudonymize) and ka01
+    (k-anonymity). The noise is uniform in [-bound, +bound], keyed by
+    md5(group || salt): deterministic per (group, salt) — re-running a
+    release never leaks extra information through noise resampling (the
+    'sticky noise' property of production DP systems), and changing the
+    salt draws a fresh release. Counts clamp at 0. A calibrated
+    geometric/Laplace mechanism drops in by replacing the uniform draw;
+    the bounded-uniform form keeps the pipeline engine-exact.
+
+    Shape: one partial-aggregated groupBy; the noise is a map-side
+    column expression over the aggregate's tiny output. True counts
+    never leave the plan."""
+    groups = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    key_str = F.concat_ws(
+        "|", *[F.coalesce(F.col(k).cast("string"), F.lit("␀")) for k in keys]
+    )
+    h = F.conv(F.substring(F.md5(F.concat(key_str, F.lit(salt))), 1, 7), 16, 10).cast("long")
+    noise = h % (2 * noise_bound + 1) - noise_bound
+    return groups.select(
+        *keys,
+        F.greatest(F.lit(0).cast("long"), (F.col("__n") + noise).cast("long")).alias(
+            "noisy_count"
+        ),
+    )

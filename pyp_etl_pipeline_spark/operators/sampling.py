@@ -260,3 +260,36 @@ def weighted_sample(
         .limit(k)
     )
     return ranked.withColumnRenamed("__key", "sample_key_micro")
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    difficulty_micro: Column,
+    thresholds_micro: tuple[int, ...] = (4_000_000, 5_000_000, 6_000_000),
+    id_col: str = "doc_id",
+    salt: str = "curriculum-v1",
+) -> DataFrame:
+    """Curriculum-learning schedule assignment: every row gets a
+    ``phase`` (0 = easiest) from a static difficulty ladder and a
+    deterministic ``order_key`` (hash of the id) that shuffles rows
+    WITHIN a phase. A trainer consumes phases in order and rows within
+    a phase in order_key order — the standard easy-to-hard pacing.
+
+    Deliberately MAP-ONLY: phase comes from fixed thresholds (not
+    ntile/percent_rank — a global rank is a single-partition window,
+    the classic scale killer) and the within-phase order is a hash SORT
+    KEY, not a rank, so no window and no shuffle exist at all. The
+    writer orders the corpus with one
+    ``repartitionByRange(phase, order_key)`` — the only (and
+    unavoidable) shuffle, deferred to the sink. Data-dependent
+    thresholds, when wanted, come from one qt01-style histogram-
+    quantile pass, then re-enter here as constants."""
+    phase = F.lit(0)
+    for t in thresholds_micro:
+        phase = phase + F.when(difficulty_micro >= F.lit(t), 1).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        difficulty_micro.cast("long").alias("difficulty_micro"),
+        phase.cast("long").alias("phase"),
+        hash_bucket(id_col, salt=salt).cast("long").alias("order_key"),
+    )

@@ -1141,3 +1141,86 @@ def ivfpq_refine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "exact_dist", "adc_dist")
     )
+
+
+def hard_negative_mining(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "query_id",
+    anchor_vec_col: str = "query_vec",
+    anchor_label_col: str = "query_label",
+) -> DataFrame:
+    """Triplet mining for contrastive training (the embedding-model
+    fine-tuning shape): for every anchor, the HARDEST POSITIVE (the
+    same-label neighbor with the LOWEST cosine — the pair the loss must
+    pull together) and the ``k_neg`` HARDEST NEGATIVES (the
+    different-label neighbors with the HIGHEST cosine — the pairs it
+    must push apart). Labels compare null-safely (NULL is its own
+    class, so a null-labeled corpus row is a NEGATIVE for a labeled
+    anchor — IS DISTINCT FROM semantics in both engines); rows whose
+    vector or label-bearing cosine is undefined are excluded up front
+    so ASC/DESC null-ordering differences between engines can never
+    matter.
+
+    Physical shape: anchors BROADCAST into one map-only scoring pass
+    over the corpus (exactly ``brute_force_topk``'s plan — an
+    evaluation/mining tool to run on an anchor sample); both roles rank
+    in per-(anchor, role) windows, parallel across anchors, thinned
+    map-side by WindowGroupLimit. The 100 TB serving path mines from an
+    ANN shortlist instead — compose ``ivfpq_refine_topk`` ->
+    label-filter -> rank; this exact form is the certified ground
+    truth that path is tuned against.
+
+    Output: (query_id, neighbor_id, role 'pos'|'neg', match_rank,
+    cosine) — round-6 cosine, ties broken by neighbor id.
+    """
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nl"),
+        _as_double(vec_col).alias("__v"),
+    ).filter(F.col("__v").isNotNull()).withColumn("__nv", l2_norm(F.col("__v")))
+    q = anchors.select(
+        F.col(anchor_id_col).alias("query_id"),
+        F.col(anchor_label_col).alias("__ql"),
+        _as_double(anchor_vec_col).alias("__q"),
+    ).filter(F.col("__q").isNotNull()).withColumn("__nq", l2_norm(F.col("__q")))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(F.col("__q"), F.col("__v"), F.col("__nq"), F.col("__nv")),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    same = F.col("__nl").eqNullSafe(F.col("__ql"))
+    w_neg = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    neg = (
+        scored.filter(~same)
+        .withColumn("match_rank", F.row_number().over(w_neg))
+        .filter(F.col("match_rank") <= k_neg)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("neg").alias("role"),
+            F.col("match_rank").cast("long").alias("match_rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(F.asc("cosine"), F.asc("neighbor_id"))
+    pos = (
+        scored.filter(same)
+        .withColumn("match_rank", F.row_number().over(w_pos))
+        .filter(F.col("match_rank") <= 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("pos").alias("role"),
+            F.col("match_rank").cast("long").alias("match_rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+    return neg.unionByName(pos)

@@ -14,7 +14,7 @@ on equi-keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,4 +55,61 @@ def top_keys_by_frequency(df: DataFrame, key: str, n: int = 10) -> DataFrame:
         .withColumn("fraction", F.round(F.col("n_rows") / F.lit(total), 6))
         .orderBy(F.desc("n_rows"))
         .limit(n)
+    )
+
+
+def skew_audit(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Key-distribution audit — the diagnosis step BEFORE choosing a
+    skew mitigation (salted_join's N, AQE trust, or broadcast). Emits
+    the ``top_n`` heaviest keys with exact-integer global context on
+    every row:
+
+    - ``n_rows`` / ``share_micro``: the key's row count and its share
+      of the relation, micro-units.
+    - ``skew_micro``: max_count / mean_count in micro — "the hottest
+      key is X times the average"; 1e6 = perfectly uniform. The number
+      that says whether the default hash partitioning leaves one task
+      holding the bag.
+    - ``salt_factor``: ceil(max_count / mean_count) — the smallest
+      replication N for ``salted_join`` that levels the hottest key
+      down to the mean task size.
+
+    Physical shape: one partial-aggregated groupBy on the key, a
+    TakeOrdered top-N over the per-key counts, and a single-row global
+    aggregate broadcast back onto N rows. NULL keys group as their own
+    key (a null-heavy foreign key is the classic hot key, and it must
+    show up here, not be filtered away). All integer arithmetic —
+    engine-portable."""
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n_rows").cast("long").alias("max_rows"),
+    )
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top_n)
+        .withColumn(
+            "key_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+            ).cast("long"),
+        )
+    )
+    return (
+        top.join(F.broadcast(totals))
+        .select(
+            "key_rank",
+            F.col("key_value").cast("string").alias("key_value"),
+            "n_rows",
+            F.expr("n_rows * CAST(1000000 AS BIGINT) DIV total_rows").alias("share_micro"),
+            "total_rows",
+            "n_keys",
+            F.expr("max_rows * n_keys * CAST(1000000 AS BIGINT) DIV total_rows").alias("skew_micro"),
+            F.expr(
+                "(max_rows * n_keys + total_rows - 1) DIV total_rows"
+            ).alias("salt_factor"),
+        )
     )

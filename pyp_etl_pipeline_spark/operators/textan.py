@@ -696,3 +696,64 @@ def heldout_unigram_logprob(
         F.sum(F.col("tok_n").isNull().cast("long")).cast("long").alias("n_oov"),
         aggregates.exact_avg("logp").alias("mean_logprob"),
     )
+
+
+def _mask_bucket(id_col: Column, pos: Column, salt: str) -> Column:
+    """Per-(doc, position) deterministic percent bucket for MLM masking
+    (the md5-prefix portable-hash contract of operators/sampling.py)."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(":"), pos.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 100
+
+
+def mlm_masking_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_pct: int = 15,
+    salt: str = "mlm-v1",
+    preview_n: int = 10,
+) -> DataFrame:
+    """Masked-language-model corruption PLAN: which token positions of
+    each document an MLM pretraining run masks, decided by a
+    deterministic keyed hash of (doc, position) — re-runs, task
+    retries, and engines all agree, and changing the salt re-rolls
+    every mask (the epoch knob). Emits per doc: ``n_tokens``,
+    ``n_masked``, ``first_masked_pos`` (1-based; NULL when nothing
+    masks), and ``masked_preview`` — the first ``preview_n`` tokens
+    with '[MASK]' substituted, certifying the substitution itself.
+
+    Entirely array algebra on projected columns — no explode, no
+    shuffle, no window: a pure map over the corpus scan, which is the
+    only shape token-level corruption can afford at 100 TB."""
+    did = F.col(id_col)
+    # tokenization is the heavy input — materialize it ONCE as a projected
+    # column (Catalyst does not CSE repeated subexpressions; see the
+    # token_set_parts precedent in functions/scoring.py)
+    staged = df.filter(F.col(text_col).isNotNull()).select(
+        did, whitespace_tokens(text_col).alias("__toks")
+    )
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (empty in DuckDB) —
+    # guard the zero-token case explicitly or position 0/1 get "masked"
+    positions = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(1), F.size("__toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    masked_pos = F.filter(
+        positions,
+        lambda i: _mask_bucket(did, i, salt) < mask_pct,
+    )
+    preview = F.array_join(
+        F.transform(
+            F.slice(F.col("__toks"), 1, preview_n),
+            lambda t, i: F.when(_mask_bucket(did, i + 1, salt) < mask_pct, F.lit("[MASK]")).otherwise(t),
+        ),
+        " ",
+    )
+    return staged.select(
+        did, F.size("__toks").cast("long").alias("n_tokens"), masked_pos.alias("__mpos"), preview.alias("masked_preview")
+    ).select(
+        id_col,
+        "n_tokens",
+        F.size("__mpos").cast("long").alias("n_masked"),
+        F.try_element_at("__mpos", F.lit(1)).cast("long").alias("first_masked_pos"),
+        "masked_preview",
+    )

@@ -1,0 +1,216 @@
+"""Round-8 batch: hard-negative mining, curriculum scheduling, MLM
+masking plans, noisy count release, skew audit, rank agreement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.functions import masking
+from pyp_etl_pipeline_spark.operators import sampling, similarity, skew, textan
+
+
+# --------------------------------------------------------------------------
+# hard_negative_mining
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    # 2D toy geometry: label 0 clusters near (1, 0), label 1 near (0, 1),
+    # one traitor of label 1 sitting inside cluster 0.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, 0.2], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (5, [0.95, 0.05], 1),  # the hard negative for anchors in cluster 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_hard_negatives_picks_the_traitor(spark, labeled_vecs):
+    anchors = labeled_vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negative_mining(labeled_vecs, anchors, k_neg=2).collect()
+    neg = sorted([r for r in out if r["role"] == "neg"], key=lambda r: r["match_rank"])
+    pos = [r for r in out if r["role"] == "pos"]
+    # hardest negative = the label-1 vector closest to the anchor
+    assert neg[0]["neighbor_id"] == 5
+    assert len(neg) == 2
+    # hardest positive = the same-label vector FURTHEST from the anchor
+    assert len(pos) == 1
+    assert pos[0]["neighbor_id"] == 2
+    assert pos[0]["match_rank"] == 1
+
+
+def test_hard_negatives_null_label_is_a_negative(spark, labeled_vecs):
+    vecs = labeled_vecs.withColumn(
+        "label", F.when(F.col("vec_id") == 5, F.lit(None).cast("int")).otherwise(F.col("label"))
+    )
+    anchors = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negative_mining(vecs, anchors, k_neg=1).collect()
+    neg = [r for r in out if r["role"] == "neg"]
+    assert neg[0]["neighbor_id"] == 5  # NULL label != 0, still minable
+
+
+def test_hard_negatives_null_vectors_excluded(spark, labeled_vecs):
+    vecs = labeled_vecs.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 5, F.lit(None).cast("array<double>")).otherwise(F.col("embedding")),
+    )
+    anchors = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negative_mining(vecs, anchors, k_neg=5).collect()
+    assert all(r["neighbor_id"] != 5 for r in out)
+
+
+# --------------------------------------------------------------------------
+# curriculum_schedule
+# --------------------------------------------------------------------------
+
+def test_curriculum_phases_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, 3_500_000), (2, 4_000_000), (3, 5_500_000), (4, 9_000_000)],
+        "doc_id long, diff long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sampling.curriculum_schedule(docs, F.col("diff")).collect()
+    }
+    assert [out[i]["phase"] for i in (1, 2, 3, 4)] == [0, 1, 2, 3]
+    # order_key is the keyed hash — stable across calls
+    again = {
+        r["doc_id"]: r["order_key"]
+        for r in sampling.curriculum_schedule(docs, F.col("diff")).collect()
+    }
+    assert {k: v["order_key"] for k, v in out.items()} == again
+    assert all(0 <= v <= sampling.BUCKETS for v in again.values())
+
+
+def test_curriculum_is_map_only(spark):
+    docs = spark.range(100).select(F.col("id").alias("doc_id"), (F.col("id") * 100000).alias("diff"))
+    plan = sampling.curriculum_schedule(docs, F.col("diff"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure map
+
+
+# --------------------------------------------------------------------------
+# mlm_masking_plan
+# --------------------------------------------------------------------------
+
+def test_mlm_masking_plan_shape_and_rate(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(40))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = textan.mlm_masking_plan(docs).collect()
+    assert all(r["n_tokens"] == 40 for r in out)
+    total = sum(r["n_masked"] for r in out)
+    # 2000 positions at 15% -> binomial; generous bounds
+    assert 200 <= total <= 400
+    for r in out:
+        prev = r["masked_preview"].split(" ")
+        assert len(prev) == 10
+        n_masked_prev = sum(1 for t in prev if t == "[MASK]")
+        if r["first_masked_pos"] is not None and r["first_masked_pos"] <= 10:
+            assert prev[r["first_masked_pos"] - 1] == "[MASK]"
+        else:
+            assert n_masked_prev == 0
+
+
+def test_mlm_masking_edge_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "one")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textan.mlm_masking_plan(docs).collect()}
+    assert 3 not in out  # null text filtered
+    for i in (1, 2):
+        assert out[i]["n_tokens"] == 0
+        assert out[i]["n_masked"] == 0
+        assert out[i]["first_masked_pos"] is None
+        assert out[i]["masked_preview"] == ""
+    assert out[4]["n_tokens"] == 1
+
+
+def test_mlm_salt_rerolls_the_mask(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(200)))], "doc_id long, text string"
+    )
+    a = textan.mlm_masking_plan(docs, salt="epoch-0").collect()[0]
+    b = textan.mlm_masking_plan(docs, salt="epoch-1").collect()[0]
+    assert a["n_tokens"] == b["n_tokens"] == 200
+    assert (a["n_masked"], a["first_masked_pos"]) != (b["n_masked"], b["first_masked_pos"]) or (
+        a["masked_preview"] != b["masked_preview"]
+    )
+
+
+# --------------------------------------------------------------------------
+# noisy_group_counts
+# --------------------------------------------------------------------------
+
+def test_noisy_counts_bounded_sticky_and_clamped(spark):
+    df = spark.createDataFrame(
+        [("en", "web")] * 100 + [("de", "web")] * 3 + [(None, "pdf")] * 2,
+        "lang string, source string",
+    )
+    out = {
+        (r["lang"], r["source"]): r["noisy_count"]
+        for r in masking.noisy_group_counts(df, ("lang", "source"), noise_bound=20).collect()
+    }
+    assert len(out) == 3
+    assert 80 <= out[("en", "web")] <= 120
+    assert 0 <= out[("de", "web")] <= 23  # clamped at zero
+    assert 0 <= out[(None, "pdf")] <= 22  # null key groups fine
+    again = {
+        (r["lang"], r["source"]): r["noisy_count"]
+        for r in masking.noisy_group_counts(df, ("lang", "source"), noise_bound=20).collect()
+    }
+    assert out == again  # sticky noise
+    other = {
+        (r["lang"], r["source"]): r["noisy_count"]
+        for r in masking.noisy_group_counts(df, ("lang", "source"), noise_bound=20, salt="v2").collect()
+    }
+    assert other != out  # a new salt draws a fresh release (overwhelmingly)
+
+
+# --------------------------------------------------------------------------
+# skew_audit
+# --------------------------------------------------------------------------
+
+def test_skew_audit_flags_the_hot_key(spark):
+    rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    out = skew.skew_audit(df, "k", top_n=2).collect()
+    assert len(out) == 2
+    top = out[0]
+    assert top["key_rank"] == 1 and top["key_value"] == "1"
+    assert top["n_rows"] == 90
+    assert top["share_micro"] == 900_000
+    # max=90, mean=100/3 -> skew 2.7x, salt factor ceil(270/100)=3
+    assert top["skew_micro"] == 2_700_000
+    assert top["salt_factor"] == 3
+
+
+def test_skew_audit_uniform_is_1x(spark):
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    out = skew.skew_audit(df, "k", top_n=1).collect()[0]
+    assert out["skew_micro"] == 1_000_000
+    assert out["salt_factor"] == 1
+
+
+def test_skew_audit_null_key_counts(spark):
+    df = spark.createDataFrame([(None,)] * 50 + [(1,)] * 10, "k string")
+    out = skew.skew_audit(df, "k", top_n=1).collect()[0]
+    assert out["key_value"] is None
+    assert out["n_rows"] == 50
