@@ -121,6 +121,9 @@ EXTENDED = [
     "dp01_noisy_counts",
     "mk01_mlm_masking_plan",
     "sa01_skew_audit",
+    "ev04_gate_calibration",
+    "ev05_gate_kappa",
+    "tx17_url_normalize",
 ]
 
 HEADLINE = [

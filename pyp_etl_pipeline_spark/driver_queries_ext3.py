@@ -4056,6 +4056,247 @@ MK01_SQL = _mk01_sql()
 
 
 # --------------------------------------------------------------------------
+# ev04: quality-gate calibration / lift table
+# --------------------------------------------------------------------------
+
+def ev04_gate_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration/lift table of a cheap ranking signal (word count,
+    bucketed in fixed 50-word bins) against the expensive gate it
+    proxies for (tx07's full Gopher conjunction): per bin, document
+    count, gate-pass count and pass rate in micro. The table every
+    cascade filter is tuned from — if bin pass rates are monotone, the
+    cheap signal can pre-screen and the expensive gate runs on a
+    fraction of the corpus. Map-only signal pass + one
+    partial-aggregated groupBy over <=10 bins; exact integers."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    g = _textan.gopher_quality_flags(_load_corpus(spark, sf, "documents"))
+    binned = g.select(
+        F.least(F.lit(9).cast("long"), F.expr("n_words DIV 50")).alias("bin"),
+        # NULL gopher_pass (null-injected text) counts as NOT passing in
+        # both engines — when().otherwise(0), never cast(bool as int)
+        F.when(F.col("gopher_pass"), 1).otherwise(0).alias("p"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("p").cast("long").alias("n_pass"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50).cast("long").alias("lo_words"),
+            "n_docs",
+            "n_pass",
+            F.expr("n_pass * CAST(1000000 AS BIGINT) DIV n_docs").alias("pass_rate_micro"),
+        )
+    )
+
+
+EV04_SQL: str | None = None  # composed in _finalize (needs ext's TX07 twin)
+
+
+def _ev04_sql(tx07_body: str) -> str:
+    return f"""
+WITH g AS ({tx07_body}),
+b AS (
+  SELECT least(9, n_words // 50) AS bin,
+         CASE WHEN gopher_pass THEN 1 ELSE 0 END AS p
+  FROM g
+),
+a AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(p) AS BIGINT) AS n_pass
+  FROM b GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 50 AS BIGINT) AS lo_words, n_docs, n_pass,
+       CAST(n_pass * 1000000 // n_docs AS BIGINT) AS pass_rate_micro
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# ev05: inter-gate agreement (Cohen's kappa)
+# --------------------------------------------------------------------------
+
+def ev05_gate_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two independent quality gates — tx07's
+    fixed-threshold Gopher conjunction and tx11's corpus-relative
+    bottom-quartile token gate. Kappa is THE chance-corrected agreement
+    number annotation pipelines report before trusting a cheaper
+    'annotator'; here both annotators are deterministic rules, so the
+    whole 2x2 contingency table and the kappa itself are
+    hash-certified. po/pe in nano, kappa in micro, all integer DIV
+    (both engines truncate integer division toward zero — verified).
+    Shape: two map-only scoring passes joined on doc_id, one exact
+    percentile aggregate (tx11's), one single-row contingency agg."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    docs = _load_corpus(spark, sf, "documents")
+    g = _textan.gopher_quality_flags(docs).select(
+        F.col("id").alias("doc_id"), "gopher_pass"
+    )
+    scored = docs.select("doc_id", _textan.token_count("text").alias("n_tokens"))
+    thr = scored.agg(F.percentile("n_tokens", F.lit(0.25)).alias("thr"))
+    k = scored.join(F.broadcast(thr)).select(
+        "doc_id", (F.col("n_tokens") >= F.col("thr")).alias("keep")
+    )
+    cont = (
+        g.join(k, "doc_id")
+        .agg(
+            F.sum(F.when(F.col("gopher_pass") & F.col("keep"), 1).otherwise(0)).cast("long").alias("n_both"),
+            F.sum(F.when(F.col("gopher_pass") & ~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_gopher_only"),
+            F.sum(F.when(~F.col("gopher_pass") & F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep_only"),
+            F.sum(F.when(~F.col("gopher_pass") & ~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_neither"),
+        )
+    )
+    m = cont.select(
+        "*",
+        (F.col("n_both") + F.col("n_gopher_only") + F.col("n_keep_only") + F.col("n_neither")).alias("n"),
+    ).select(
+        "n", "n_both", "n_gopher_only", "n_keep_only", "n_neither",
+        F.expr("(n_both + n_neither) * CAST(1000000000 AS BIGINT) DIV n").alias("po_nano"),
+        F.expr(
+            "((n_both + n_gopher_only) * (n_both + n_keep_only)"
+            " + (n_keep_only + n_neither) * (n_gopher_only + n_neither))"
+            " * CAST(1000000000 AS BIGINT) DIV (n * n)"
+        ).alias("pe_nano"),
+    )
+    return m.select(
+        "*",
+        F.expr(
+            "CASE WHEN 1000000000 - pe_nano > 0"
+            " THEN (po_nano - pe_nano) * CAST(1000000 AS BIGINT) DIV (1000000000 - pe_nano) END"
+        ).alias("kappa_micro"),
+    )
+
+
+EV05_SQL: str | None = None  # composed in _finalize (needs ext's TX07/TX11 twins)
+
+
+def _ev05_sql(tx07_body: str, tx11_body: str) -> str:
+    return f"""
+WITH g AS ({tx07_body}),
+k AS ({tx11_body}),
+j AS (
+  SELECT g.gopher_pass, k.keep FROM g JOIN k ON g.doc_id = k.doc_id
+),
+cont AS (
+  SELECT CAST(coalesce(sum(CASE WHEN gopher_pass AND keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+         CAST(coalesce(sum(CASE WHEN gopher_pass AND NOT keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gopher_only,
+         CAST(coalesce(sum(CASE WHEN NOT gopher_pass AND keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep_only,
+         CAST(coalesce(sum(CASE WHEN NOT gopher_pass AND NOT keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neither
+  FROM j
+),
+m AS (
+  SELECT n_both + n_gopher_only + n_keep_only + n_neither AS n, *
+  FROM cont
+),
+p AS (
+  SELECT CAST(n AS BIGINT) AS n, n_both, n_gopher_only, n_keep_only, n_neither,
+         CAST((n_both + n_neither) * 1000000000 // n AS BIGINT) AS po_nano,
+         CAST(((n_both + n_gopher_only) * (n_both + n_keep_only)
+               + (n_keep_only + n_neither) * (n_gopher_only + n_neither))
+              * 1000000000 // (n * n) AS BIGINT) AS pe_nano
+  FROM m
+)
+SELECT n, n_both, n_gopher_only, n_keep_only, n_neither, po_nano, pe_nano,
+       CASE WHEN 1000000000 - pe_nano > 0
+            THEN CAST((po_nano - pe_nano) * 1000000 // (1000000000 - pe_nano) AS BIGINT) END AS kappa_micro
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# tx17: URL canonicalization
+# --------------------------------------------------------------------------
+
+def tx17_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization — the first step of any web-corpus dedup or
+    per-site accounting: lowercase host sans www, path split into
+    segments, tracking params (utm_*) stripped, surviving params
+    SORTED, fragment dropped. URLs synthesized from (source, lang,
+    doc_id) exactly the way f03 synthesizes emails; the whole transform
+    is regex + array algebra, map-only, and both engines run the
+    LITERAL same regexes. NULL source/lang propagates to a NULL url and
+    NULL outputs (|| / concat are null-propagating in both engines —
+    DuckDB's concat() is not, and is deliberately avoided in the
+    twin)."""
+    d = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".Example/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&ref=rss#frag"),
+            ),
+        ).otherwise(F.concat(F.lit("?id="), F.col("doc_id").cast("string"))),
+    )
+    staged = d.select("doc_id", url.alias("__url"))
+    host = F.lower(F.regexp_extract("__url", r"^https?://(?:www\.)?([^/?#]+)", 1))
+    path = F.regexp_extract("__url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("__url", r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.startswith("utm_"),
+        )
+    )
+    canon_query = F.array_join(params, "&")
+    out = staged.select(
+        "doc_id",
+        host.alias("host"),
+        F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit(""))).cast("long").alias("path_depth"),
+        F.concat(
+            host,
+            path,
+            F.when(canon_query != "", F.concat(F.lit("?"), canon_query)).otherwise(F.lit("")),
+        ).alias("canon_url"),
+    )
+    # NULL url -> regexp_extract NULL -> size(NULL) is -1 in non-ANSI
+    # Spark but NULL in DuckDB: normalize explicitly
+    return out.withColumn(
+        "path_depth",
+        F.when(F.col("canon_url").isNull(), F.lit(None).cast("long")).otherwise(F.col("path_depth")),
+    )
+
+
+TX17_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.Example/' || lang || '/doc-' || doc_id::VARCHAR ||
+         CASE WHEN doc_id % 2 = 0
+              THEN '?utm_source=feed&id=' || doc_id::VARCHAR || '&ref=rss#frag'
+              ELSE '?id=' || doc_id::VARCHAR END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^https?://(?:www\.)?([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+),
+canon AS (
+  SELECT doc_id, host, path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+                                               p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS cq
+  FROM parts
+)
+SELECT doc_id, host,
+       CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS path_depth,
+       host || path || (CASE WHEN coalesce(cq, '') <> '' THEN '?' || cq ELSE '' END) AS canon_url
+FROM canon
+"""
+
+
+# --------------------------------------------------------------------------
 # sa01: key-skew audit
 # --------------------------------------------------------------------------
 
@@ -4102,6 +4343,9 @@ QUERIES3 = {
     "dp01_noisy_counts": (dp01_noisy_counts, DP01_SQL),
     "mk01_mlm_masking_plan": (mk01_mlm_masking_plan, MK01_SQL),
     "sa01_skew_audit": (sa01_skew_audit, SA01_SQL),
+    "ev04_gate_calibration": (ev04_gate_calibration, None),  # oracle composed below
+    "ev05_gate_kappa": (ev05_gate_kappa, None),  # oracle composed below
+    "tx17_url_normalize": (tx17_url_normalize, TX17_SQL),
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
@@ -4229,12 +4473,18 @@ FROM m
 """
     QUERIES3["ev01_linkage_eval"] = (ev01_linkage_eval, ev01_sql)
 
-    from pyp_etl_pipeline_spark.driver_queries_ext import TX07_SQL  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.driver_queries_ext import TX07_SQL, TX11_SQL  # noqa: PLC0415
 
     QUERIES3["pp02_multimodal_curation"] = (
         pp02_multimodal_curation,
         _pp02_sql(TX07_SQL).replace("{MM10_BODY}", MM10_SQL),
     )
+
+    global EV04_SQL, EV05_SQL
+    EV04_SQL = _ev04_sql(TX07_SQL)
+    EV05_SQL = _ev05_sql(TX07_SQL, TX11_SQL)
+    QUERIES3["ev04_gate_calibration"] = (ev04_gate_calibration, EV04_SQL)
+    QUERIES3["ev05_gate_kappa"] = (ev05_gate_kappa, EV05_SQL)
 
 
 _finalize()

@@ -214,3 +214,62 @@ def test_skew_audit_null_key_counts(spark):
     out = skew.skew_audit(df, "k", top_n=1).collect()[0]
     assert out["key_value"] is None
     assert out["n_rows"] == 50
+
+
+# --------------------------------------------------------------------------
+# ev04 / ev05 / tx17 (registry-level invariants on sf0.001)
+# --------------------------------------------------------------------------
+
+def test_ev04_calibration_totals(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import ev04_gate_calibration
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    rows = ev04_gate_calibration(spark, "/root/testdata/sf0.001").collect()
+    n_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert r["pass_rate_micro"] == r["n_pass"] * 1_000_000 // r["n_docs"]
+        assert r["lo_words"] == r["bin"] * 50
+
+
+def test_ev05_kappa_identity_and_bounds(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import ev05_gate_kappa
+
+    r = ev05_gate_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n"] == r["n_both"] + r["n_gopher_only"] + r["n_keep_only"] + r["n_neither"]
+    assert r["po_nano"] == (r["n_both"] + r["n_neither"]) * 1_000_000_000 // r["n"]
+    # kappa in [-1e6, 1e6]
+    assert -1_000_000 <= r["kappa_micro"] <= 1_000_000
+    # replay the full formula in exact Python ints
+    pe = (
+        (r["n_both"] + r["n_gopher_only"]) * (r["n_both"] + r["n_keep_only"])
+        + (r["n_keep_only"] + r["n_neither"]) * (r["n_gopher_only"] + r["n_neither"])
+    ) * 1_000_000_000 // (r["n"] * r["n"])
+    assert r["pe_nano"] == pe
+    num = r["po_nano"] - pe
+    expected = num * 1_000_000 // (1_000_000_000 - pe) if 1_000_000_000 - pe > 0 else None
+    if expected is not None and num < 0:
+        # both engines truncate toward zero
+        expected = -((-num) * 1_000_000 // (1_000_000_000 - pe))
+    assert r["kappa_micro"] == expected
+
+
+def test_tx17_url_normalization_semantics(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import tx17_url_normalize
+
+    rows = {r["doc_id"]: r for r in tx17_url_normalize(spark, "/root/testdata/sf0.001").collect()}
+    assert rows
+    for did, r in rows.items():
+        # host is lowercased and www-stripped
+        assert r["host"].startswith("") and "www." not in r["host"]
+        assert r["host"] == r["host"].lower()
+        # tracking params stripped, fragment dropped, id param kept sorted-first
+        assert "utm_" not in r["canon_url"]
+        assert "#" not in r["canon_url"]
+        assert f"id={did}" in r["canon_url"]
+        if did % 2 == 0:
+            assert r["canon_url"].endswith(f"?id={did}&ref=rss")
+        else:
+            assert r["canon_url"].endswith(f"?id={did}")
+        assert r["path_depth"] == 2  # /<lang>/doc-<id>
