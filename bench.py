@@ -124,6 +124,9 @@ EXTENDED = [
     "ev04_gate_calibration",
     "ev05_gate_kappa",
     "tx17_url_normalize",
+    "dc03_semantic_decontaminate",
+    "px03_pii_density",
+    "dd08_dedup_savings",
 ]
 
 HEADLINE = [

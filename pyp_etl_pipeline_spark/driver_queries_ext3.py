@@ -4056,6 +4056,181 @@ MK01_SQL = _mk01_sql()
 
 
 # --------------------------------------------------------------------------
+# dc03: semantic (embedding-space) decontamination
+# --------------------------------------------------------------------------
+
+def dc03_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic test-set leakage guard — dc01's n-gram decontamination
+    lifted into embedding space (catches paraphrased eval contamination
+    that shares no 3-gram): every 100th vector plays the eval set, and
+    every training vector reports how many eval vectors sit within
+    cosine >= 0.25, its max eval cosine, and the resulting
+    ``contaminated`` flag. Eval side broadcasts (dimension-sized) into
+    one map-side scoring pass over the training corpus — the corpus
+    never shuffles, same contract as dc01. A production run swaps the
+    brute scoring for the IVF-PQ shortlist (ann06/ann07) and keeps this
+    exact form as its certified ground truth."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
+
+    emb = _load_corpus(spark, sf, "embeddings").select(
+        "vec_id", _sim._as_double("embedding").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    ev = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("eid"), F.col("__v").alias("__ev")
+    )
+    tr = emb.filter(F.col("vec_id") % 100 != 0)
+    scored = tr.join(F.broadcast(ev), F.col("vec_id") != F.col("eid")).select(
+        "vec_id", _sim.cosine(F.col("__v"), F.col("__ev")).alias("cos")
+    )
+    agg = scored.groupBy("vec_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("cos") >= 0.25, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_eval_hits"),
+        F.max("cos").alias("__mc"),
+    )
+    return agg.select(
+        "vec_id",
+        "n_eval_hits",
+        F.round("__mc", 6).alias("max_cos"),
+        (F.col("n_eval_hits") > 0).alias("contaminated"),
+    )
+
+
+DC03_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL
+),
+ev AS (SELECT vec_id AS eid, v AS evv FROM e WHERE vec_id % 100 = 0),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % 100 <> 0),
+sc AS (
+  SELECT tr.vec_id, list_cosine_similarity(tr.v, ev.evv) AS cos
+  FROM tr JOIN ev ON tr.vec_id <> ev.eid
+),
+a AS (
+  SELECT vec_id,
+         CAST(coalesce(sum(CASE WHEN cos >= 0.25 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_eval_hits,
+         max(cos) AS mc
+  FROM sc GROUP BY 1
+)
+SELECT vec_id, n_eval_hits, round(mc, 6) AS max_cos, n_eval_hits > 0 AS contaminated
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# px03: PII density report by source
+# --------------------------------------------------------------------------
+
+def px03_pii_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source PII exposure report — the compliance dashboard number
+    a corpus release signs off on: document counts, per-class PII hit
+    totals (on px01's deterministically injected text, so the report is
+    hash-certifiable) and hits-per-document density in micro. Composes
+    px01's certified per-doc scrub/count output with one groupBy over
+    the handful of sources."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    per_doc = px01_pii_scrub(spark, sf).join(d, "doc_id")
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.coalesce(F.sum(f"n_{n}"), F.lit(0)).cast("long").alias(f"n_{n}")
+            for n in ("email", "phone", "ipv4", "ssn")
+        ],
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "n_ssn",
+        F.expr(
+            "(n_email + n_phone + n_ipv4 + n_ssn) * CAST(1000000 AS BIGINT) DIV n_docs"
+        ).alias("density_micro"),
+    )
+
+
+PX03_SQL = f"""
+WITH p AS ({PX01_SQL}),
+j AS (SELECT d.source, p.* FROM p JOIN documents d USING (doc_id)),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(n_email), 0) AS BIGINT) AS n_email,
+         CAST(coalesce(sum(n_phone), 0) AS BIGINT) AS n_phone,
+         CAST(coalesce(sum(n_ipv4), 0) AS BIGINT) AS n_ipv4,
+         CAST(coalesce(sum(n_ssn), 0) AS BIGINT) AS n_ssn
+  FROM j GROUP BY 1
+)
+SELECT source, n_docs, n_email, n_phone, n_ipv4, n_ssn,
+       CAST((n_email + n_phone + n_ipv4 + n_ssn) * 1000000 // n_docs AS BIGINT) AS density_micro
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# dd08: dedup savings report
+# --------------------------------------------------------------------------
+
+def dd08_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-report number every dedup run publishes: cluster-size
+    histogram of the near-dup components (dd02 pairs -> dd04 connected
+    components) plus, on every row, the global corpus size, total
+    removable duplicates (size-1 per cluster) and the dedup ratio in
+    micro. One groupBy over cluster labels, one over sizes, one
+    single-row global agg broadcast back — the heavy lifting is the
+    already-certified pair+CC pipeline."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+
+    corpus = _load_corpus(spark, sf, "documents")
+    pairs = _dedup.shingle_pairs_jaccard(corpus, threshold=0.5)
+    clusters = _dedup.dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    totals = sizes.agg(
+        F.coalesce(F.sum(F.col("cluster_size") - 1), F.lit(0)).cast("long").alias("n_removable_total"),
+    )
+    corpus_docs = corpus.agg(F.count(F.lit(1)).cast("long").alias("corpus_docs"))
+    return (
+        hist.join(F.broadcast(totals))
+        .join(F.broadcast(corpus_docs))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long").alias("n_removable"),
+            "n_removable_total",
+            "corpus_docs",
+            F.expr("n_removable_total * CAST(1000000 AS BIGINT) DIV corpus_docs").alias("dedup_ratio_micro"),
+        )
+    )
+
+
+DD08_SQL: str | None = None  # composed in _finalize (needs ext's DD04 twin)
+
+
+def _dd08_sql(dd04_body: str) -> str:
+    return f"""
+WITH c AS ({dd04_body}),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM c GROUP BY 1),
+hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1),
+tot AS (SELECT CAST(coalesce(sum(cluster_size - 1), 0) AS BIGINT) AS n_removable_total FROM sizes),
+cd AS (SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable,
+       n_removable_total, corpus_docs,
+       CAST(n_removable_total * 1000000 // corpus_docs AS BIGINT) AS dedup_ratio_micro
+FROM hist CROSS JOIN tot CROSS JOIN cd
+"""
+
+
+# --------------------------------------------------------------------------
 # ev04: quality-gate calibration / lift table
 # --------------------------------------------------------------------------
 
@@ -4346,6 +4521,9 @@ QUERIES3 = {
     "ev04_gate_calibration": (ev04_gate_calibration, None),  # oracle composed below
     "ev05_gate_kappa": (ev05_gate_kappa, None),  # oracle composed below
     "tx17_url_normalize": (tx17_url_normalize, TX17_SQL),
+    "dc03_semantic_decontaminate": (dc03_semantic_decontaminate, DC03_SQL),
+    "px03_pii_density": (px03_pii_density, PX03_SQL),
+    "dd08_dedup_savings": (dd08_dedup_savings, None),  # oracle composed below
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
@@ -4485,6 +4663,12 @@ FROM m
     EV05_SQL = _ev05_sql(TX07_SQL, TX11_SQL)
     QUERIES3["ev04_gate_calibration"] = (ev04_gate_calibration, EV04_SQL)
     QUERIES3["ev05_gate_kappa"] = (ev05_gate_kappa, EV05_SQL)
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import DD04_SQL as _DD04  # noqa: PLC0415
+
+    global DD08_SQL
+    DD08_SQL = _dd08_sql(_DD04)
+    QUERIES3["dd08_dedup_savings"] = (dd08_dedup_savings, DD08_SQL)
 
 
 _finalize()

@@ -273,3 +273,53 @@ def test_tx17_url_normalization_semantics(spark):
         else:
             assert r["canon_url"].endswith(f"?id={did}")
         assert r["path_depth"] == 2  # /<lang>/doc-<id>
+
+
+# --------------------------------------------------------------------------
+# dc03 / px03 / dd08 (registry-level invariants on sf0.001)
+# --------------------------------------------------------------------------
+
+def test_dc03_flags_match_counts(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import dc03_semantic_decontaminate
+
+    rows = dc03_semantic_decontaminate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["vec_id"] % 100 != 0  # eval vectors never appear as train
+        assert r["contaminated"] == (r["n_eval_hits"] > 0)
+        if r["n_eval_hits"] > 0:
+            assert r["max_cos"] >= 0.25
+
+
+def test_px03_density_consistency(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import px03_pii_density
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    rows = px03_pii_density(spark, "/root/testdata/sf0.001").collect()
+    n_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    grand_total = 0
+    for r in rows:
+        total = r["n_email"] + r["n_phone"] + r["n_ipv4"] + r["n_ssn"]
+        grand_total += total
+        assert r["density_micro"] == total * 1_000_000 // r["n_docs"]
+    # px01 injects one PII payload into 3 of every 4 docs corpus-wide
+    # (source correlates with doc_id mod 4 in the testdata, so SOME
+    # sources legitimately report zero — the report's whole point)
+    assert grand_total >= n_docs // 2
+
+
+def test_dd08_savings_arithmetic(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import dd08_dedup_savings
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    rows = dd08_dedup_savings(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    corpus_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    removable_total = rows[0]["n_removable_total"]
+    assert all(r["corpus_docs"] == corpus_docs for r in rows)
+    assert sum(r["n_removable"] for r in rows) == removable_total
+    for r in rows:
+        assert r["cluster_size"] >= 2  # clusters come from pairs: no singletons
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["dedup_ratio_micro"] == removable_total * 1_000_000 // corpus_docs
