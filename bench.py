@@ -127,6 +127,7 @@ EXTENDED = [
     "dc03_semantic_decontaminate",
     "px03_pii_density",
     "dd08_dedup_savings",
+    "mm14_resized_thumbs",
 ]
 
 HEADLINE = [

@@ -4472,6 +4472,77 @@ FROM canon
 
 
 # --------------------------------------------------------------------------
+# mm14: real PNG thumbnail resize, pixel-certified
+# --------------------------------------------------------------------------
+
+def mm14_resized_thumbs(spark: SparkSession, sf: str) -> DataFrame:
+    """Real image RESIZE certified at the pixel level: the mm09 gradient
+    PNGs (16x8, v = (i*7 + 13x + 31y) % 256) go through
+    ``binary_ops.resize_images`` (decode -> integer luminance ->
+    nearest-neighbor lattice -> grayscale PNG re-encode) to 8x4, and
+    ``png_pixel_stats`` decodes the RESIZED bytes back into exact
+    integer sums/checksums. The twin computes the expected output
+    pixels in closed form (src = out * src_dim DIV out_dim, so
+    v_out(x, y) = (i*7 + 26x + 62y) % 256), which certifies the entire
+    decode -> resample -> re-encode -> re-decode loop byte-for-byte.
+    Both stages are map-only Arrow passes — the thumbnail shape of a
+    100 TB image-curation pipeline."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        REPO_ROOT,
+        png_pixel_stats,
+        resize_images,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    repo_root = REPO_ROOT
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.codecs import png_encode_gray_pixels  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rows = [
+                    [(i * 7 + x * 13 + y * 31) % 256 for x in range(16)]
+                    for y in range(8)
+                ]
+                payloads.append(png_encode_gray_pixels(rows))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return png_pixel_stats(resize_images(media, width=8, height=4))
+
+
+def _mm14_sql(src_w: int = 16, src_h: int = 8, out_w: int = 8, out_h: int = 4) -> str:
+    # nearest-neighbor: v_out(x, y) = (i*7 + (x*src_w DIV out_w)*13 + (y*src_h DIV out_h)*31) % 256
+    sums = []
+    checks = []
+    for y in range(out_h):
+        for x in range(out_w):
+            v = f"((doc_id * 7 + {(x * src_w // out_w) * 13} + {(y * src_h // out_h) * 31}) % 256)"
+            sums.append(v)
+            checks.append(f"{v} * {y * out_w + x + 1}")
+    return f"""
+SELECT doc_id AS media_id,
+       CAST({out_w} AS INT) AS width, CAST({out_h} AS INT) AS height,
+       CAST({out_w * out_h} AS BIGINT) AS n_px,
+       CAST({" + ".join(sums)} AS BIGINT) AS pix_sum,
+       CAST({" + ".join(checks)} AS BIGINT) AS pix_checksum
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+MM14_SQL = _mm14_sql()
+
+
+# --------------------------------------------------------------------------
 # sa01: key-skew audit
 # --------------------------------------------------------------------------
 
@@ -4524,6 +4595,7 @@ QUERIES3 = {
     "dc03_semantic_decontaminate": (dc03_semantic_decontaminate, DC03_SQL),
     "px03_pii_density": (px03_pii_density, PX03_SQL),
     "dd08_dedup_savings": (dd08_dedup_savings, None),  # oracle composed below
+    "mm14_resized_thumbs": (mm14_resized_thumbs, MM14_SQL),
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),

@@ -354,18 +354,125 @@ def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes target dims through the same batch shape;
-    the pixel work is the stubbed codec step."""
+    """REAL thumbnail resize for PNG payloads (stub upgraded in round 8):
+    decode pixels (the repo's own inflate+unfilter codec), collapse to
+    integer luminance ((r + 2g + b) DIV 4 — the dhash_features
+    convention), NEAREST-NEIGHBOR resample on the all-integer lattice
+    ``src = out * src_dim DIV out_dim``, and re-encode as a grayscale
+    PNG. Everything integer, so the resized pixels are exactly
+    reproducible on any engine — mm14's oracle twin recomputes the
+    output pixels in closed form. Non-PNG / corrupt payloads drop out
+    (the stray-tolerant contract of the whole decode path). Map-only
+    Arrow batches, partition-preserving; per-frame resize of compressed
+    video would compose this after ``sample_frames_decoded``.
+
+    Output: (media_id, payload = resized grayscale PNG, width, height).
+    """
+    repo_root = REPO_ROOT
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            # real impl: decode -> resize(width, height) -> re-encode
-            out["payload"] = out["payload"]  # stub: payload unchanged
-            yield out
+        import struct  # noqa: PLC0415
+        import sys  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
 
-    return df.mapInPandas(op, schema=df.schema).withColumn(
-        "meta", F.struct(F.col("meta.mime"), F.lit(width).alias("width"), F.lit(height).alias("height"), F.col("meta.duration_ms"))
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal import codecs  # noqa: PLC0415
+
+        for pdf in batches:
+            out_rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    px, w, h, bpp = codecs.png_decode_pixels(p)
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    continue
+
+                def lum(x: int, y: int) -> int:
+                    if bpp == 1:
+                        return int(px[y, x])
+                    r, g, b = (int(px[y, x * 3 + c]) for c in range(3))
+                    return (r + 2 * g + b) // 4
+
+                rows = [
+                    [lum(x * w // width, y * h // height) for x in range(width)]
+                    for y in range(height)
+                ]
+                out_rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": codecs.png_encode_gray_pixels(rows),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        op, schema="media_id long, payload binary, width int, height int"
+    )
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """Decode PNG payloads and emit exact integer pixel statistics —
+    the certification tail of a decode/resize pipeline: dimensions,
+    pixel count, plain sum and the position-weighted checksum
+    ``sum(v * (y*width + x + 1))`` (the mm12 GIF convention), which
+    pins every pixel VALUE at every POSITION. Luminance for multi-
+    channel images follows the dhash convention. Map-only; corrupt
+    payloads drop."""
+    repo_root = REPO_ROOT
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
+        import sys  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal import codecs  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    px, w, h, bpp = codecs.png_decode_pixels(p)
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    continue
+
+                def lum(x: int, y: int) -> int:
+                    if bpp == 1:
+                        return int(px[y, x])
+                    r, g, b = (int(px[y, x * 3 + c]) for c in range(3))
+                    return (r + 2 * g + b) // 4
+
+                total = checksum = 0
+                for y in range(h):
+                    for x in range(w):
+                        v = lum(x, y)
+                        total += v
+                        checksum += v * (y * w + x + 1)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "n_px": w * h,
+                        "pix_sum": total,
+                        "pix_checksum": checksum,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_px", "pix_sum", "pix_checksum"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        op,
+        schema="media_id long, width int, height int, n_px long, pix_sum long, pix_checksum long",
     )
 
 

@@ -103,12 +103,35 @@ def test_decode_real_is_stubbed():
         binary_ops.decode_real(b"x", "image")
 
 
-def test_resize_images_updates_meta(media):
-    out = binary_ops.resize_images(media, 100, 50).collect()
-    assert all(r["meta"]["width"] == 100 and r["meta"]["height"] == 50 for r in out)
-    # payload plumbing survives the batch round-trip
-    by_id = {r["media_id"]: r["payload"] for r in out}
-    assert bytes(by_id[1]) == b"\x89PNG fake bytes"
+def test_resize_images_real_pixels(spark, media):
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    # real 4x4 gradient PNG: v(x, y) = 10x + 40y
+    rows = [[10 * x + 40 * y for x in range(4)] for y in range(4)]
+    real = spark.createDataFrame(
+        [(7, codecs.png_encode_gray_pixels(rows))], "media_id long, payload binary"
+    )
+    out = binary_ops.resize_images(real, 2, 2).collect()
+    assert len(out) == 1 and out[0]["width"] == 2 and out[0]["height"] == 2
+    px, w, h, bpp = codecs.png_decode_pixels(bytes(out[0]["payload"]))
+    assert (w, h, bpp) == (2, 2, 1)
+    # nearest-neighbor picks src (x*4 DIV 2, y*4 DIV 2) = (0,0),(2,0),(0,2),(2,2)
+    assert [[int(px[y, x]) for x in range(2)] for y in range(2)] == [[0, 20], [80, 100]]
+    # fake / corrupt payloads drop (stray-tolerant decode contract)
+    assert binary_ops.resize_images(media, 2, 2).count() == 0
+
+
+def test_png_pixel_stats_roundtrip(spark):
+    from pyp_etl_pipeline_spark.multimodal import codecs
+
+    rows = [[1, 2], [3, 4]]
+    df = spark.createDataFrame(
+        [(1, codecs.png_encode_gray_pixels(rows))], "media_id long, payload binary"
+    )
+    r = binary_ops.png_pixel_stats(df).collect()[0]
+    assert (r["width"], r["height"], r["n_px"]) == (2, 2, 4)
+    assert r["pix_sum"] == 10
+    assert r["pix_checksum"] == 1 * 1 + 2 * 2 + 3 * 3 + 4 * 4
 
 
 def test_frame_sample_plan(media):
