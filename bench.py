@@ -128,6 +128,7 @@ EXTENDED = [
     "px03_pii_density",
     "dd08_dedup_savings",
     "mm14_resized_thumbs",
+    "tk03_vocab_coverage",
 ]
 
 HEADLINE = [

@@ -4472,6 +4472,142 @@ FROM canon
 
 
 # --------------------------------------------------------------------------
+# tk03: tokenizer vocab coverage on a held-out split
+# --------------------------------------------------------------------------
+
+def tk03_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """The number a tokenizer ships with: OOV rate and fertility of a
+    TRAIN-split WordPiece vocab measured on a HELD-OUT split (docs
+    doc_id % 5 == 0). A held-out word is OOV when it contains a
+    character the train split never saw (the [UNK] class — no vocab
+    piece can cover it); every other word segments fully by tk02's
+    maximal-munch, and fertility = cnt-weighted pieces-per-token in
+    micro (1e6 = one piece per word; higher = the vocab splits words
+    finer). Completes the tokenizer lifecycle: train (tk01) -> apply
+    (tk02) -> EVALUATE (tk03) -> pack (pk01). All stages are
+    dimension-sized (distinct words, not corpus rows); the epilogue is
+    four single-row aggregates broadcast together."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import bpe as _bpe  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    train_w = _bpe.word_counts(d.filter(F.col("doc_id") % 5 != 0))
+    held_w = _bpe.word_counts(d.filter(F.col("doc_id") % 5 == 0))
+    vocab = _bpe.wordpiece_vocab(train_w)
+    hchars = held_w.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            )
+        ).alias("tok"),
+    )
+    unk_words = (
+        hchars.join(F.broadcast(vocab), "tok", "left_anti").select("word", "cnt").distinct()
+    )
+    covered = held_w.join(unk_words.select("word"), "word", "left_anti")
+    seg = _bpe.wordpiece_segment(covered, vocab)
+    vs = vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    tot = held_w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    unk = unk_words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unk_words"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("unk_tokens"),
+    )
+    fert = seg.agg(
+        F.coalesce(F.sum(F.col("n_pieces") * F.col("cnt")), F.lit(0)).cast("long").alias("pieces_weighted"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered_tokens"),
+    )
+    row = vs.join(F.broadcast(tot)).join(F.broadcast(unk)).join(F.broadcast(fert))
+    return row.select(
+        "vocab_size",
+        "n_words",
+        "n_tokens",
+        "n_unk_words",
+        "unk_tokens",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN unk_tokens * CAST(1000000 AS BIGINT) DIV n_tokens END"
+        ).alias("unk_rate_micro"),
+        F.expr(
+            "CASE WHEN covered_tokens > 0 THEN pieces_weighted * CAST(1000000 AS BIGINT) DIV covered_tokens END"
+        ).alias("fertility_micro"),
+    )
+
+
+def _tk03_sql() -> str:
+    words_of = (
+        "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest(string_split({_snt('text')}, ' ')) AS word FROM documents WHERE doc_id % 5 {{op}} 0"
+        ") WHERE word <> '' GROUP BY 1"
+    )
+    return f"""
+WITH RECURSIVE
+tw AS ({words_of.format(op="<>")}),
+hw AS ({words_of.format(op="=")}),
+chars AS (
+  SELECT DISTINCT substring(word, CAST(i AS INT), 1) AS tok
+  FROM (SELECT word, unnest(generate_series(1, length(word))) AS i FROM tw)
+),
+top AS (SELECT word FROM tw ORDER BY cnt DESC, word ASC LIMIT 10),
+prefixes AS (
+  SELECT DISTINCT substring(word, 1, CAST(i AS INT)) AS tok
+  FROM (SELECT word, unnest(generate_series(2, least(6, length(word)))) AS i FROM top)
+),
+vocab AS (SELECT tok FROM chars UNION SELECT tok FROM prefixes),
+hchars AS (
+  SELECT word, substring(word, CAST(i AS INT), 1) AS tok
+  FROM (SELECT word, unnest(generate_series(1, length(word))) AS i FROM hw)
+),
+unkw AS (SELECT DISTINCT word FROM hchars WHERE tok NOT IN (SELECT tok FROM vocab)),
+cov AS (SELECT word, cnt FROM hw WHERE word NOT IN (SELECT word FROM unkw)),
+starts AS (SELECT word, unnest(generate_series(1, length(word))) AS start FROM cov),
+cand AS (
+  SELECT s.word, s.start, unnest(generate_series(1, least(6, length(s.word) - s.start + 1))) AS len
+  FROM starts s
+),
+hits AS (
+  SELECT c.word, c.start, c.len
+  FROM cand c JOIN vocab v
+    ON v.tok = substring(c.word, CAST(c.start AS INT), CAST(c.len AS INT))
+),
+best AS (SELECT word, start, max(len) AS len FROM hits GROUP BY 1, 2),
+walk AS (
+  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+  FROM cov
+  UNION ALL
+  SELECT walk.word, walk.pos + b.len, walk.n + 1
+  FROM walk JOIN best b ON b.word = walk.word AND b.start = walk.pos
+  WHERE walk.pos <= length(walk.word)
+),
+seg AS (
+  SELECT cov.word, cov.cnt, walk.n AS n_pieces
+  FROM walk JOIN cov USING (word)
+  WHERE walk.pos = length(cov.word) + 1
+),
+m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vocab_size,
+         (SELECT CAST(count(*) AS BIGINT) FROM hw) AS n_words,
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM hw) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM unkw) AS n_unk_words,
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM hw WHERE word IN (SELECT word FROM unkw)) AS unk_tokens,
+         (SELECT CAST(coalesce(sum(n_pieces * cnt), 0) AS BIGINT) FROM seg) AS pieces_weighted,
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM seg) AS covered_tokens
+)
+SELECT vocab_size, n_words, n_tokens, n_unk_words, unk_tokens,
+       CASE WHEN n_tokens > 0 THEN CAST(unk_tokens * 1000000 // n_tokens AS BIGINT) END AS unk_rate_micro,
+       CASE WHEN covered_tokens > 0 THEN CAST(pieces_weighted * 1000000 // covered_tokens AS BIGINT) END AS fertility_micro
+FROM m
+"""
+
+
+TK03_SQL = _tk03_sql()
+
+
+# --------------------------------------------------------------------------
 # mm14: real PNG thumbnail resize, pixel-certified
 # --------------------------------------------------------------------------
 
@@ -4596,6 +4732,7 @@ QUERIES3 = {
     "px03_pii_density": (px03_pii_density, PX03_SQL),
     "dd08_dedup_savings": (dd08_dedup_savings, None),  # oracle composed below
     "mm14_resized_thumbs": (mm14_resized_thumbs, MM14_SQL),
+    "tk03_vocab_coverage": (tk03_vocab_coverage, TK03_SQL),
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),

@@ -323,3 +323,15 @@ def test_dd08_savings_arithmetic(spark):
         assert r["cluster_size"] >= 2  # clusters come from pairs: no singletons
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
         assert r["dedup_ratio_micro"] == removable_total * 1_000_000 // corpus_docs
+
+
+def test_tk03_coverage_invariants(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import tk03_vocab_coverage
+
+    r = tk03_vocab_coverage(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["vocab_size"] > 0
+    assert 0 <= r["n_unk_words"] <= r["n_words"]
+    assert 0 <= r["unk_tokens"] <= r["n_tokens"]
+    assert r["unk_rate_micro"] == r["unk_tokens"] * 1_000_000 // r["n_tokens"]
+    # every covered word segments into >= 1 piece
+    assert r["fertility_micro"] is None or r["fertility_micro"] >= 1_000_000
