@@ -129,6 +129,7 @@ EXTENDED = [
     "dd08_dedup_savings",
     "mm14_resized_thumbs",
     "tk03_vocab_coverage",
+    "aj02_asof_directions",
 ]
 
 HEADLINE = [

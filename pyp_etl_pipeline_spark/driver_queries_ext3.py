@@ -4472,6 +4472,69 @@ FROM canon
 
 
 # --------------------------------------------------------------------------
+# aj02: as-of join, forward + nearest directions
+# --------------------------------------------------------------------------
+
+def aj02_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
+    """pandas merge_asof's other two directions through the oracle gate:
+    each purchase matched to the NEXT view at-or-after it (forward) and
+    to the NEAREST view in absolute time (ties prefer backward — the
+    pandas convention), per user, on whole-second timestamps. Same
+    union+window plan as aj01's backward join (operators/asof.py);
+    null-timestamp rows are excluded up front because a null sorts
+    first in one engine's window and matches nothing in the other's
+    join. The twin computes min-at-or-after / max-at-or-before per
+    purchase and replays the nearest tie rule."""
+    from pyp_etl_pipeline_spark.operators.asof import asof_join  # noqa: PLC0415
+
+    e = load_table(spark, sf, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    p = e.filter((F.col("event_type") == "purchase") & F.col("ts_sec").isNotNull()).select(
+        "user_id", "event_id", F.col("ts_sec").alias("ts")
+    )
+    v = (
+        e.filter((F.col("event_type") == "view") & F.col("ts_sec").isNotNull())
+        .select("user_id", F.col("ts_sec").alias("ts"))
+        .distinct()
+    )
+    fwd = asof_join(p, v, key="user_id", ts="ts", direction="forward").select(
+        "user_id", "event_id", F.col("ts").alias("purchase_ts_sec"),
+        F.col("ts_right").alias("next_view_ts"),
+    )
+    near = asof_join(p, v, key="user_id", ts="ts", direction="nearest").select(
+        "event_id", F.col("ts_right").alias("nearest_view_ts")
+    )
+    return fwd.join(near, "event_id").select(
+        "user_id", "event_id", "purchase_ts_sec", "next_view_ts", "nearest_view_ts"
+    )
+
+
+AJ02_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events WHERE ts IS NOT NULL
+),
+p AS (SELECT user_id, event_id, ts_sec FROM e WHERE event_type = 'purchase'),
+v AS (SELECT DISTINCT user_id, ts_sec FROM e WHERE event_type = 'view'),
+fwd AS (
+  SELECT p.user_id, p.event_id, p.ts_sec, min(v.ts_sec) AS next_view_ts
+  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts_sec >= p.ts_sec
+  GROUP BY 1, 2, 3
+),
+bwd AS (
+  SELECT p.event_id, max(v.ts_sec) AS prev_view_ts
+  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec
+  GROUP BY 1
+)
+SELECT f.user_id, f.event_id, f.ts_sec AS purchase_ts_sec, f.next_view_ts,
+       CASE WHEN b.prev_view_ts IS NULL THEN f.next_view_ts
+            WHEN f.next_view_ts IS NULL THEN b.prev_view_ts
+            WHEN f.next_view_ts - f.ts_sec < f.ts_sec - b.prev_view_ts THEN f.next_view_ts
+            ELSE b.prev_view_ts END AS nearest_view_ts
+FROM fwd f JOIN bwd b USING (event_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # tk03: tokenizer vocab coverage on a held-out split
 # --------------------------------------------------------------------------
 
@@ -4733,6 +4796,7 @@ QUERIES3 = {
     "dd08_dedup_savings": (dd08_dedup_savings, None),  # oracle composed below
     "mm14_resized_thumbs": (mm14_resized_thumbs, MM14_SQL),
     "tk03_vocab_coverage": (tk03_vocab_coverage, TK03_SQL),
+    "aj02_asof_directions": (aj02_asof_directions, AJ02_SQL),
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),

@@ -27,14 +27,28 @@ def asof_join(
     ts: str = "ts",
     right_value_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` on the same key (ties: the right row wins —
-    'at or before'). Left rows with no prior right row keep NULLs.
+    """Left as-of join, pandas ``merge_asof`` directions (round 8):
+
+    - ``backward`` (default): latest right row with ``right.ts <=
+      left.ts`` (ties: the right row wins — 'at or before').
+    - ``forward``: earliest right row with ``right.ts >= left.ts``
+      ('at or after') — the "next quote/event" lookup.
+    - ``nearest``: whichever of the two is closer in absolute time;
+      exact ties prefer BACKWARD (the pandas convention).
+
+    Left rows with no matching right row keep NULLs. Same plan shape in
+    every direction: one shuffle on the key, a per-key sorted window
+    carrying the last (resp. first) right payload — forward is the
+    mirrored window, nearest evaluates both and picks per-row. The
+    naive per-row range join is O(n*m) per key and collapses at scale.
 
     Output: all left columns + ``<ts><suffix>`` + the requested right
     value columns (suffixed).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     right_value_cols = right_value_cols or [c for c in right.columns if c not in (key, ts)]
 
     l_tag = left.select(
@@ -56,17 +70,44 @@ def asof_join(
         F.struct(*[F.col(c) for c in [ts, *right_value_cols]]).alias("__r"),
     )
 
-    # right rows sort BEFORE left rows at equal ts so 'at or before' includes ties
-    w = (
+    merged = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at equal ts (backward window) so
+    # 'at or before' includes ties; the forward window mirrors it (right
+    # rows AFTER left at equal ts would exclude ties, so there right
+    # sorts before left too but the frame looks ahead)
+    w_back = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = l_tag.unionByName(r_tag).withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__is_right").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        merged = merged.withColumn("__pick", F.last("__r", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        merged = merged.withColumn("__pick", F.first("__r", ignorenulls=True).over(w_fwd))
+    else:  # nearest
+        back = F.last("__r", ignorenulls=True).over(w_back)
+        fwd = F.first("__r", ignorenulls=True).over(w_fwd)
+        merged = merged.withColumn("__b", back).withColumn("__f", fwd)
+        lts = F.col(ts)
+        d_b = lts - F.col("__b").getField(ts)
+        d_f = F.col("__f").getField(ts) - lts
+        merged = merged.withColumn(
+            "__pick",
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            # exact tie prefers backward (pandas convention)
+            .when(d_f < d_b, F.col("__f"))
+            .otherwise(F.col("__b")),
+        )
 
     out = merged.filter(F.col("__is_right") == 0).select(
         *[F.col("__l").getField(c).alias(c) for c in left.columns],
-        F.col("__last_r").getField(ts).alias(f"{ts}{suffix}"),
-        *[F.col("__last_r").getField(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.col("__pick").getField(ts).alias(f"{ts}{suffix}"),
+        *[F.col("__pick").getField(c).alias(f"{c}{suffix}") for c in right_value_cols],
     )
     return out

@@ -68,3 +68,38 @@ def test_asof_join_matches_duckdb_asof(spark, sides):
         ).fetchall()
     )
     assert got == want
+
+
+def test_asof_join_forward_golden(sides):
+    trades, quotes = sides
+    out = {r["trade"]: r for r in asof_join(trades, quotes, key="user_id", direction="forward").collect()}
+    assert out["T0"]["price_right"] == 100.0 and out["T0"]["ts_right"] == ts(4)
+    assert out["T1"]["price_right"] == 105.0          # next quote after 10:05 is 10:09
+    assert out["T2"]["price_right"] == 106.0          # equal-ts quote counts ('at or after')
+    assert out["T3"]["price_right"] == 50.0           # quote after the trade matches forward
+    assert len(out) == 4
+
+
+def test_asof_join_nearest_golden(sides):
+    trades, quotes = sides
+    out = {r["trade"]: r for r in asof_join(trades, quotes, key="user_id", direction="nearest").collect()}
+    assert out["T0"]["price_right"] == 100.0          # only forward exists
+    assert out["T1"]["price_right"] == 100.0          # 1 min back beats 4 min forward
+    assert out["T2"]["price_right"] == 106.0          # exact match
+    assert out["T3"]["price_right"] == 50.0           # only forward exists
+    assert len(out) == 4
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, 10, "L")], "user_id long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 8, "back"), (1, 12, "fwd")], "user_id long, ts long, side string"
+    )
+    out = asof_join(left, right, key="user_id", direction="nearest").collect()[0]
+    assert out["side_right"] == "back"
+
+
+def test_asof_join_rejects_bad_direction(sides):
+    trades, quotes = sides
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, key="user_id", direction="sideways")
