@@ -130,6 +130,7 @@ EXTENDED = [
     "mm14_resized_thumbs",
     "tk03_vocab_coverage",
     "aj02_asof_directions",
+    "q07_promo_revenue_share",
 ]
 
 HEADLINE = [

@@ -4472,6 +4472,74 @@ FROM canon
 
 
 # --------------------------------------------------------------------------
+# q07: promo revenue share by month (TPC-H Q14 shape)
+# --------------------------------------------------------------------------
+
+def q07_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 generalized to a monthly series: the share of 1996
+    revenue carried by ECONOMY-type parts, per ship month. The classic
+    'joins drive one ratio aggregate' shape: lineitem scan with the
+    date filter PUSHED to parquet, part dimension BROADCAST, revenue in
+    exact integer micro (the order-independent exact_sum contract), and
+    the share as integer micro division — no double sum anywhere, so
+    the result is partition-order independent and dtype-exact."""
+    from pyp_etl_pipeline_spark.functions.aggregates import micro_col  # noqa: PLC0415
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        F.month("l_shipdate").alias("ship_month"),
+        micro_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("m_rev"),
+        (F.col("p_type") == "ECONOMY").alias("is_promo"),
+    )
+    agg = j.groupBy("ship_month").agg(
+        F.sum(F.when(F.col("is_promo"), F.col("m_rev")).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("promo_rev_micro"),
+        F.sum("m_rev").cast("long").alias("total_rev_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.select(
+        F.col("ship_month").cast("long").alias("ship_month"),
+        "promo_rev_micro",
+        "total_rev_micro",
+        "n_items",
+        # downscale both sides to milli BEFORE the ratio: monthly micro
+        # sums reach ~1e16 at sf0.1 and *1e6 overflows a long (the same
+        # integer expression runs in both engines, so the truncation is
+        # portable by construction)
+        F.expr(
+            "CASE WHEN total_rev_micro >= 1000"
+            " THEN (promo_rev_micro DIV 1000) * CAST(1000000 AS BIGINT) DIV (total_rev_micro DIV 1000) END"
+        ).alias("promo_share_micro"),
+    )
+
+
+Q07_SQL = """
+WITH j AS (
+  SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) AS m_rev,
+         p_type = 'ECONOMY' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+),
+a AS (
+  SELECT ship_month,
+         CAST(coalesce(sum(CASE WHEN is_promo THEN m_rev ELSE 0 END), 0) AS BIGINT) AS promo_rev_micro,
+         CAST(coalesce(sum(m_rev), 0) AS BIGINT) AS total_rev_micro,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM j GROUP BY 1
+)
+SELECT ship_month, promo_rev_micro, total_rev_micro, n_items,
+       CASE WHEN total_rev_micro >= 1000
+            THEN CAST((promo_rev_micro // 1000) * 1000000 // (total_rev_micro // 1000) AS BIGINT) END AS promo_share_micro
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # aj02: as-of join, forward + nearest directions
 # --------------------------------------------------------------------------
 
@@ -4797,6 +4865,7 @@ QUERIES3 = {
     "mm14_resized_thumbs": (mm14_resized_thumbs, MM14_SQL),
     "tk03_vocab_coverage": (tk03_vocab_coverage, TK03_SQL),
     "aj02_asof_directions": (aj02_asof_directions, AJ02_SQL),
+    "q07_promo_revenue_share": (q07_promo_revenue_share, Q07_SQL),
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
