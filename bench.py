@@ -131,6 +131,7 @@ EXTENDED = [
     "tk03_vocab_coverage",
     "aj02_asof_directions",
     "q07_promo_revenue_share",
+    "ev06_quality_auc",
 ]
 
 HEADLINE = [

@@ -4472,6 +4472,90 @@ FROM canon
 
 
 # --------------------------------------------------------------------------
+# ev06: ROC-AUC of a ranking signal vs a gate label, exact integers
+# --------------------------------------------------------------------------
+
+def ev06_quality_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC-AUC of the cheap ranking signal (word count) against the
+    expensive gate it screens for (tx07's Gopher conjunction) — ev04's
+    calibration table collapsed to the single number model-based
+    quality filters are compared by. Computed EXACTLY via the
+    Mann-Whitney rank-sum with midrank tie handling, kept integer
+    throughout: per distinct score, positives contribute
+    ``pos_cnt * (2*cum_below + cnt + 1)`` (= twice their average
+    rank), so 2U = Σ − npos(npos+1) and AUC_micro = 2U·1e6 DIV
+    (2·npos·nneg). The cumulative window runs over DISTINCT SCORE
+    VALUES (bounded cardinality — word counts), not rows; at unbounded
+    score cardinality swap in prefix.grouped_prefix_sum, same algebra."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    g = _textan.gopher_quality_flags(_load_corpus(spark, sf, "documents"))
+    # a NULL score (null text) is unrankable — and the two engines order
+    # NULLs differently in an ASC window, so it must not participate
+    s = g.filter(F.col("n_words").isNotNull()).select(
+        F.col("n_words").alias("score"),
+        F.when(F.col("gopher_pass"), 1).otherwise(0).alias("pos"),
+    )
+    by = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos_cnt"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    by = by.withColumn(
+        "cum_below", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+    agg = by.agg(
+        F.coalesce(
+            F.sum(F.col("pos_cnt") * (2 * F.col("cum_below") + F.col("cnt") + 1)), F.lit(0)
+        ).cast("long").alias("rank2_sum"),
+        F.coalesce(F.sum("pos_cnt"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n - n_pos > 0"
+            " THEN (rank2_sum - n_pos * (n_pos + 1)) * CAST(1000000 AS BIGINT)"
+            " DIV (2 * n_pos * (n - n_pos)) END"
+        ).alias("auc_micro"),
+    )
+
+
+EV06_SQL: str | None = None  # composed in _finalize (needs ext's TX07 twin)
+
+
+def _ev06_sql(tx07_body: str) -> str:
+    return f"""
+WITH g AS ({tx07_body}),
+s AS (
+  SELECT n_words AS score, CASE WHEN gopher_pass THEN 1 ELSE 0 END AS pos
+  FROM g WHERE n_words IS NOT NULL
+),
+by_score AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(pos) AS BIGINT) AS pos_cnt
+  FROM s GROUP BY 1
+),
+cum AS (
+  SELECT score, cnt, pos_cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_below
+  FROM by_score
+),
+a AS (
+  SELECT CAST(coalesce(sum(pos_cnt * (2 * cum_below + cnt + 1)), 0) AS BIGINT) AS rank2_sum,
+         CAST(coalesce(sum(pos_cnt), 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n
+  FROM cum
+)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0
+            THEN CAST((rank2_sum - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * (n - n_pos)) AS BIGINT) END AS auc_micro
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # q07: promo revenue share by month (TPC-H Q14 shape)
 # --------------------------------------------------------------------------
 
@@ -4866,6 +4950,7 @@ QUERIES3 = {
     "tk03_vocab_coverage": (tk03_vocab_coverage, TK03_SQL),
     "aj02_asof_directions": (aj02_asof_directions, AJ02_SQL),
     "q07_promo_revenue_share": (q07_promo_revenue_share, Q07_SQL),
+    "ev06_quality_auc": (ev06_quality_auc, None),  # oracle composed below
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
@@ -5000,11 +5085,13 @@ FROM m
         _pp02_sql(TX07_SQL).replace("{MM10_BODY}", MM10_SQL),
     )
 
-    global EV04_SQL, EV05_SQL
+    global EV04_SQL, EV05_SQL, EV06_SQL
     EV04_SQL = _ev04_sql(TX07_SQL)
     EV05_SQL = _ev05_sql(TX07_SQL, TX11_SQL)
+    EV06_SQL = _ev06_sql(TX07_SQL)
     QUERIES3["ev04_gate_calibration"] = (ev04_gate_calibration, EV04_SQL)
     QUERIES3["ev05_gate_kappa"] = (ev05_gate_kappa, EV05_SQL)
+    QUERIES3["ev06_quality_auc"] = (ev06_quality_auc, EV06_SQL)
 
     from pyp_etl_pipeline_spark.driver_queries_ext import DD04_SQL as _DD04  # noqa: PLC0415
 

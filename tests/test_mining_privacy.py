@@ -335,3 +335,26 @@ def test_tk03_coverage_invariants(spark):
     assert r["unk_rate_micro"] == r["unk_tokens"] * 1_000_000 // r["n_tokens"]
     # every covered word segments into >= 1 piece
     assert r["fertility_micro"] is None or r["fertility_micro"] >= 1_000_000
+
+
+def test_ev06_auc_replay(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import ev06_quality_auc
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus
+    from pyp_etl_pipeline_spark.operators import textan as _t
+
+    r = ev06_quality_auc(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n"] == r["n_pos"] + r["n_neg"]
+    assert 0 <= r["auc_micro"] <= 1_000_000
+    # replay the Mann-Whitney with midranks in pure Python
+    rows = _t.gopher_quality_flags(
+        _load_corpus(spark, "/root/testdata/sf0.001", "documents")
+    ).select("n_words", "gopher_pass").collect()
+    pairs = [(x["n_words"], bool(x["gopher_pass"])) for x in rows if x["n_words"] is not None]
+    pos = [s for s, p in pairs if p]
+    neg = [s for s, p in pairs if not p]
+    import itertools
+    u2 = sum(2 for p, q in itertools.product(pos, neg) if p > q) + sum(
+        1 for p, q in itertools.product(pos, neg) if p == q
+    )
+    expected = u2 * 1_000_000 // (2 * len(pos) * len(neg))
+    assert r["auc_micro"] == expected
