@@ -132,6 +132,7 @@ EXTENDED = [
     "aj02_asof_directions",
     "q07_promo_revenue_share",
     "ev06_quality_auc",
+    "cf01_cascade_filter",
 ]
 
 HEADLINE = [

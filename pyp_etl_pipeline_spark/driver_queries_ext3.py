@@ -4472,6 +4472,88 @@ FROM canon
 
 
 # --------------------------------------------------------------------------
+# cf01: cascade filtering (cheap screen -> expensive gate)
+# --------------------------------------------------------------------------
+
+def cf01_cascade_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The cascade pattern ev04/ev06 exist to justify, run end-to-end:
+    a cheap map-only screen (token count >= 50 — one split+size per
+    row) eliminates documents BEFORE the expensive gate (the full
+    Gopher conjunction: three regex passes + stopword scan) runs on the
+    survivors. The output certifies both the ECONOMICS (how much gate
+    work the screen saved, in micro) and the CORRECTNESS (cascade pass
+    count == full-gate pass count, provable here because the screen is
+    implied by the gate's word-count rule — the defining property of a
+    sound cascade). At 100 TB this is the difference between three
+    regex passes over every byte and three regex passes over the
+    surviving fraction; both stages stay map-only and pipeline into one
+    scan of the survivors."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    screened = d.select(
+        "doc_id", "text", (_textan.token_count("text") >= 50).alias("__keep")
+    )
+    survivors = screened.filter(F.col("__keep"))
+    gated = _textan.gopher_quality_flags(survivors.select("doc_id", "text"))
+    counts = screened.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).cast("long").alias("n_screened_out"),
+    )
+    gate_counts = gated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gate_evaluated"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+    )
+    return (
+        counts.join(F.broadcast(gate_counts))
+        .select(
+            "n_total",
+            "n_screened_out",
+            "n_gate_evaluated",
+            "n_pass",
+            F.expr(
+                "CASE WHEN n_total > 0"
+                " THEN n_screened_out * CAST(1000000 AS BIGINT) DIV n_total END"
+            ).alias("gate_work_saved_micro"),
+            F.expr(
+                "CASE WHEN n_gate_evaluated > 0"
+                " THEN n_pass * CAST(1000000 AS BIGINT) DIV n_gate_evaluated END"
+            ).alias("survivor_pass_micro"),
+        )
+    )
+
+
+CF01_SQL: str | None = None  # composed in _finalize (needs ext's TX07 twin)
+
+
+def _cf01_sql(tx07_body: str) -> str:
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+    # the gate body runs over the SCREENED table (name shadowing via CTE)
+    gate_on_survivors = tx07_body.replace("FROM documents", "FROM survivors")
+    return f"""
+WITH screened AS (
+  SELECT doc_id, text, coalesce(len({toks}) >= 50, FALSE) AS keep_ FROM documents
+),
+survivors AS (SELECT doc_id, text FROM screened WHERE keep_),
+g AS ({gate_on_survivors}),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(coalesce(sum(CASE WHEN keep_ THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_screened_out
+  FROM screened
+),
+gc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gate_evaluated,
+         CAST(coalesce(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pass
+  FROM g
+)
+SELECT n_total, n_screened_out, n_gate_evaluated, n_pass,
+       CASE WHEN n_total > 0 THEN CAST(n_screened_out * 1000000 // n_total AS BIGINT) END AS gate_work_saved_micro,
+       CASE WHEN n_gate_evaluated > 0 THEN CAST(n_pass * 1000000 // n_gate_evaluated AS BIGINT) END AS survivor_pass_micro
+FROM c CROSS JOIN gc
+"""
+
+
+# --------------------------------------------------------------------------
 # ev06: ROC-AUC of a ranking signal vs a gate label, exact integers
 # --------------------------------------------------------------------------
 
@@ -4951,6 +5033,7 @@ QUERIES3 = {
     "aj02_asof_directions": (aj02_asof_directions, AJ02_SQL),
     "q07_promo_revenue_share": (q07_promo_revenue_share, Q07_SQL),
     "ev06_quality_auc": (ev06_quality_auc, None),  # oracle composed below
+    "cf01_cascade_filter": (cf01_cascade_filter, None),  # oracle composed below
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
@@ -5092,6 +5175,10 @@ FROM m
     QUERIES3["ev04_gate_calibration"] = (ev04_gate_calibration, EV04_SQL)
     QUERIES3["ev05_gate_kappa"] = (ev05_gate_kappa, EV05_SQL)
     QUERIES3["ev06_quality_auc"] = (ev06_quality_auc, EV06_SQL)
+
+    global CF01_SQL
+    CF01_SQL = _cf01_sql(TX07_SQL)
+    QUERIES3["cf01_cascade_filter"] = (cf01_cascade_filter, CF01_SQL)
 
     from pyp_etl_pipeline_spark.driver_queries_ext import DD04_SQL as _DD04  # noqa: PLC0415
 

@@ -358,3 +358,19 @@ def test_ev06_auc_replay(spark):
     )
     expected = u2 * 1_000_000 // (2 * len(pos) * len(neg))
     assert r["auc_micro"] == expected
+
+
+def test_cf01_cascade_soundness(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext3 import cf01_cascade_filter
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus
+    from pyp_etl_pipeline_spark.operators import textan as _t
+
+    r = cf01_cascade_filter(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_total"] == r["n_screened_out"] + r["n_gate_evaluated"]
+    assert r["gate_work_saved_micro"] == r["n_screened_out"] * 1_000_000 // r["n_total"]
+    # soundness: the screen is implied by the gate, so the cascade's pass
+    # count equals running the full gate over everything
+    full = _t.gopher_quality_flags(
+        _load_corpus(spark, "/root/testdata/sf0.001", "documents")
+    ).filter("gopher_pass").count()
+    assert r["n_pass"] == full
