@@ -4472,6 +4472,29 @@ FROM canon
 
 
 # --------------------------------------------------------------------------
+# gr02: star-strategy connected components through the oracle gate
+# --------------------------------------------------------------------------
+
+def gr02_star_components(spark: SparkSession, sf: str) -> DataFrame:
+    """dd04's connected components run through the STAR strategy
+    (alternating large-star/small-star edge rewrites, Kiveris et al.) —
+    the O(log n)-rounds variant that survives skewed / high-diameter
+    graphs where hash-min's O(diameter) propagation keeps re-fanning a
+    viral node's neighbor list. Registered with the SAME recursive-CTE
+    transitive-closure twin as dd04, so the gate certifies the two
+    strategies produce identical components on real data (the pytest
+    equivalence property, now hash-certified)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+
+    pairs = _dedup.shingle_pairs_jaccard(_load_corpus(spark, sf, "documents"), threshold=0.5)
+    return _dedup.dup_clusters(pairs, strategy="star")
+
+
+GR02_SQL: str | None = None  # composed in _finalize (dd04's twin, verbatim)
+
+
+# --------------------------------------------------------------------------
 # cf01: cascade filtering (cheap screen -> expensive gate)
 # --------------------------------------------------------------------------
 
@@ -5034,6 +5057,7 @@ QUERIES3 = {
     "q07_promo_revenue_share": (q07_promo_revenue_share, Q07_SQL),
     "ev06_quality_auc": (ev06_quality_auc, None),  # oracle composed below
     "cf01_cascade_filter": (cf01_cascade_filter, None),  # oracle composed below
+    "gr02_star_components": (gr02_star_components, None),  # oracle composed below
     "ka01_k_anonymity": (ka01_k_anonymity, KA01_SQL),
     "uv01_unpivot_part_attrs": (uv01_unpivot_part_attrs, UV01_SQL),
     "gs01_grouping_sets": (gs01_grouping_sets, GS01_SQL),
@@ -5182,9 +5206,11 @@ FROM m
 
     from pyp_etl_pipeline_spark.driver_queries_ext import DD04_SQL as _DD04  # noqa: PLC0415
 
-    global DD08_SQL
+    global DD08_SQL, GR02_SQL
     DD08_SQL = _dd08_sql(_DD04)
     QUERIES3["dd08_dedup_savings"] = (dd08_dedup_savings, DD08_SQL)
+    GR02_SQL = _DD04
+    QUERIES3["gr02_star_components"] = (gr02_star_components, GR02_SQL)
 
 
 _finalize()
