@@ -89,3 +89,23 @@ def test_registry_complete_under_either_import_order():
     )
     n_q, n_o = out.stdout.split()
     assert n_q == n_o
+
+
+def test_bench_query_names_resolve():
+    """Every name in bench.py's HEADLINE/EXTENDED lists must exist in the
+    registry — a typo here silently drops a query from the driver's
+    per-round benchmark."""
+    import importlib.util
+    import os
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import REGISTRY
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in REGISTRY]
+    assert not missing, f"bench names not in registry: {missing}"
+    dupes = [n for n in set(bench.EXTENDED) if bench.EXTENDED.count(n) > 1]
+    assert not dupes, f"duplicate bench entries: {dupes}"
