@@ -133,6 +133,13 @@ EXTENDED = [
     "q07_promo_revenue_share",
     "ev06_quality_auc",
     "cf01_cascade_filter",
+    "gr02_star_components",
+    "qn01_int8_quantize",
+    "dm01_label_centroid_cosine",
+    "fh01_feature_hashing",
+    "tk04_vocab_coverage_curve",
+    "pb01_padding_efficiency",
+    "q08_idle_customers",
 ]
 
 HEADLINE = [

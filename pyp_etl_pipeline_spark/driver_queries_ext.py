@@ -3477,6 +3477,12 @@ from pyp_etl_pipeline_spark import driver_queries_ext3 as _ext3  # noqa: E402
 _ext3._finalize()
 REGISTRY.update(_ext3.QUERIES3)
 
+# part 4: embedding quantization/geometry, feature hashing, padding
+# economics, vocab sizing, TPC-H Q22 anti-join shape (round-8 cont.)
+from pyp_etl_pipeline_spark import driver_queries_ext4 as _ext4  # noqa: E402
+
+REGISTRY.update(_ext4.QUERIES4)
+
 # The driver's correctness gate only covers the first 50 registry entries.
 # Round-7 rotation: (a) the six queries NO driver round has ever sampled
 # (green in the local gate, zero driver evidence — VERDICT r6 #4);
@@ -3488,8 +3494,67 @@ REGISTRY.update(_ext3.QUERIES3)
 # (c) everything else, stalest driver row first, so no query's last
 # driver check keeps aging.
 _DRIVER_PRIORITY = [
-    # round-8 rotation: this session's NEW queries first (zero driver
-    # evidence), then the r7-flagged set, then stalest-first as before.
+    # round-8 FINAL rotation — the driver gate samples the FIRST 50
+    # registry entries, so the window must be spent where evidence is
+    # missing or stale. Exactly 50 slots: (a) the six r7 hash-red
+    # queries whose HUGEINT twins were fixed this round (the driver
+    # must re-certify them green); (b) every query with ZERO driver
+    # evidence (all round-8 additions, incl. the ext4 batch); (c) four
+    # whose twin/operator changed in the null/empty sweeps (js01 ''
+    # handling, st03 long-min fix, sh01 all-null pairing, tx05 drift).
+    # Duplicates further down are harmless: dict insertion keeps the
+    # FIRST occurrence's position.
+    "ann06_ivfpq_topk",
+    "ann05_pq_topk",
+    "mx02_token_budget_fill",
+    "gr01_pagerank",
+    "ex03_jsonl_roundtrip",
+    "pk01_sequence_packing",
+    "ka01_k_anonymity",
+    "uv01_unpivot_part_attrs",
+    "gs01_grouping_sets",
+    "hy01_hybrid_rrf_fusion",
+    "bfs01_reach_levels",
+    "hh01_threshold_heavy_hitters",
+    "sq01_session_transitions",
+    "hn01_hard_negatives",
+    "ev03_rank_agreement",
+    "cu01_curriculum_schedule",
+    "dp01_noisy_counts",
+    "mk01_mlm_masking_plan",
+    "sa01_skew_audit",
+    "ev04_gate_calibration",
+    "ev05_gate_kappa",
+    "tx17_url_normalize",
+    "dc03_semantic_decontaminate",
+    "px03_pii_density",
+    "dd08_dedup_savings",
+    "mm14_resized_thumbs",
+    "tk03_vocab_coverage",
+    "aj02_asof_directions",
+    "q07_promo_revenue_share",
+    "ev06_quality_auc",
+    "cf01_cascade_filter",
+    "gr02_star_components",
+    "ann07_ivfpq_refine_topk",
+    "mx03_temperature_mixture",
+    "ev02_ann_recall",
+    "se01_schema_evolution",
+    "mm12_gif_decode",
+    "mm13_gif_animation_frames",
+    "fm01_orc_roundtrip",
+    "ks01_keep_best_per_cluster",
+    "qn01_int8_quantize",
+    "dm01_label_centroid_cosine",
+    "fh01_feature_hashing",
+    "tk04_vocab_coverage_curve",
+    "pb01_padding_efficiency",
+    "q08_idle_customers",
+    "js01_json_extract_rollup",
+    "st03_stateful_running_totals",
+    "sh01_simhash_pairs",
+    "tx05_repetition",
+    # ---- end of the 50-slot driver window ----
     "ka01_k_anonymity",
     "uv01_unpivot_part_attrs",
     "gs01_grouping_sets",

@@ -1,0 +1,303 @@
+"""Round-8 continuation registry: embedding quantization/geometry,
+feature hashing, padding economics, vocab sizing, and the TPC-H Q22
+anti-join shape. Merged into the main REGISTRY by driver_queries_ext.
+
+Every query carries a DuckDB twin built on the repo's portability
+contract: integer micro for anything summed across rows, CAST(... AS
+BIGINT) on every sum-derived output (the HUGEINT trap), explicit
+IS NOT NULL mirrors on nullable driver columns (the null-sweep
+contract), and the same md5-based portable hash both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.operators import embedding_ops, packing, textan
+from pyp_etl_pipeline_spark.tables import load_table
+
+_TOKS_LOWER = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '')"
+
+
+def _load_corpus(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus as _lc  # noqa: PLC0415
+
+    return _lc(spark, sf, name)
+
+
+# --------------------------------------------------------------------------
+# qn01: symmetric int8 quantization plan over the embedding column
+# --------------------------------------------------------------------------
+
+def qn01_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_ops.int8_quantize_stats(_load_corpus(spark, sf, "embeddings"))
+
+
+QN01_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+m AS (
+  SELECT vec_id, xd, list_max(list_transform(xd, x -> abs(x))) AS max_abs FROM e
+),
+q AS (
+  SELECT vec_id, xd, max_abs,
+         list_transform(xd, x -> CASE WHEN max_abs > 0.0
+                                      THEN CAST(floor(x / max_abs * 127.0) AS BIGINT)
+                                      ELSE CAST(0 AS BIGINT) END) AS qv
+  FROM m
+)
+SELECT vec_id,
+       CAST(len(xd) AS BIGINT) AS dim,
+       CAST(floor(max_abs * 1000000) AS BIGINT) AS max_abs_micro,
+       CAST(coalesce(list_sum(list_transform(qv, v -> abs(v))), 0) AS BIGINT) AS q_l1,
+       CAST(coalesce(list_sum(
+         list_transform(generate_series(1, len(xd)),
+           i -> CASE WHEN max_abs > 0.0
+                     THEN CAST(floor(abs(xd[i] - CAST(qv[i] AS DOUBLE) * max_abs / 127.0) * 1000000) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS recon_err_micro
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# dm01: pairwise cosine between per-label embedding centroids
+# --------------------------------------------------------------------------
+
+def dm01_label_centroid_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_ops.label_centroid_cosine(_load_corpus(spark, sf, "embeddings"))
+
+
+DM01_SQL = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL AND len(embedding) > 0
+),
+terms AS (
+  SELECT label,
+         unnest(generate_series(1, len(xd))) - 1 AS idx,
+         xd
+  FROM e
+),
+t2 AS (
+  SELECT label, CAST(idx AS INTEGER) AS idx,
+         CAST(floor(xd[CAST(idx AS INTEGER) + 1] * 1000000) AS BIGINT) AS mi
+  FROM terms
+),
+cent AS (
+  SELECT label, idx,
+         CAST(sum(mi) AS BIGINT) // 1000 AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM t2 GROUP BY label, idx
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         max(a.n) AS n_a, max(b.n) AS n_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot,
+         CAST(sum(a.s * a.s) AS BIGINT) AS na2,
+         CAST(sum(b.s * b.s) AS BIGINT) AS nb2
+  FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN na2 > 0 AND nb2 > 0
+            THEN CAST(floor(dot / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) * 1000000) AS BIGINT)
+       END AS cos_micro
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+# fh01: hashing-trick bag-of-words (no vocabulary dictionary)
+# --------------------------------------------------------------------------
+
+def fh01_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    return textan.feature_hash_counts(_load_corpus(spark, sf, "documents"))
+
+
+FH01_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_LOWER}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+hashed AS (
+  SELECT tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket FROM toks
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+FROM hashed
+GROUP BY bucket
+ORDER BY n_tokens DESC, bucket ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# tk04: vocabulary coverage curve (top-k frequency truncation)
+# --------------------------------------------------------------------------
+
+def tk04_vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    return textan.vocab_coverage_curve(_load_corpus(spark, sf, "documents"))
+
+
+TK04_SQL = f"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_LOWER}) AS tok FROM documents WHERE text IS NOT NULL)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM counts
+),
+ks AS (SELECT unnest([10, 50, 100, 500]) AS k),
+per_k AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST(sum(cnt) AS BIGINT) AS covered_tokens
+  FROM ks JOIN ranked ON rk <= k
+  GROUP BY k
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_size, CAST(sum(cnt) AS BIGINT) AS total_tokens
+  FROM ranked
+)
+SELECT k, vocab_size, covered_tokens, total_tokens,
+       CASE WHEN total_tokens > 0
+            THEN covered_tokens * CAST(1000000 AS BIGINT) // total_tokens END AS coverage_micro
+FROM per_k, totals
+"""
+
+
+# --------------------------------------------------------------------------
+# pb01: padding economics of length-bucketed batching
+# --------------------------------------------------------------------------
+
+def pb01_padding_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    return packing.padding_efficiency(_load_corpus(spark, sf, "documents"))
+
+
+_PB_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+PB01_SQL = f"""
+WITH lens AS (
+  SELECT CAST(len({_PB_TOKS}) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+staged AS (
+  SELECT n_tok, (n_tok + 31) // 32 * 32 AS bucket_len FROM lens WHERE n_tok > 0
+),
+gm AS (SELECT CAST(max(n_tok) AS BIGINT) AS g_max FROM staged),
+per_bucket AS (
+  SELECT bucket_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+  FROM staged GROUP BY bucket_len
+)
+SELECT bucket_len, n_docs, sum_tokens,
+       bucket_len * n_docs - sum_tokens AS waste_bucketed,
+       g_max * n_docs - sum_tokens AS waste_global,
+       CASE WHEN g_max * n_docs - sum_tokens > 0
+            THEN ((g_max * n_docs - sum_tokens) - (bucket_len * n_docs - sum_tokens))
+                 * CAST(1000000 AS BIGINT) // (g_max * n_docs - sum_tokens)
+            ELSE CAST(1000000 AS BIGINT) END AS savings_micro
+FROM per_bucket, gm
+"""
+
+
+# --------------------------------------------------------------------------
+# q08: TPC-H Q22 shape — scalar-subquery threshold + anti-join
+# --------------------------------------------------------------------------
+
+_Q08_NATIONS = (1, 3, 5, 7, 9, 11, 13, 15)
+
+
+def q08_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 re-keyed to this schema (customer has no phone column —
+    nationkey plays the country-code role; every synthetic customer has
+    SOME order, so "idle" = never placed an URGENT one): customers in a
+    fixed nation set whose balance exceeds the positive-balance average
+    and who have no '1-URGENT' order, rolled up per nation.
+
+    Exactness: the avg threshold is the classic order-sensitive double
+    trap — ``c_acctbal > avg(...)`` can flip on the last ulp of a
+    partition-order-dependent mean. We compare in exact integers
+    instead: ``cents * n > sum_cents`` (identical predicate, zero
+    floats). Plan shape: the priority predicate is PUSHED to the orders
+    parquet scan, the 1-row threshold arrives by BROADCAST (lazy cross
+    join), LEFT ANTI join on the shuffle key o_custkey (AQE picks
+    broadcast if the filtered build side shrinks), final hash rollup.
+    """
+    nat = list(_Q08_NATIONS)
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal").isNotNull() & F.col("c_nationkey").isin(nat))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    thr = c.filter(F.col("cents") > 0).agg(
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    rich = c.join(F.broadcast(thr)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("sum_cents")
+    )
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("cents").cast("long").alias("total_acctbal_cents"),
+        )
+    )
+
+
+Q08_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+  WHERE c_acctbal IS NOT NULL AND c_nationkey IN {_Q08_NATIONS}
+),
+thr AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS sum_cents, CAST(count(*) AS BIGINT) AS n_pos
+  FROM c WHERE cents > 0
+),
+rich AS (
+  SELECT c.* FROM c, thr WHERE c.cents * thr.n_pos > thr.sum_cents
+),
+idle AS (
+  SELECT * FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+SELECT nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS total_acctbal_cents
+FROM idle
+GROUP BY nationkey
+"""
+
+
+QUERIES4 = {
+    "qn01_int8_quantize": (qn01_int8_quantize, QN01_SQL),
+    "dm01_label_centroid_cosine": (dm01_label_centroid_cosine, DM01_SQL),
+    "fh01_feature_hashing": (fh01_feature_hashing, FH01_SQL),
+    "tk04_vocab_coverage_curve": (tk04_vocab_coverage_curve, TK04_SQL),
+    "pb01_padding_efficiency": (pb01_padding_efficiency, PB01_SQL),
+    "q08_idle_customers": (q08_idle_customers, Q08_SQL),
+}

@@ -153,3 +153,54 @@ def chunk_documents(
         ).cast("long").alias("n_tokens"),
         "chunk_text",
     )
+
+
+def padding_efficiency(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_multiple: int = 32,
+) -> DataFrame:
+    """Padding waste of length-bucketed batching vs pad-to-global-max.
+
+    Training dataloaders pad every sequence in a batch to the batch max;
+    grouping sequences into length buckets (here: token count rounded UP
+    to a multiple of ``bucket_multiple``) is the classic fix. This
+    operator certifies the economics: per bucket, the tokens wasted on
+    padding under bucketing vs what the same rows would waste padded to
+    the global max. Pure integer arithmetic end to end.
+
+    Scale: one map-only projection + one hash aggregation; the global
+    max arrives by broadcast (1-row cross join, stays lazy). No windows,
+    no sort — the shape survives any corpus size.
+    """
+    from pyp_etl_pipeline_spark.operators.textan import token_count  # noqa: PLC0415
+
+    lens = df.filter(F.col(text_col).isNotNull()).select(
+        token_count(text_col).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    m = bucket_multiple
+    staged = lens.select(
+        "n_tok",
+        F.expr(f"(n_tok + {m - 1}) DIV {m} * {m}").alias("bucket_len"),
+    )
+    gmax = staged.agg(F.max("n_tok").cast("long").alias("g_max"))
+    per_bucket = staged.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+    )
+    return (
+        per_bucket.join(F.broadcast(gmax))
+        .select(
+            "bucket_len",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket_len") * F.col("n_docs") - F.col("sum_tokens")).alias("waste_bucketed"),
+            (F.col("g_max") * F.col("n_docs") - F.col("sum_tokens")).alias("waste_global"),
+            F.expr(
+                "CASE WHEN g_max * n_docs - sum_tokens > 0"
+                " THEN ((g_max * n_docs - sum_tokens) - (bucket_len * n_docs - sum_tokens))"
+                "      * CAST(1000000 AS BIGINT) DIV (g_max * n_docs - sum_tokens)"
+                " ELSE CAST(1000000 AS BIGINT) END"
+            ).alias("savings_micro"),
+        )
+    )

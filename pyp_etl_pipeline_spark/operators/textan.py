@@ -757,3 +757,92 @@ def mlm_masking_plan(
         F.try_element_at("__mpos", F.lit(1)).cast("long").alias("first_masked_pos"),
         "masked_preview",
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """The hashing trick: bag-of-words WITHOUT a vocabulary dictionary.
+
+    Each (lowercased) whitespace token is hashed straight to one of
+    ``n_buckets`` feature slots via the first 8 hex digits of md5 (the
+    repo's portable cross-engine hash — Spark ``conv(substr(md5..))`` ==
+    DuckDB ``('0x'||substr(md5..))::BIGINT``). Emits the ``top_k``
+    heaviest buckets with their distinct-token count — the collision
+    diagnostic that tells you whether ``n_buckets`` is sized right.
+
+    Scale: no vocab build, no broadcast dictionary, no second pass —
+    one map-only explode + ONE hash aggregation, then a
+    TakeOrderedAndProject for the top-k (never a single-partition
+    window). This is why feature hashing is the 100 TB baseline
+    featurizer: memory is O(n_buckets) regardless of corpus size.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    hashed = toks.select(
+        "tok",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % n_buckets).alias(
+            "bucket"
+        ),
+    )
+    agg = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
+    )
+    return agg.orderBy(F.desc("n_tokens"), F.asc("bucket")).limit(top_k)
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 50, 100, 500),
+) -> DataFrame:
+    """Corpus token coverage of a top-k frequency-truncated vocabulary,
+    for each k in ``ks`` — the curve that sizes a tokenizer vocab.
+
+    The vocab relation can itself be huge (n-gram vocabularies), so the
+    rank is NOT an unpartitioned window over it: ``orderBy().limit(
+    max(ks))`` plans a TakeOrderedAndProject (per-partition top-k +
+    merge), and only the surviving ``max(ks)`` rows — a constant — get
+    the row_number. Totals still come from the full counts relation.
+    Ties rank deterministically (count DESC, token ASC).
+    """
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(max(ks))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = top.select("tok", "cnt", F.row_number().over(w).alias("rk"))
+    kdf = counts.sparkSession.createDataFrame([(int(k),) for k in ks], "k long")
+    per_k = (
+        F.broadcast(kdf)
+        .join(ranked, F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    return (
+        per_k.join(F.broadcast(totals))
+        .select(
+            "k",
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            F.expr(
+                "CASE WHEN total_tokens > 0"
+                " THEN covered_tokens * CAST(1000000 AS BIGINT) DIV total_tokens END"
+            ).alias("coverage_micro"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Unit tests for the round-8 ext4 batch: int8 quantization, label
+centroid cosine, feature hashing, padding efficiency, vocab coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyp_etl_pipeline_spark.operators import embedding_ops, packing, textan
+
+
+def _edf(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_int8_quantize_exactness(spark):
+    df = _edf(
+        spark,
+        [
+            (1, [1.0, -1.0, 0.5], 0),
+            (2, [0.0, 0.0, 0.0], 0),  # all-zero: guarded division
+            (3, None, 0),  # dropped
+        ],
+    )
+    out = {r["vec_id"]: r for r in embedding_ops.int8_quantize_stats(df).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    # max_abs = 1.0; q = [127, -127, 63] (floor(0.5*127)=63)
+    assert r1["max_abs_micro"] == 1_000_000
+    assert r1["q_l1"] == 127 + 127 + 63
+    # err terms: 0, 0, floor(|0.5 - 63/127| * 1e6) = floor(0.003937... * 1e6)
+    assert r1["recon_err_micro"] == int((0.5 - 63.0 / 127.0) * 1e6)
+    r2 = out[2]
+    assert r2["q_l1"] == 0 and r2["recon_err_micro"] == 0 and r2["max_abs_micro"] == 0
+
+
+def test_label_centroid_cosine_identical_and_orthogonal(spark):
+    df = _edf(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [1.0, 0.0], 1),  # same direction as label 0
+            (4, [0.0, 1.0], 2),  # orthogonal to labels 0/1
+        ],
+    )
+    out = {(r["label_a"], r["label_b"]): r for r in embedding_ops.label_centroid_cosine(df).collect()}
+    assert out[(0, 1)]["cos_micro"] == 1_000_000
+    assert out[(0, 2)]["cos_micro"] == 0
+    assert out[(1, 2)]["cos_micro"] == 0
+    assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
+
+
+def test_padding_efficiency_integer_economics(spark):
+    # 3 docs: 10, 40, 64 tokens -> buckets 32, 64, 64; global max 64
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(1, 10), (2, 40), (3, 64)]],
+        "doc_id long, text string",
+    )
+    rows = {r["bucket_len"]: r for r in packing.padding_efficiency(docs).collect()}
+    assert rows[32]["waste_bucketed"] == 22 and rows[32]["waste_global"] == 54
+    assert rows[64]["n_docs"] == 2
+    assert rows[64]["waste_bucketed"] == (64 - 40) + (64 - 64)
+    assert rows[64]["waste_global"] == rows[64]["waste_bucketed"]  # bucket IS the max
+    assert rows[64]["savings_micro"] == 0
+    assert rows[32]["savings_micro"] == (54 - 22) * 1_000_000 // 54
+
+
+def test_feature_hash_counts_conserves_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "B c d"), (3, None)], "doc_id long, text string"
+    )
+    out = textan.feature_hash_counts(docs, n_buckets=8, top_k=8).collect()
+    assert sum(r["n_tokens"] for r in out) == 7  # null doc dropped, B lowercased
+    assert sum(r["n_distinct_tokens"] for r in out) >= 4  # a b c d (collisions may merge)
+    assert all(0 <= r["bucket"] < 8 for r in out)
+    # sorted by count desc then bucket asc
+    counts = [r["n_tokens"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_vocab_coverage_curve_monotone_and_complete(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a d")], "doc_id long, text string"
+    )
+    out = {r["k"]: r for r in textan.vocab_coverage_curve(docs, ks=(1, 2, 500)).collect()}
+    assert out[1]["covered_tokens"] == 4  # 'a' x4
+    assert out[2]["covered_tokens"] == 6  # + 'b' x2
+    assert out[500]["covered_tokens"] == out[500]["total_tokens"] == 8
+    assert out[500]["coverage_micro"] == 1_000_000
+    assert out[1]["vocab_size"] == 4
+    assert out[1]["coverage_micro"] <= out[2]["coverage_micro"] <= out[500]["coverage_micro"]
