@@ -140,6 +140,8 @@ EXTENDED = [
     "tk04_vocab_coverage_curve",
     "pb01_padding_efficiency",
     "q08_idle_customers",
+    "br01_boolean_retrieval",
+    "rp01_corpus_datacard",
 ]
 
 HEADLINE = [

@@ -3550,11 +3550,13 @@ _DRIVER_PRIORITY = [
     "tk04_vocab_coverage_curve",
     "pb01_padding_efficiency",
     "q08_idle_customers",
+    "br01_boolean_retrieval",
+    "rp01_corpus_datacard",
     "js01_json_extract_rollup",
     "st03_stateful_running_totals",
-    "sh01_simhash_pairs",
-    "tx05_repetition",
-    # ---- end of the 50-slot driver window ----
+    # ---- end of the 50-slot driver window (sh01/tx05 twin drift is
+    # locally four-gate certified; the slots went to the two queries
+    # with zero driver evidence) ----
     "ka01_k_anonymity",
     "uv01_unpivot_part_attrs",
     "gs01_grouping_sets",

@@ -301,3 +301,154 @@ QUERIES4 = {
     "pb01_padding_efficiency": (pb01_padding_efficiency, PB01_SQL),
     "q08_idle_customers": (q08_idle_customers, Q08_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# br01: boolean conjunction retrieval (posting-list intersection)
+# --------------------------------------------------------------------------
+
+_BR01_TERMS = ("spark", "table", "query")
+
+
+def br01_boolean_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Docs containing ALL query terms, via distributed posting-list
+    intersection: explode per-doc DISTINCT tokens, keep only the query
+    terms (the filter lands right after the generator — postings for
+    the other ~every token are never materialized), then a per-doc
+    count == n_terms. The one shuffle moves only (doc_id, term) rows
+    for matching terms — at 100 TB that is postings-sized, not
+    corpus-sized, and skew is bounded by the term list. The map-only
+    array_contains conjunction is the equivalence oracle in the unit
+    test; the posting shape is what generalizes to dynamic query sets.
+    """
+    from pyp_etl_pipeline_spark.operators.textan import token_count, whitespace_tokens  # noqa: PLC0415
+
+    terms = list(_BR01_TERMS)
+    d = _load_corpus(spark, sf, "documents").filter(F.col("text").isNotNull())
+    staged = d.select(
+        "doc_id",
+        whitespace_tokens(F.lower(F.col("text"))).alias("__toks"),
+    )
+    postings = staged.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.explode(F.array_distinct("__toks")).alias("tok"),
+    ).filter(F.col("tok").isin(terms))
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .filter(F.col("n_terms_matched") == len(terms))
+    )
+
+
+BR01_SQL = f"""
+WITH postings AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_LOWER}) AS BIGINT) AS n_tokens,
+         unnest(list_distinct({_TOKS_LOWER})) AS tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM postings
+WHERE tok IN {_BR01_TERMS}
+GROUP BY doc_id
+HAVING count(*) = {len(_BR01_TERMS)}
+"""
+
+
+# --------------------------------------------------------------------------
+# rp01: corpus data card (per-source release report)
+# --------------------------------------------------------------------------
+
+def rp01_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-source data card a corpus release ships with: doc and
+    token counts, English share, exact-duplicate share (corpus-wide
+    fingerprint, attributed back to each source), and mean doc length —
+    every ratio in integer micro so the card is partition-order exact.
+
+    Plan: one fingerprint aggregation (shuffle on md5 — uniformly
+    distributed, skew-free by construction), one join back on fp, one
+    rollup by source. Null-text docs stay IN the card (0 tokens, never
+    dup-matched: a NULL fp fails the equi-join in both engines).
+    """
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators.textan import token_count  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        F.when(F.col("text").isNotNull(), _dedup.fingerprint("text")).alias("fp"),
+        F.when(F.col("text").isNotNull(), token_count("text"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    dup = (
+        base.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("fp", F.lit(1).alias("__dup"))
+    )
+    j = base.join(dup, "fp", "left")
+    card = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
+        F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0)).cast("long").alias("n_exact_dup"),
+    )
+    return card.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_en",
+        "n_exact_dup",
+        F.expr(
+            "CASE WHEN n_docs > 0 THEN n_en * CAST(1000000 AS BIGINT) DIV n_docs END"
+        ).alias("en_share_micro"),
+        F.expr(
+            "CASE WHEN n_docs > 0 THEN n_exact_dup * CAST(1000000 AS BIGINT) DIV n_docs END"
+        ).alias("dup_share_micro"),
+        F.expr(
+            "CASE WHEN n_docs > 0 THEN total_tokens * CAST(1000000 AS BIGINT) DIV n_docs END"
+        ).alias("mean_doc_tokens_micro"),
+    )
+
+
+_RP01_NT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_RP01_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+RP01_SQL = f"""
+WITH base AS (
+  SELECT source, lang,
+         CASE WHEN text IS NOT NULL THEN md5({_RP01_NT}) END AS fp,
+         CASE WHEN text IS NOT NULL THEN CAST(len({_RP01_TOKS}) AS BIGINT) ELSE 0 END AS n_tok
+  FROM documents
+),
+dup AS (
+  SELECT fp, 1 AS dup_ FROM base WHERE fp IS NOT NULL GROUP BY fp HAVING count(*) > 1
+),
+j AS (SELECT base.*, dup.dup_ FROM base LEFT JOIN dup ON base.fp = dup.fp),
+card AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(sum(CASE WHEN dup_ IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, total_tokens, n_en, n_exact_dup,
+       CASE WHEN n_docs > 0 THEN n_en * CAST(1000000 AS BIGINT) // n_docs END AS en_share_micro,
+       CASE WHEN n_docs > 0 THEN n_exact_dup * CAST(1000000 AS BIGINT) // n_docs END AS dup_share_micro,
+       CASE WHEN n_docs > 0 THEN total_tokens * CAST(1000000 AS BIGINT) // n_docs END AS mean_doc_tokens_micro
+FROM card
+"""
+
+QUERIES4["br01_boolean_retrieval"] = (br01_boolean_retrieval, BR01_SQL)
+QUERIES4["rp01_corpus_datacard"] = (rp01_corpus_datacard, RP01_SQL)

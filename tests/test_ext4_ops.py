@@ -89,3 +89,34 @@ def test_vocab_coverage_curve_monotone_and_complete(spark):
     assert out[500]["coverage_micro"] == 1_000_000
     assert out[1]["vocab_size"] == 4
     assert out[1]["coverage_micro"] <= out[2]["coverage_micro"] <= out[500]["coverage_micro"]
+
+
+def test_boolean_retrieval_equals_maponly_conjunction(spark, sf_dir):
+    """Posting-list intersection must equal the map-only array_contains
+    conjunction — the soundness property of br01's distributed shape."""
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import _BR01_TERMS, br01_boolean_retrieval
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    got = {r["doc_id"] for r in br01_boolean_retrieval(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = textan.whitespace_tokens(F.lower(F.col("text")))
+    cond = None
+    for t in _BR01_TERMS:
+        c = F.array_contains(toks, t)
+        cond = c if cond is None else (cond & c)
+    want = {r["doc_id"] for r in d.filter(cond).select("doc_id").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_corpus_datacard_invariants(spark, sf_dir):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import rp01_corpus_datacard
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    rows = rp01_corpus_datacard(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r["n_en"] <= r["n_docs"]
+        assert 0 <= r["n_exact_dup"] <= r["n_docs"]
+        assert 0 <= r["en_share_micro"] <= 1_000_000
+        assert r["mean_doc_tokens_micro"] * r["n_docs"] <= r["total_tokens"] * 1_000_000
