@@ -142,6 +142,8 @@ EXTENDED = [
     "q08_idle_customers",
     "br01_boolean_retrieval",
     "rp01_corpus_datacard",
+    "sp03_group_safe_split",
+    "im01_class_weight_plan",
 ]
 
 HEADLINE = [

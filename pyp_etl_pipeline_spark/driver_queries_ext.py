@@ -3552,11 +3552,13 @@ _DRIVER_PRIORITY = [
     "q08_idle_customers",
     "br01_boolean_retrieval",
     "rp01_corpus_datacard",
-    "js01_json_extract_rollup",
-    "st03_stateful_running_totals",
-    # ---- end of the 50-slot driver window (sh01/tx05 twin drift is
-    # locally four-gate certified; the slots went to the two queries
-    # with zero driver evidence) ----
+    "sp03_group_safe_split",
+    "im01_class_weight_plan",
+    # ---- end of the 50-slot driver window. Every slot goes to a query
+    # with either a red r7 record (the six HUGEINT twins) or ZERO driver
+    # evidence; the r8 twin-drift fixes to previously-green queries
+    # (js01/st03/sh01/tx05/mm01/mm04/ev01/bf01) are four-gate certified
+    # locally (stock + plain-session + null-injected + empty-string) ----
     "ka01_k_anonymity",
     "uv01_unpivot_part_attrs",
     "gs01_grouping_sets",

@@ -452,3 +452,119 @@ FROM card
 
 QUERIES4["br01_boolean_retrieval"] = (br01_boolean_retrieval, BR01_SQL)
 QUERIES4["rp01_corpus_datacard"] = (rp01_corpus_datacard, RP01_SQL)
+
+
+# --------------------------------------------------------------------------
+# sp03: leakage-safe train/test split (group-aware hashing on content)
+# --------------------------------------------------------------------------
+
+def sp03_group_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test split keyed on the CONTENT fingerprint, not the row id —
+    exact duplicates can never straddle the boundary, the classic
+    train→test leakage channel naive id-hash splits leave open. The
+    output certifies it: per split, doc and distinct-fingerprint counts
+    plus the number of fingerprints seen in BOTH splits (zero by
+    construction, counted anyway — the certificate, not an assumption).
+
+    Scale: assignment is a pure map (first 8 hex chars of the existing
+    md5 fingerprint → bucket 0..99, <90 = train); the certificate is one
+    (fp, split) distinct + one count-distinct rollup — all hash-
+    partitioned on uniformly distributed md5 keys, skew-free.
+    """
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+
+    d = _load_corpus(spark, sf, "documents").filter(F.col("text").isNotNull())
+    fps = d.select(_dedup.fingerprint("text").alias("fp"))
+    assigned = fps.select(
+        "fp",
+        F.when(
+            F.conv(F.substring(F.col("fp"), 1, 8), 16, 10).cast("long") % 100 < 90,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_fingerprints"),
+    )
+    leaked = (
+        assigned.select("fp", "split")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_fingerprints"))
+    )
+    return per_split.join(F.broadcast(leaked))
+
+
+SP03_SQL = f"""
+WITH assigned AS (
+  SELECT md5({_RP01_NT}) AS fp,
+         CASE WHEN ('0x' || substr(md5({_RP01_NT}), 1, 8))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents WHERE text IS NOT NULL
+),
+per_split AS (
+  SELECT split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+  FROM assigned GROUP BY split
+),
+leaked AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaked_fingerprints
+  FROM (SELECT fp FROM (SELECT DISTINCT fp, split FROM assigned)
+        GROUP BY fp HAVING count(DISTINCT split) > 1)
+)
+SELECT split, n_docs, n_fingerprints, n_leaked_fingerprints
+FROM per_split, leaked
+"""
+
+
+# --------------------------------------------------------------------------
+# im01: class-imbalance reweighting plan over the labeled embeddings
+# --------------------------------------------------------------------------
+
+def im01_class_weight_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-frequency class weights, normalized so a perfectly
+    balanced corpus gets weight 1.0 per class: ``w = N / (k * n_c)`` in
+    integer micro (sklearn's 'balanced' convention). One tiny rollup —
+    the weights relation is k rows and broadcasts to the trainer.
+    """
+    e = _load_corpus(spark, sf, "embeddings").filter(F.col("label").isNotNull())
+    per = e.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = per.agg(
+        F.sum("n_vecs").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_classes"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "label",
+        "n_vecs",
+        F.expr(
+            "CASE WHEN n_vecs > 0"
+            " THEN n_total * CAST(1000000 AS BIGINT) DIV (k_classes * n_vecs) END"
+        ).alias("weight_micro"),
+        F.expr("n_vecs * CAST(1000000 AS BIGINT) DIV n_total").alias("share_micro"),
+    )
+
+
+IM01_SQL = """
+WITH per AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM embeddings WHERE label IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS k_classes FROM per
+)
+SELECT label, n_vecs,
+       CASE WHEN n_vecs > 0
+            THEN n_total * CAST(1000000 AS BIGINT) // (k_classes * n_vecs) END AS weight_micro,
+       n_vecs * CAST(1000000 AS BIGINT) // n_total AS share_micro
+FROM per, tot
+"""
+
+QUERIES4["sp03_group_safe_split"] = (sp03_group_safe_split, SP03_SQL)
+QUERIES4["im01_class_weight_plan"] = (im01_class_weight_plan, IM01_SQL)

@@ -120,3 +120,31 @@ def test_corpus_datacard_invariants(spark, sf_dir):
         assert 0 <= r["n_exact_dup"] <= r["n_docs"]
         assert 0 <= r["en_share_micro"] <= 1_000_000
         assert r["mean_doc_tokens_micro"] * r["n_docs"] <= r["total_tokens"] * 1_000_000
+
+
+def test_group_safe_split_no_leakage_and_partition(spark, sf_dir):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import sp03_group_safe_split
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    rows = {r["split"]: r for r in sp03_group_safe_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "test"}
+    n_docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).count()
+    assert rows["train"]["n_docs"] + rows["test"]["n_docs"] == n_docs
+    assert rows["train"]["n_leaked_fingerprints"] == 0
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]  # ~90/10
+
+
+def test_class_weight_plan_balanced_inverse_frequency(spark, sf_dir):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import im01_class_weight_plan
+
+    rows = im01_class_weight_plan(spark, sf_dir).collect()
+    n_total = sum(r["n_vecs"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        # exact sklearn-'balanced' convention in integer micro
+        assert r["weight_micro"] == n_total * 1_000_000 // (k * r["n_vecs"])
+        assert r["share_micro"] == r["n_vecs"] * 1_000_000 // n_total
+    # heavier classes get strictly smaller weights
+    by_n = sorted(rows, key=lambda r: r["n_vecs"])
+    ws = [r["weight_micro"] for r in by_n]
+    assert ws == sorted(ws, reverse=True)
