@@ -144,6 +144,8 @@ EXTENDED = [
     "rp01_corpus_datacard",
     "sp03_group_safe_split",
     "im01_class_weight_plan",
+    "dr01_psi_drift",
+    "ka02_l_diversity",
 ]
 
 HEADLINE = [

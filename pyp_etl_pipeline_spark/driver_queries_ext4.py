@@ -568,3 +568,197 @@ FROM per, tot
 
 QUERIES4["sp03_group_safe_split"] = (sp03_group_safe_split, SP03_SQL)
 QUERIES4["im01_class_weight_plan"] = (im01_class_weight_plan, IM01_SQL)
+
+
+# --------------------------------------------------------------------------
+# dr01: population-stability-index drift monitor (reference vs current)
+# --------------------------------------------------------------------------
+
+_DR01_SPLIT_EPOCH = 1705363200  # 2024-01-16 00:00:00 UTC — fixed boundary
+_DR01_BINS = 10
+_DR01_BIN_W = 50.0
+
+
+def dr01_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type PSI (population stability index) between the
+    reference half and the current half of the event stream — the
+    standard "did this feature's distribution move?" monitor a feature
+    pipeline runs before retraining.
+
+    Exactness: Laplace-smoothed bin shares ((n+1)/(N+B), so EMPTY bins
+    contribute their term too — the full type x bin grid is generated,
+    never inferred from observed bins), each bin's
+    ``(p_cur - p_ref) * ln(p_cur / p_ref)`` term is >= 0 by
+    construction and micro-floored BEFORE the cross-bin integer sum
+    (the repo's order-independence contract; ln is certified portable
+    by the tx06/tx14/bm01 twins). The time boundary compares integer
+    epochs — never a string-to-timestamp cast, which would read the
+    session timezone.
+
+    Scale: one counting agg over the stream, then everything is
+    (n_types x 10) rows — grid build, totals, and the PSI epilogue are
+    broadcast-sized.
+    """
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = e.select(
+        "event_type",
+        (F.unix_timestamp("ts") >= _DR01_SPLIT_EPOCH).alias("is_cur"),
+        F.least(
+            F.lit(_DR01_BINS - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") / _DR01_BIN_W).cast("int")),
+        ).alias("bin"),
+    )
+    counts = base.groupBy("event_type", "bin").agg(
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).cast("long").alias("nr"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("nc"),
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(_DR01_BINS - 1))).alias("bin"))
+    )
+    filled = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("nr", F.lit(0)).cast("long").alias("nr"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("nr").cast("long").alias("n_ref"),
+        F.sum("nc").cast("long").alias("n_cur"),
+    )
+    terms = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            f"CAST(floor((CAST(nc + 1 AS DOUBLE) / CAST(n_cur + {_DR01_BINS} AS DOUBLE)"
+            f"             - CAST(nr + 1 AS DOUBLE) / CAST(n_ref + {_DR01_BINS} AS DOUBLE))"
+            f"  * ln((CAST(nc + 1 AS DOUBLE) / CAST(n_cur + {_DR01_BINS} AS DOUBLE))"
+            f"     / (CAST(nr + 1 AS DOUBLE) / CAST(n_ref + {_DR01_BINS} AS DOUBLE)))"
+            f"  * 1000000) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum("term_micro").cast("long").alias("psi_micro"),
+    )
+
+
+DR01_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) >= {_DR01_SPLIT_EPOCH} AS is_cur,
+         least({_DR01_BINS - 1}, greatest(0, CAST(floor(value / {_DR01_BIN_W}) AS INTEGER))) AS bin
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM base GROUP BY event_type, bin
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(0, {_DR01_BINS - 1})) AS bin
+  FROM (SELECT DISTINCT event_type FROM counts)
+),
+filled AS (
+  SELECT g.event_type, g.bin,
+         coalesce(c.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.bin = c.bin
+),
+tot AS (
+  SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur
+  FROM filled GROUP BY event_type
+),
+terms AS (
+  SELECT f.event_type, t.n_ref, t.n_cur,
+         CAST(floor((CAST(nc + 1 AS DOUBLE) / CAST(n_cur + {_DR01_BINS} AS DOUBLE)
+                     - CAST(nr + 1 AS DOUBLE) / CAST(n_ref + {_DR01_BINS} AS DOUBLE))
+          * ln((CAST(nc + 1 AS DOUBLE) / CAST(n_cur + {_DR01_BINS} AS DOUBLE))
+             / (CAST(nr + 1 AS DOUBLE) / CAST(n_ref + {_DR01_BINS} AS DOUBLE)))
+          * 1000000) AS BIGINT) AS term_micro
+  FROM filled f JOIN tot t ON f.event_type = t.event_type
+)
+SELECT event_type,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       CAST(sum(term_micro) AS BIGINT) AS psi_micro
+FROM terms GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# ka02: l-diversity audit of the k-anonymity release level
+# --------------------------------------------------------------------------
+
+def ka02_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """L-diversity audit complementing ka01: k-anonymity alone cannot
+    stop attribute disclosure when a whole equivalence class shares one
+    sensitive value. For the (region, segment) generalization level,
+    each class reports its size and the number of DISTINCT sensitive
+    balance bands it contains (fixed thresholds, identical in both
+    engines); ``l_ok`` marks classes meeting l >= 3. One broadcast dim
+    enrichment + one rollup — release-gate cheap at any scale.
+    """
+    c = load_table(spark, sf, "customer").select("c_nationkey", "c_mktsegment", "c_acctbal")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    base = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .filter(F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull())
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("?")).alias("reg"),
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 2500 THEN 'low'"
+                " WHEN c_acctbal < 5000 THEN 'mid' WHEN c_acctbal < 7500 THEN 'high'"
+                " ELSE 'top' END"
+            ).alias("band"),
+        )
+    )
+    return (
+        base.groupBy("reg", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("band").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "reg",
+            "seg",
+            "n",
+            "l_distinct",
+            (F.col("l_distinct") >= 3).alias("l_ok"),
+        )
+    )
+
+
+KA02_SQL = """
+WITH base AS (
+  SELECT coalesce(r.r_name, '?') AS reg,
+         c.c_mktsegment AS seg,
+         CASE WHEN c.c_acctbal < 0 THEN 'neg' WHEN c.c_acctbal < 2500 THEN 'low'
+              WHEN c.c_acctbal < 5000 THEN 'mid' WHEN c.c_acctbal < 7500 THEN 'high'
+              ELSE 'top' END AS band
+  FROM customer c
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE c.c_acctbal IS NOT NULL AND c.c_mktsegment IS NOT NULL
+)
+SELECT reg, seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT band) AS BIGINT) AS l_distinct,
+       count(DISTINCT band) >= 3 AS l_ok
+FROM base GROUP BY reg, seg
+"""
+
+QUERIES4["dr01_psi_drift"] = (dr01_psi_drift, DR01_SQL)
+QUERIES4["ka02_l_diversity"] = (ka02_l_diversity, KA02_SQL)

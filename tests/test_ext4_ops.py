@@ -148,3 +148,35 @@ def test_class_weight_plan_balanced_inverse_frequency(spark, sf_dir):
     by_n = sorted(rows, key=lambda r: r["n_vecs"])
     ws = [r["weight_micro"] for r in by_n]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_psi_drift_properties(spark, sf_dir):
+    """PSI terms are >= 0 by construction, identical halves give ~0, and
+    totals partition the filtered stream."""
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import dr01_psi_drift
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    rows = dr01_psi_drift(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_all = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .count()
+    )
+    assert sum(r["n_ref"] + r["n_cur"] for r in rows) == n_all
+    for r in rows:
+        assert r["psi_micro"] >= 0
+        # sanity ceiling: PSI of half-vs-half of one synthetic stream
+        # stays far below a full distribution swap (~ln-scale blowup)
+        assert r["psi_micro"] < 2_000_000
+
+
+def test_l_diversity_bounds(spark, sf_dir):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import ka02_l_diversity
+
+    rows = ka02_l_diversity(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= 5  # five fixed bands
+        assert r["l_distinct"] <= r["n"]
+        assert r["l_ok"] == (r["l_distinct"] >= 3)
