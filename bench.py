@@ -146,6 +146,8 @@ EXTENDED = [
     "im01_class_weight_plan",
     "dr01_psi_drift",
     "ka02_l_diversity",
+    "q09_priority_with_returns",
+    "cd02_apply_changefeed",
 ]
 
 HEADLINE = [

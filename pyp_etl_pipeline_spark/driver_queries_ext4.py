@@ -762,3 +762,113 @@ FROM base GROUP BY reg, seg
 
 QUERIES4["dr01_psi_drift"] = (dr01_psi_drift, DR01_SQL)
 QUERIES4["ka02_l_diversity"] = (ka02_l_diversity, KA02_SQL)
+
+
+# --------------------------------------------------------------------------
+# q09: TPC-H Q4 shape — filtered EXISTS semi-join, priority rollup
+# --------------------------------------------------------------------------
+
+def q09_priority_with_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 re-keyed to this schema (lineitem has no commit/receipt
+    dates — 'had a returned item' plays the late-delivery role): for one
+    quarter of orders, how many per priority have AT LEAST ONE returned
+    lineitem. The canonical LEFT SEMI join: the probe side never
+    multiplies (an order with 5 returned items counts once), the date
+    filter is PUSHED to the orders scan and the flag filter to the
+    lineitem scan, and the semi-join shuffles only the filtered keys.
+    """
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    returned = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+Q09_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# cd02: CDC change-feed apply (insert/update/delete to final state)
+# --------------------------------------------------------------------------
+
+def cd02_apply_changefeed(spark: SparkSession, sf: str) -> DataFrame:
+    """The lakehouse MERGE primitive run as a batch: treat the event
+    stream as a per-user change feed (signup=INSERT, click/view/
+    purchase=UPDATE, error=DELETE) and reduce it to the final state —
+    last operation wins in (ts, event_id) order, deletes tombstone the
+    key. One window partitioned BY USER (fully parallel after the hash
+    shuffle — never a global sort), ties broken by the unique event id
+    so task retries and duplicate delivery cannot flip the winner.
+    """
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    staged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("value").isNotNull(), F.floor(F.col("value") * 1000000))
+        .cast("long")
+        .alias("value_micro"),
+    )
+    ranked = staged.select(
+        "user_id",
+        "event_type",
+        "value_micro",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).cast("long").alias("n_changes"),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        (F.col("event_type") == "error").alias("is_deleted"),
+        "value_micro",
+        "n_changes",
+    )
+
+
+CD02_SQL = """
+WITH staged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN value IS NOT NULL
+              THEN CAST(floor(value * 1000000) AS BIGINT) END AS value_micro
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, event_type, value_micro,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+  FROM staged
+)
+SELECT user_id,
+       event_type AS last_op,
+       event_type = 'error' AS is_deleted,
+       value_micro,
+       n_changes
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES4["q09_priority_with_returns"] = (q09_priority_with_returns, Q09_SQL)
+QUERIES4["cd02_apply_changefeed"] = (cd02_apply_changefeed, CD02_SQL)

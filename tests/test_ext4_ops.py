@@ -180,3 +180,41 @@ def test_l_diversity_bounds(spark, sf_dir):
         assert 1 <= r["l_distinct"] <= 5  # five fixed bands
         assert r["l_distinct"] <= r["n"]
         assert r["l_ok"] == (r["l_distinct"] >= 3)
+
+
+def test_semi_join_never_multiplies(spark, sf_dir):
+    """q09's semi join must count each order once no matter how many
+    returned lineitems it has."""
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import q09_priority_with_returns
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    total = sum(r["order_count"] for r in q09_priority_with_returns(spark, sf_dir).collect())
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    n_quarter = o.count()
+    assert 0 < total <= n_quarter
+
+
+def test_changefeed_last_op_wins(spark):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import cd02_apply_changefeed
+    import tempfile, os
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 100, "signup", 1.0, "{}"),
+        (2, datetime(2024, 1, 2, 0, 0, 0), 100, "purchase", 25.5, "{}"),
+        (3, datetime(2024, 1, 3, 0, 0, 0), 100, "error", None, "{}"),
+        (4, datetime(2024, 1, 1, 0, 0, 0), 200, "signup", 2.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 0, 0), 200, "view", 3.0, "{}"),  # same ts: event_id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in cd02_apply_changefeed(df.sparkSession, d).collect()}
+    assert out[100]["last_op"] == "error" and out[100]["is_deleted"]
+    assert out[100]["n_changes"] == 3
+    assert out[200]["last_op"] == "view" and not out[200]["is_deleted"]
+    assert out[200]["value_micro"] == 3_000_000

@@ -53,13 +53,44 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# (table, key) for the --dupes mode: append a full copy of ~5% of rows
+# (hash(key) % 20 == residue) — the at-least-once-delivery reality of a
+# 100 TB ingest. Catches twins/operators that silently assume key
+# uniqueness (one engine deduping where the other multiplies).
+DUP = [
+    ("documents", "doc_id", 6),
+    ("embeddings", "vec_id", 13),
+    ("events", "event_id", 8),
+    ("orders", "o_orderkey", 2),
+    ("lineitem", "l_orderkey", 17),
+    ("customer", "c_custkey", 10),
+]
+
 
 def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
     """mode='null' injects NULLs into every INJECT column; mode='empty'
     injects '' into the STRING columns only (empty-vs-null is its own
-    divergence class: e.g. DuckDB string_split('') vs Spark split(''))."""
+    divergence class: e.g. DuckDB string_split('') vs Spark split(''));
+    mode='dupes' appends full-row duplicates of ~5% of rows per DUP."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    if mode == "dupes":
+        dup_map = {t: (key, r) for t, key, r in DUP}
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            if t in dup_map:
+                key, r = dup_map[t]
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}') UNION ALL "
+                    f"SELECT * FROM read_parquet('{src_file}') WHERE hash({key}) % 20 = {r}) "
+                    f"TO '{dst_file}' (FORMAT PARQUET)"
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+                )
+        return
     by_table: dict[str, list[tuple[str, str, int]]] = {}
     for t, col, key, r in INJECT:
         by_table.setdefault(t, []).append((col, key, r))
@@ -91,8 +122,12 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
 
 def main() -> int:
     args = sys.argv[1:]
-    mode = "empty" if "--empty" in args else "null"
-    args = [a for a in args if a != "--empty"]
+    mode = "null"
+    if "--empty" in args:
+        mode = "empty"
+    elif "--dupes" in args:
+        mode = "dupes"
+    args = [a for a in args if a not in ("--empty", "--dupes")]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
     dst = f"/tmp/spark_graft_sf{mode}"
