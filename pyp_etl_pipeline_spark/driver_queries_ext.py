@@ -31,6 +31,20 @@ def _load_corpus(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return df
 
 
+def _load_corpus_unique(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    """Idempotent-ingest variant for operators whose contract keys on
+    row identity (packing order, ANN ids, span election, budget fill):
+    at-least-once delivery means the landing zone can hold FULL-ROW
+    duplicates, and a value-based distributed engine cannot
+    deterministically distinguish identical copies — so they are
+    collapsed up front (full-row distinct: always deterministic, and
+    exactly the dedup the ingest tier performs once at 100 TB rather
+    than per query). Identity on already-unique data; the --dupes gate
+    family certifies the behavior. Twins mirror it with
+    ``FROM (SELECT DISTINCT * FROM <table>)``."""
+    return _load_corpus(spark, sf, name).distinct()
+
+
 # --------------------------------------------------------------------------
 # J2-J7: the blocked similarity join chain (token_set scorer + penalties)
 # --------------------------------------------------------------------------
@@ -890,7 +904,7 @@ def dd06_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the single-node ``row_number() OVER (PARTITION BY span)`` — matching
     rebuilt-text hashes prove the distributed election picks exactly the
     sequential winners."""
-    out = dedup.span_dedup(_load_corpus(spark, sf, "documents"), k=10)
+    out = dedup.span_dedup(_load_corpus_unique(spark, sf, "documents"), k=10)
     return out.select("doc_id", "n_spans", "n_kept", F.md5("text").alias("text_fp"))
 
 
@@ -898,7 +912,7 @@ DD06_SQL = f"""
 WITH b AS (
   SELECT doc_id, toks, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1) AS n_spans
   FROM (SELECT doc_id, string_split({core.sql_normalized_text("text")}, ' ') AS toks
-        FROM documents WHERE text IS NOT NULL)
+        FROM (SELECT DISTINCT * FROM documents) WHERE text IS NOT NULL)
 ),
 sp AS (
   SELECT doc_id, i AS idx, array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ') AS span
@@ -1432,7 +1446,9 @@ def rj01_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     aggregated counts back to the interval side."""
     from pyp_etl_pipeline_spark.operators.ranges import interval_join  # noqa: PLC0415
 
-    ev = load_table(spark, sf, "events")
+    # idempotent ingest: at-least-once redelivery duplicates the same
+    # event_id; interval accounting is keyed on it (--dupes contract)
+    ev = load_table(spark, sf, "events").distinct()
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id"),
         F.col("user_id"),
@@ -1452,9 +1468,9 @@ def rj01_interval_join(spark: SparkSession, sf: str) -> DataFrame:
 RJ01_SQL = """
 WITH err AS (
   SELECT event_id, user_id, ts AS start_ts, ts + INTERVAL 15 MINUTE AS end_ts
-  FROM events WHERE event_type = 'error'
+  FROM (SELECT DISTINCT * FROM events) WHERE event_type = 'error'
 ),
-clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+clk AS (SELECT user_id, ts FROM (SELECT DISTINCT * FROM events) WHERE event_type = 'click')
 SELECT err.event_id, err.user_id,
        CAST(count(clk.ts) AS BIGINT) AS n_clicks
 FROM err LEFT JOIN clk
@@ -2187,7 +2203,7 @@ def pp01_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     crosses the wire twice. The twin replays the identical five stages
     as CTEs, so STAGE ORDER (dedup-over-survivors, not
     dedup-over-corpus) is part of what the hash certifies."""
-    d = _load_corpus(spark, sf, "documents")
+    d = _load_corpus_unique(spark, sf, "documents")
     # both gates run in keep-columns mode: pure map-only column algebra
     # appended to the corpus row — NO join-back against the corpus
     d1 = (
@@ -2239,7 +2255,7 @@ def _pp01_sql() -> str:
     alpha = f"(CASE WHEN {nw} = 0 THEN 0.0 ELSE len(list_filter({_TOKS}, w -> regexp_matches(w, '[A-Za-z]'))) / {nw} END)"
     stop = f"len(list_filter({_TOKS}, w -> list_contains({stops}, lower(w))))"
     b = sql_hash_bucket("doc_id", "split-v1")
-    return (
+    sql = (
         _SHINGLE_CTE
         + f""",
 langs AS (SELECT doc_id FROM ({TX03_SQL}) WHERE lang_guess = 'en'),
@@ -2271,6 +2287,11 @@ SELECT doc_id, 'en' AS lang_guess,
 FROM final
 """
     )
+    # idempotent ingest, applied to EVERY composed fragment at once
+    # (the language-ID and shingle sub-builders are shared with other
+    # twins and keep their raw scans there): mirrors the Spark side's
+    # _load_corpus_unique so at-least-once duplicates collapse up front.
+    return sql.replace("FROM documents", "FROM (SELECT DISTINCT * FROM documents) AS documents")
 
 
 PP01_SQL = _pp01_sql()
@@ -2473,7 +2494,7 @@ def ann04_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     distance bit-for-bit: the gate certifies the DISTRIBUTED clustering
     loop (literal-broadcast assignment pass + one (cluster,dim)-combined
     shuffle per iteration) against a sequential reference."""
-    emb = _load_corpus(spark, sf, "embeddings")
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
     out = similarity.kmeans_assign(emb, cents)
     return out.select(F.col("id").alias("vec_id"), "cluster_id", F.col("dist").alias("dist"))
@@ -2489,7 +2510,7 @@ def _ann04_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
         )
 
     sql = f"""
-WITH e AS (SELECT vec_id, embedding, {micro} AS xm FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, {micro} AS xm FROM (SELECT DISTINCT * FROM embeddings)),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, xm AS cm
   FROM (SELECT vec_id, xm FROM e ORDER BY vec_id LIMIT {k})
@@ -2536,7 +2557,7 @@ def sd01_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     clustering CTE (exact integer micro math — bit-for-bit assignments)
     plus the within-cluster pairwise cosine, so BOTH the distributed
     quantizer and the greedy keep-lowest-id rule are hash-certified."""
-    emb = _load_corpus(spark, sf, "embeddings")
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     cents = similarity.kmeans_fit(emb, k=8, n_iter=2)
     return similarity.semantic_dedup(emb, cents, threshold=0.25).select(
         F.col("id").alias("vec_id"), "cluster_id", "kept_by", "cos_to_keeper"
@@ -2545,7 +2566,7 @@ def sd01_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 SD01_SQL = f"""
 WITH assigned AS ({_ann04_sql()}),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT DISTINCT * FROM embeddings)),
 pairs AS (
   SELECT hi.vec_id AS vec_id, hi.cluster_id, lo.vec_id AS id_a,
          list_cosine_similarity(vl.e, vh.e) AS cos
@@ -2572,7 +2593,7 @@ def ann05_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     unrolls the per-subspace training, encoding, LUT build, and ADC
     ranking in SQL on the same exact integers, so codebooks, codes, and
     every ADC distance are hash-certified bit-for-bit."""
-    emb = _load_corpus(spark, sf, "embeddings")
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     books = similarity.pq_fit(emb, m=4, ksub=8, n_iter=1)
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2598,7 +2619,7 @@ def _ann05_sql(m: int = 4, ksub: int = 8, n_iter: int = 1, dim: int = 64, k: int
             f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
         )
 
-    parts = [f"WITH e AS (SELECT vec_id, {micro} AS xm FROM embeddings)"]
+    parts = [f"WITH e AS (SELECT vec_id, {micro} AS xm FROM (SELECT DISTINCT * FROM embeddings))"]
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
         parts.append(f"e{s} AS (SELECT vec_id, xm[{lo}:{hi}] AS sm FROM e)")
@@ -2640,7 +2661,7 @@ def _ann05_sql(m: int = 4, ksub: int = 8, n_iter: int = 1, dim: int = 64, k: int
         parts.append(
             f"""lut{s} AS (
   SELECT q.vec_id AS qid, c.cid, {dist("eq.sm", "c.cm")} AS d
-  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+  FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
   JOIN e{s} eq USING (vec_id) CROSS JOIN {prev} c)"""
         )
     code_joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))

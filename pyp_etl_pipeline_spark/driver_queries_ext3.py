@@ -396,7 +396,11 @@ def st04_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ST04_SQL = """
-SELECT event_id, user_id, event_type,
+-- DISTINCT mirrors the operator on at-least-once inputs: a redelivered
+-- copy is an IDENTICAL row (the delivery contract), so full-row
+-- DISTINCT == dedup-by-event_id. Without it the twin silently assumed
+-- the source itself was unique (caught by the --dupes sweep).
+SELECT DISTINCT event_id, user_id, event_type,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
        round(value, 2) AS value
 FROM events
@@ -883,7 +887,9 @@ def mx02_token_budget_fill(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.operators import sampling, textan  # noqa: PLC0415
     from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
 
-    d = _load_corpus(spark, sf, "documents")
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+
+    d = _load_corpus_unique(spark, sf, "documents")
     src = d.select(
         "doc_id",
         F.element_at(
@@ -908,7 +914,7 @@ WITH t AS (
          [{names}][(doc_id % 3)::INT + 1] AS source,
          CAST(len({toks}) AS BIGINT) AS n_tokens,
          {sql_hash_bucket("doc_id", "budget-v1")} AS fill_rank_bucket
-  FROM documents
+  FROM (SELECT DISTINCT * FROM documents)
 ),
 c AS (
   SELECT *, sum(n_tokens) OVER (
@@ -1138,7 +1144,7 @@ def pk01_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     distributed scan reproduces sequential packing bit-for-bit."""
     from pyp_etl_pipeline_spark.operators import packing  # noqa: PLC0415
 
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents").distinct()
     return packing.pack_sequences(d, max_len=512)
 
 
@@ -1146,7 +1152,7 @@ _PK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
 
 PK01_SQL = f"""
 WITH t AS (
-  SELECT doc_id, CAST(len({_PK_TOKS}) AS BIGINT) AS n FROM documents WHERE doc_id IS NOT NULL
+  SELECT doc_id, CAST(len({_PK_TOKS}) AS BIGINT) AS n FROM (SELECT DISTINCT * FROM documents) WHERE doc_id IS NOT NULL
 ),
 c AS (
   SELECT doc_id, n,
@@ -1933,7 +1939,7 @@ def mm08_hadamard_spectrum(spark: SparkSession, sf: str) -> DataFrame:
         hadamard_spectrum,
     )
 
-    d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 2 == 1)
+    d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 2 == 1).distinct()
     repo_root = REPO_ROOT
 
     def synth(batches):
@@ -1959,7 +1965,7 @@ def mm08_hadamard_spectrum(spark: SparkSession, sf: str) -> DataFrame:
 
 MM08_SQL = """
 WITH odd AS (
-  SELECT doc_id, CAST(1 + doc_id % 7 AS BIGINT) AS k
+  SELECT DISTINCT doc_id, CAST(1 + doc_id % 7 AS BIGINT) AS k
   FROM documents WHERE doc_id % 2 = 1
 ),
 coeff AS (
@@ -2509,7 +2515,7 @@ def mm10_image_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.multimodal.binary_ops import dhash_features  # noqa: PLC0415
 
     # same media as mm09
-    hashed = mm09_image_dhash(spark, sf).select("media_id", "dhash_lo", "dhash_hi")
+    hashed = mm09_image_dhash(spark, sf).select("media_id", "dhash_lo", "dhash_hi").distinct()
     chunks = hashed.select(
         "media_id",
         "dhash_lo",
@@ -2556,7 +2562,7 @@ def mm10_image_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 MM10_SQL = f"""
 WITH h AS ({{MM09_BODY}}),
-hh AS (SELECT media_id, dhash_lo, dhash_hi FROM h),
+hh AS (SELECT DISTINCT media_id, dhash_lo, dhash_hi FROM h),
 pairs AS (
   SELECT x.media_id AS id_a, y.media_id AS id_b,
          CAST(bit_count(xor(x.dhash_lo, y.dhash_lo))
@@ -2586,7 +2592,9 @@ def ann06_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
     from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
 
-    emb = _load_corpus(spark, sf, "embeddings")
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     # fused fit: bit-identical to kmeans_fit(k=8) + pq_fit(m=4, ksub=8)
     # at half the training scans (pinned by test_ivfpq_fit_fused_equals_separate)
     coarse, books = _sim.ivfpq_fit(emb, k=8, m=4, ksub=8, n_iter=1)
@@ -2617,7 +2625,7 @@ def _ann06_sql(
             f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
         )
 
-    parts = [f"WITH e AS (SELECT vec_id, {micro} AS xm FROM embeddings)"]
+    parts = [f"WITH e AS (SELECT vec_id, {micro} AS xm FROM (SELECT DISTINCT * FROM embeddings))"]
     # coarse quantizer: seeds = kc smallest ids, ONE Lloyd iteration
     parts.append(
         f"""cc0 AS (
@@ -2695,7 +2703,7 @@ def _ann06_sql(
         parts.append(
             f"""lut{s} AS (
   SELECT q.vec_id AS qid, c.cid, {dist("eq.sm", "c.cm", dsub)} AS d
-  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+  FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
   JOIN e{s} eq USING (vec_id) CROSS JOIN c1_{s} c)"""
         )
     code_joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
@@ -2739,7 +2747,9 @@ def ann07_ivfpq_refine_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
     from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
 
-    emb = _load_corpus(spark, sf, "embeddings")
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     coarse, books = _sim.ivfpq_fit(emb, k=8, m=4, ksub=8, n_iter=1)
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2764,7 +2774,7 @@ def _ann07_sql(k: int = 5, r_factor: int = 3, dim: int = 64) -> str:
     )
     return f"""
 WITH short AS ({_ann06_sql(k=k * r_factor)}),
-e2 AS (SELECT vec_id, {micro} AS xm FROM embeddings),
+e2 AS (SELECT vec_id, {micro} AS xm FROM (SELECT DISTINCT * FROM embeddings)),
 rr AS (
   SELECT s.query_id, s.neighbor_id, s.adc_dist,
          CAST({dist} AS BIGINT) AS exact_dist
@@ -3021,7 +3031,9 @@ def ev02_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
     from pyp_etl_pipeline_spark.operators import similarity as _sim  # noqa: PLC0415
 
-    emb = _load_corpus(spark, sf, "embeddings")
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     coarse, books = _sim.ivfpq_fit(emb, k=8, m=4, ksub=8, n_iter=1)
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -3041,7 +3053,7 @@ def _ev02_sql(k: int = 5, dim: int = 64) -> str:
     )
     return f"""
 WITH approx AS ({_ann06_sql(k=k)}),
-e2 AS (SELECT vec_id, {micro} AS xm FROM embeddings),
+e2 AS (SELECT vec_id, {micro} AS xm FROM (SELECT DISTINCT * FROM embeddings)),
 ex AS (
   SELECT eq.vec_id AS query_id, ev.vec_id AS neighbor_id,
          row_number() OVER (PARTITION BY eq.vec_id
@@ -4747,7 +4759,7 @@ def aj02_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
     p = e.filter((F.col("event_type") == "purchase") & F.col("ts_sec").isNotNull()).select(
         "user_id", "event_id", F.col("ts_sec").alias("ts")
-    )
+    ).distinct()
     v = (
         e.filter((F.col("event_type") == "view") & F.col("ts_sec").isNotNull())
         .select("user_id", F.col("ts_sec").alias("ts"))
@@ -4770,7 +4782,7 @@ WITH e AS (
   SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
   FROM events WHERE ts IS NOT NULL
 ),
-p AS (SELECT user_id, event_id, ts_sec FROM e WHERE event_type = 'purchase'),
+p AS (SELECT DISTINCT user_id, event_id, ts_sec FROM e WHERE event_type = 'purchase'),
 v AS (SELECT DISTINCT user_id, ts_sec FROM e WHERE event_type = 'view'),
 fwd AS (
   SELECT p.user_id, p.event_id, p.ts_sec, min(v.ts_sec) AS next_view_ts
