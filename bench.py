@@ -148,6 +148,8 @@ EXTENDED = [
     "ka02_l_diversity",
     "q09_priority_with_returns",
     "cd02_apply_changefeed",
+    "st11_streaming_psi_drift",
+    "tx18_zipf_fit",
 ]
 
 HEADLINE = [

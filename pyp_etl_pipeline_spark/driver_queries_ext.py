@@ -41,8 +41,13 @@ def _load_corpus_unique(spark: SparkSession, sf: str, name: str) -> DataFrame:
     exactly the dedup the ingest tier performs once at 100 TB rather
     than per query). Identity on already-unique data; the --dupes gate
     family certifies the behavior. Twins mirror it with
-    ``FROM (SELECT DISTINCT * FROM <table>)``."""
-    return _load_corpus(spark, sf, name).distinct()
+    ``FROM (SELECT DISTINCT * FROM <table>)``.
+
+    No explicit repartition: distinct's own hash shuffle already
+    spreads the single-file scan across the session's shuffle
+    partitions, so _load_corpus's round-robin pass would be a second,
+    redundant exchange."""
+    return load_table(spark, sf, name).distinct()
 
 
 # --------------------------------------------------------------------------

@@ -614,16 +614,31 @@ def dr01_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).cast("long").alias("nr"),
         F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("nc"),
     )
+    return _psi_epilogue(counts)
+
+
+def _psi_epilogue(counts: DataFrame) -> DataFrame:
+    """Shared PSI epilogue over a (event_type, bin, nr, nc) counts
+    relation: full-grid fill, Laplace smoothing, micro-floored terms,
+    integer sum — used by both the batch (dr01) and streaming (st11)
+    front halves, which is why the two share one oracle twin."""
+    # the grid derives FROM counts, so a plain self-join hits Spark's
+    # conflicting-reference resolution (st11's memory-table lineage
+    # triggered it); aliasing the grid keys to fresh attributes avoids it
     grid = (
-        counts.select("event_type")
+        counts.select(F.col("event_type").alias("__et"))
         .distinct()
-        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(_DR01_BINS - 1))).alias("bin"))
+        .select("__et", F.explode(F.sequence(F.lit(0), F.lit(_DR01_BINS - 1))).alias("__bin"))
     )
     filled = (
-        grid.join(counts, ["event_type", "bin"], "left")
+        grid.join(
+            counts,
+            (grid["__et"] == counts["event_type"]) & (grid["__bin"] == counts["bin"]),
+            "left",
+        )
         .select(
-            "event_type",
-            "bin",
+            F.col("__et").alias("event_type"),
+            F.col("__bin").alias("bin"),
             F.coalesce("nr", F.lit(0)).cast("long").alias("nr"),
             F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
         )
@@ -872,3 +887,139 @@ FROM ranked WHERE rn = 1
 
 QUERIES4["q09_priority_with_returns"] = (q09_priority_with_returns, Q09_SQL)
 QUERIES4["cd02_apply_changefeed"] = (cd02_apply_changefeed, CD02_SQL)
+
+
+# --------------------------------------------------------------------------
+# st11: streaming PSI drift — the dr01 monitor as a live stream job
+# --------------------------------------------------------------------------
+
+def st11_streaming_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """dr01's distribution-drift monitor computed BY THE STREAM: the
+    event stream maintains running (type, half, bin) counts in complete
+    mode; on drain the batch PSI epilogue (the SAME `_psi_epilogue` the
+    batch query uses) turns the counts into per-type PSI. Registered
+    against dr01's twin VERBATIM, so the gate certifies the streaming
+    counts reproduce the batch scan exactly — the standing pattern that
+    a monitor can run continuously without a nightly batch job. State
+    is n_types x 2 x 10 counters: O(1), watermark-free by design
+    (complete-mode counts over a categorical grid, not per-key state).
+    """
+    import uuid  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.streaming.events import (  # noqa: PLC0415
+        read_events_stream,
+        run_to_memory,
+    )
+
+    name = "st11_" + uuid.uuid4().hex[:8]
+    stream = read_events_stream(spark, sf).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    staged = stream.select(
+        "event_type",
+        (F.unix_timestamp("ts") >= _DR01_SPLIT_EPOCH).alias("is_cur"),
+        F.least(
+            F.lit(_DR01_BINS - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") / _DR01_BIN_W).cast("int")),
+        ).alias("bin"),
+    )
+    agg = staged.groupBy("event_type", "is_cur", "bin").count()
+    run_to_memory(agg, name, output_mode="complete")
+    drained = spark.table(name)
+    counts = drained.groupBy("event_type", "bin").agg(
+        F.sum(F.when(~F.col("is_cur"), F.col("count")).otherwise(0)).cast("long").alias("nr"),
+        F.sum(F.when(F.col("is_cur"), F.col("count")).otherwise(0)).cast("long").alias("nc"),
+    )
+    return _psi_epilogue(counts)
+
+
+# same semantics, same certified answer: dr01's twin verbatim
+ST11_SQL = DR01_SQL
+
+
+# --------------------------------------------------------------------------
+# tx18: Zipf fit of the token frequency distribution
+# --------------------------------------------------------------------------
+
+def tx18_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    ln(count) on ln(rank) over the top-100 vocabulary — the tokenizer
+    sanity check (natural text ~ slope -1; synthetic/templated corpora
+    flatten). ml01's exact-integer-moment recipe applied to micro-floored
+    logs: each (x, y) pair is floored to integer micro FIRST, the five
+    OLS moments are int64 sums (order-independent), and only the final
+    normal-equation divisions run in doubles on identical integers.
+    Top-100 via TakeOrderedAndProject (never a full-vocab window)."""
+    from pyp_etl_pipeline_spark.operators.textan import whitespace_tokens  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = (
+        _load_corpus(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(100)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    pts = top.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000000).alias("xm"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000).alias("ym"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("xm").cast("long").alias("sx"),
+        F.sum("ym").cast("long").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).cast("long").alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).cast("long").alias("syy"),
+    )
+    num = F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_points") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    r2 = (num.cast("double") * num.cast("double")) / (den.cast("double") * deny.cast("double"))
+    return m.select(
+        "n_points",
+        F.when(den != 0, F.floor(slope * 1000000)).cast("long").alias("zipf_slope_micro"),
+        F.when(
+            (den != 0) & (deny != 0), F.floor(r2 * 1000000)
+        ).cast("long").alias("r2_micro"),
+    )
+
+
+TX18_SQL = f"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_LOWER}) AS tok FROM documents WHERE text IS NOT NULL)
+  GROUP BY tok
+),
+top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT 100),
+pts AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE)) * 1000000) AS BIGINT) AS xm,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS ym
+  FROM top
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy,
+         CAST(sum(xm * ym) AS BIGINT) AS sxy,
+         CAST(sum(xm * xm) AS BIGINT) AS sxx,
+         CAST(sum(ym * ym) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT n_points,
+       CASE WHEN n_points * sxx - sx * sx <> 0
+            THEN CAST(floor(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                            / CAST(n_points * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+       END AS zipf_slope_micro,
+       CASE WHEN n_points * sxx - sx * sx <> 0 AND n_points * syy - sy * sy <> 0
+            THEN CAST(floor(CAST(n_points * sxy - sx * sy AS DOUBLE) * CAST(n_points * sxy - sx * sy AS DOUBLE)
+                            / (CAST(n_points * sxx - sx * sx AS DOUBLE) * CAST(n_points * syy - sy * sy AS DOUBLE))
+                            * 1000000) AS BIGINT)
+       END AS r2_micro
+FROM m
+"""
+
+QUERIES4["st11_streaming_psi_drift"] = (st11_streaming_psi_drift, ST11_SQL)
+QUERIES4["tx18_zipf_fit"] = (tx18_zipf_fit, TX18_SQL)

@@ -218,3 +218,49 @@ def test_changefeed_last_op_wins(spark):
     assert out[100]["n_changes"] == 3
     assert out[200]["last_op"] == "view" and not out[200]["is_deleted"]
     assert out[200]["value_micro"] == 3_000_000
+
+
+def test_dupes_injection_builder(tmp_path):
+    """--dupes appends exact copies: every duplicated row appears at
+    least twice, non-DUP tables pass through byte-identical."""
+    import duckdb
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "check_nulls", os.path.join(os.path.dirname(__file__), "..", "tools", "check_nulls.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "dupes")
+    mod.build_nulled_dir(src, dst, mode="dupes")
+    con = duckdb.connect()
+    n0 = con.execute(f"SELECT count(*) FROM '{src}/documents.parquet'").fetchone()[0]
+    n1 = con.execute(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
+    assert n1 > n0  # duplicates appended
+    # every row still present; added rows are exact copies
+    extra = con.execute(
+        f"SELECT count(*) FROM (SELECT * FROM '{dst}/documents.parquet' "
+        f"EXCEPT SELECT * FROM '{src}/documents.parquet')"
+    ).fetchone()[0]
+    assert extra == 0
+    n_region0 = con.execute(f"SELECT count(*) FROM '{src}/region.parquet'").fetchone()[0]
+    n_region1 = con.execute(f"SELECT count(*) FROM '{dst}/region.parquet'").fetchone()[0]
+    assert n_region0 == n_region1  # dim tables untouched
+
+
+def test_streaming_psi_equals_batch(spark, sf_dir):
+    """st11's streamed counts must reproduce dr01's batch scan exactly."""
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import dr01_psi_drift, st11_streaming_psi_drift
+
+    batch = {r["event_type"]: tuple(r) for r in dr01_psi_drift(spark, sf_dir).collect()}
+    stream = {r["event_type"]: tuple(r) for r in st11_streaming_psi_drift(spark, sf_dir).collect()}
+    assert batch == stream and len(batch) > 0
+
+
+def test_zipf_fit_is_negative_slope(spark, sf_dir):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import tx18_zipf_fit
+
+    r = tx18_zipf_fit(spark, sf_dir).collect()[0]
+    assert r["n_points"] > 10
+    assert r["zipf_slope_micro"] < 0  # frequency decreases with rank
+    assert 0 <= r["r2_micro"] <= 1_000_000

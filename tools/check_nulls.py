@@ -74,6 +74,25 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
     mode='dupes' appends full-row duplicates of ~5% of rows per DUP."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    if mode == "scramble":
+        # rewrite every table with rows in md5-of-row-key order — the
+        # file order a 1000-executor writer actually produces is
+        # arbitrary, so NO result may depend on it. Certifies the
+        # integer-micro/order-independence contract end to end (both
+        # engines read the same scrambled file; any query whose value
+        # hash moves vs the stock gate was order-dependent).
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            cols = [c[0] for c in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src_file}')").fetchall()]
+            key = cols[0]
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src_file}') "
+                f"ORDER BY md5(CAST({key} AS VARCHAR)), {key}) "
+                f"TO '{dst_file}' (FORMAT PARQUET)"
+            )
+        return
     if mode == "dupes":
         dup_map = {t: (key, r) for t, key, r in DUP}
         for t in TABLES:
@@ -127,7 +146,9 @@ def main() -> int:
         mode = "empty"
     elif "--dupes" in args:
         mode = "dupes"
-    args = [a for a in args if a not in ("--empty", "--dupes")]
+    elif "--scramble" in args:
+        mode = "scramble"
+    args = [a for a in args if a not in ("--empty", "--dupes", "--scramble")]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
     dst = f"/tmp/spark_graft_sf{mode}"
