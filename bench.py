@@ -150,6 +150,7 @@ EXTENDED = [
     "cd02_apply_changefeed",
     "st11_streaming_psi_drift",
     "tx18_zipf_fit",
+    "q10_returned_revenue_topk",
 ]
 
 HEADLINE = [

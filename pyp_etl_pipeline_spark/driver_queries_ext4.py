@@ -1023,3 +1023,59 @@ FROM m
 
 QUERIES4["st11_streaming_psi_drift"] = (st11_streaming_psi_drift, ST11_SQL)
 QUERIES4["tx18_zipf_fit"] = (tx18_zipf_fit, TX18_SQL)
+
+
+# --------------------------------------------------------------------------
+# q10: TPC-H Q10 shape — returned-item revenue per customer, top 20
+# --------------------------------------------------------------------------
+
+def q10_returned_revenue_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10: which customers returned the most revenue in a
+    quarter. The canonical 3-way fact join: the quarter filter PUSHED to
+    the orders scan, the return-flag filter PUSHED to the lineitem scan,
+    revenue in exact integer micro (order-independent), nation dim
+    BROADCAST, and the global top-20 via orderBy().limit() —
+    TakeOrderedAndProject, never a single-partition window. Ties break
+    on custkey."""
+    from pyp_etl_pipeline_spark.functions.aggregates import micro_col  # noqa: PLC0415
+
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        micro_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("m_rev"),
+    )
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    agg = j.groupBy("c_custkey", "c_name", "nationkey").agg(
+        F.sum("m_rev").cast("long").alias("revenue_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.orderBy(F.desc("revenue_micro"), F.asc("c_custkey")).limit(20)
+
+
+Q10_SQL = """
+WITH j AS (
+  SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000000 + 0.5) AS BIGINT) AS m_rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+)
+SELECT c_custkey, c_name, nationkey,
+       CAST(sum(m_rev) AS BIGINT) AS revenue_micro,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j
+GROUP BY c_custkey, c_name, nationkey
+ORDER BY revenue_micro DESC, c_custkey ASC
+LIMIT 20
+"""
+
+QUERIES4["q10_returned_revenue_topk"] = (q10_returned_revenue_topk, Q10_SQL)

@@ -264,3 +264,13 @@ def test_zipf_fit_is_negative_slope(spark, sf_dir):
     assert r["n_points"] > 10
     assert r["zipf_slope_micro"] < 0  # frequency decreases with rank
     assert 0 <= r["r2_micro"] <= 1_000_000
+
+
+def test_q10_topk_bounded_and_ordered(spark, sf_dir):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import q10_returned_revenue_topk
+
+    rows = q10_returned_revenue_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["revenue_micro"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["n_items"] >= 1 for r in rows)
