@@ -151,6 +151,7 @@ EXTENDED = [
     "st11_streaming_psi_drift",
     "tx18_zipf_fit",
     "q10_returned_revenue_topk",
+    "ann08_int8_topk",
 ]
 
 HEADLINE = [

@@ -1079,3 +1079,93 @@ LIMIT 20
 """
 
 QUERIES4["q10_returned_revenue_topk"] = (q10_returned_revenue_topk, Q10_SQL)
+
+
+# --------------------------------------------------------------------------
+# ann08: int8-quantized dot-product retrieval (qn01's plan, executed)
+# --------------------------------------------------------------------------
+
+def ann08_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k retrieval over the INT8-QUANTIZED store qn01 plans: each
+    vector is symmetric-int8 quantized (q_i = floor(x_i/max_abs*127)),
+    and candidates rank by the exact integer key ``dot(q_x, q_q) *
+    max_abs_micro(x)`` — for a fixed query this is monotone in the
+    dequantized dot product, so the whole scoring path is 64-bit
+    integer arithmetic: no float drift, 4x less scan bandwidth than
+    float32, and SIMD-able on a real cluster. Queries broadcast; the
+    per-query window is key-partitioned. The unit test measures
+    recall@5 against the exact float scan (ann01)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+
+    e = _load_corpus_unique(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xd, F.abs))
+    qv = F.transform(
+        xd,
+        lambda x: F.when(max_abs > 0.0, F.floor(x / max_abs * F.lit(127.0)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    base = e.select(
+        "vec_id", qv.alias("qv"), F.floor(max_abs * 1000000).cast("long").alias("sx")
+    )
+    queries = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qq"), lambda a, b: a * b), zero, lambda acc, x: acc + x
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot.alias("qdot"),
+        (dot * F.col("sx")).alias("rank_key"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rank_key"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("match_rank").cast("long"), "qdot", "rank_key")
+    )
+
+
+ANN08_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM (SELECT DISTINCT * FROM embeddings)
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+b AS (
+  SELECT vec_id,
+         list_transform(xd, x -> CASE WHEN list_max(list_transform(xd, v -> abs(v))) > 0.0
+                                      THEN CAST(floor(x / list_max(list_transform(xd, v -> abs(v))) * 127.0) AS BIGINT)
+                                      ELSE CAST(0 AS BIGINT) END) AS qv,
+         CAST(floor(list_max(list_transform(xd, v -> abs(v))) * 1000000) AS BIGINT) AS sx
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM b WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         CAST(coalesce(list_sum(list_transform(generate_series(1, len(b.qv)),
+              i -> b.qv[i] * q.qq[i])), 0) AS BIGINT) AS qdot,
+         CAST(coalesce(list_sum(list_transform(generate_series(1, len(b.qv)),
+              i -> b.qv[i] * q.qq[i])), 0) * b.sx AS BIGINT) AS rank_key
+  FROM b JOIN q ON q.query_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rank_key DESC, neighbor_id ASC) AS match_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(match_rank AS BIGINT) AS match_rank, qdot, rank_key
+FROM ranked WHERE match_rank <= 5
+"""
+
+QUERIES4["ann08_int8_topk"] = (ann08_int8_topk, ANN08_SQL)

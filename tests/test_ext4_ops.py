@@ -274,3 +274,25 @@ def test_q10_topk_bounded_and_ordered(spark, sf_dir):
     revs = [r["revenue_micro"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r["n_items"] >= 1 for r in rows)
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    """ann08's quantized ranking must recover most of the exact float
+    top-5 — the int8 retrieval quality contract."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import ann01_cosine_topk
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import ann08_int8_topk
+
+    exact = {}
+    for r in ann01_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    quant = {}
+    for r in ann08_int8_topk(spark, sf_dir).collect():
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(quant) == set(exact)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # int8 with per-vector scales: expect high (not perfect) agreement.
+    # NOTE: ann01 ranks by COSINE (normalized) while ann08 ranks by
+    # dequantized DOT — on this corpus norms are similar so overlap is
+    # high, but the floor is deliberately loose.
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
