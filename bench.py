@@ -152,6 +152,7 @@ EXTENDED = [
     "tx18_zipf_fit",
     "q10_returned_revenue_topk",
     "ann08_int8_topk",
+    "dd09_containment_pairs",
 ]
 
 HEADLINE = [

@@ -43,11 +43,15 @@ def _load_corpus_unique(spark: SparkSession, sf: str, name: str) -> DataFrame:
     family certifies the behavior. Twins mirror it with
     ``FROM (SELECT DISTINCT * FROM <table>)``.
 
-    No explicit repartition: distinct's own hash shuffle already
-    spreads the single-file scan across the session's shuffle
-    partitions, so _load_corpus's round-robin pass would be a second,
-    redundant exchange."""
-    return load_table(spark, sf, name).distinct()
+    The repartition comes AFTER the distinct, unconditionally: AQE
+    coalesces the distinct's small shuffle output back to ONE partition
+    (tiny bytes, heavy downstream per-row compute — the classic trap),
+    and an explicitly-numbered repartition is exempt from AQE
+    coalescing. Repartitioning BEFORE the distinct is useless: the
+    distinct's own exchange re-collapses it. (Measured: dd09's shingle
+    stage 7.0s -> parallel once this ordering landed.)"""
+    target = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf, name).distinct().repartition(target)
 
 
 # --------------------------------------------------------------------------

@@ -1169,3 +1169,139 @@ FROM ranked WHERE match_rank <= 5
 """
 
 QUERIES4["ann08_int8_topk"] = (ann08_int8_topk, ANN08_SQL)
+
+
+# --------------------------------------------------------------------------
+# dd09: asymmetric containment near-dup pairs (quote/subset detection)
+# --------------------------------------------------------------------------
+
+def dd09_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment-based near-dup detection: |shingles(A) ∩ shingles(B)|
+    / |shingles(A)| >= 0.8 — the ASYMMETRIC relation Jaccard (dd02)
+    cannot see: a short document quoted inside a much longer one has
+    high containment but tiny Jaccard.
+
+    Scale shape: the SSJoin PREFIX FILTER, here hash-certified through
+    the oracle gate (dd02 carries it as a pytest-only variant). A pair
+    with containment >= t from side X must share a shingle within X's
+    first ``|X| - ceil(t*|X|) + 1`` shingles under ANY fixed global
+    order (md5 — both engines sort hex identically), so only those
+    prefixes are indexed against the full postings — candidate fan-out
+    drops ~(1-t) vs indexing everything, with ZERO recall loss. The
+    size band that makes dd02's count-based variant cheap is
+    unavailable here (small-in-large is exactly the signal), which is
+    why the prefix filter is the containment scale path. Survivor pairs
+    verify with one exact in-memory intersection per candidate.
+    """
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators.dedup import word_shingles  # noqa: PLC0415
+
+    t = 0.8
+    t_micro = 800_000
+    d = _load_corpus_unique(spark, sf, "documents").filter(F.col("text").isNotNull())
+    docs = d.select(F.col("doc_id").alias("id"), word_shingles("text", 5).alias("sh"))
+    sized = docs.select("id", F.size("sh").alias("n_sh"), "sh").filter(F.col("n_sh") > 0)
+    hashed = sized.withColumn("hs", F.array_sort(F.transform("sh", lambda x: F.md5(x))))
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    pref = hashed.select(
+        F.col("id").alias("id_x"), F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h")
+    )
+    full = hashed.select(F.col("id").alias("id_y"), F.explode("hs").alias("h"))
+    cands = (
+        pref.hint("shuffle_hash")
+        .join(full, "h")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"), F.greatest("id_x", "id_y").alias("id_b")
+        )
+        .distinct()
+    )
+    sets_ = sized.select("id", "n_sh", "sh")
+    g = (
+        cands.join(
+            sets_.select(
+                F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.select(
+                F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+        )
+    )
+    directed = g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("ref_id"),
+                    F.col("n_a").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("ref_id"),
+                    F.col("n_b").alias("n_src"),
+                ),
+            )
+        ).alias("p"),
+        "n_inter",
+    ).select("p.src_id", "p.ref_id", F.col("p.n_src").cast("long").alias("n_src"), "n_inter")
+    return directed.filter(F.col("n_inter") * 1000000 >= t_micro * F.col("n_src")).select(
+        "src_id",
+        "ref_id",
+        "n_src",
+        "n_inter",
+        F.expr("n_inter * CAST(1000000 AS BIGINT) DIV n_src").alias("containment_micro"),
+    )
+
+
+def _dd09_sql() -> str:
+    from pyp_etl_pipeline_spark import driver_queries as core  # noqa: PLC0415
+
+    toks = f"string_split({core.sql_normalized_text('text')}, ' ')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {core.sql_shingles(toks, 5)} AS sh
+  FROM (SELECT DISTINCT * FROM documents) WHERE text IS NOT NULL
+),
+sz AS (SELECT doc_id, sh, len(sh) AS n_sh,
+              list_sort(list_transform(sh, s -> md5(s))) AS hs
+       FROM t WHERE len(sh) > 0),
+pref AS (
+  SELECT doc_id AS id_x,
+         unnest(hs[1:(n_sh - CAST(ceil(0.8 * n_sh) AS INT) + 1)]) AS h
+  FROM sz
+),
+fullp AS (SELECT doc_id AS id_y, unnest(hs) AS h FROM sz),
+cands AS (
+  SELECT DISTINCT least(id_x, id_y) AS id_a, greatest(id_x, id_y) AS id_b
+  FROM pref JOIN fullp USING (h) WHERE id_x <> id_y
+),
+g AS (
+  SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter
+  FROM cands c
+  JOIN sz a ON a.doc_id = c.id_a
+  JOIN sz b ON b.doc_id = c.id_b
+),
+directed AS (
+  SELECT id_a AS src_id, id_b AS ref_id, n_a AS n_src, n_inter FROM g
+  UNION ALL
+  SELECT id_b AS src_id, id_a AS ref_id, n_b AS n_src, n_inter FROM g
+)
+SELECT src_id, ref_id, CAST(n_src AS BIGINT) AS n_src, n_inter,
+       n_inter * CAST(1000000 AS BIGINT) // n_src AS containment_micro
+FROM directed WHERE n_inter * 1000000 >= 800000 * n_src
+"""
+
+
+QUERIES4["dd09_containment_pairs"] = (dd09_containment_pairs, _dd09_sql())

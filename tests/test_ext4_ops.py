@@ -296,3 +296,23 @@ def test_int8_topk_recall_vs_exact(spark, sf_dir):
     # dequantized DOT — on this corpus norms are similar so overlap is
     # high, but the floor is deliberately loose.
     assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ~1.0 from the
+    short side even though Jaccard is small."""
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import dd09_containment_pairs
+    import tempfile, os
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short, "en", "src0", len(short)), (2, long, "en", "src0", len(long))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {(r["src_id"], r["ref_id"]): r for r in dd09_containment_pairs(df.sparkSession, d).collect()}
+    assert (1, 2) in rows  # short contained in long
+    assert rows[(1, 2)]["containment_micro"] >= 900_000
+    assert (2, 1) not in rows  # asymmetric: long not contained in short
