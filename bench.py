@@ -153,6 +153,7 @@ EXTENDED = [
     "q10_returned_revenue_topk",
     "ann08_int8_topk",
     "dd09_containment_pairs",
+    "ab01_ab_test_readout",
 ]
 
 HEADLINE = [

@@ -1305,3 +1305,89 @@ FROM directed WHERE n_inter * 1000000 >= 800000 * n_src
 
 
 QUERIES4["dd09_containment_pairs"] = (dd09_containment_pairs, _dd09_sql())
+
+
+# --------------------------------------------------------------------------
+# ab01: A/B experiment readout (two-proportion z on exact integer counts)
+# --------------------------------------------------------------------------
+
+def ab01_ab_test_readout(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation analytics: users split by a deterministic
+    assignment (user_id parity plays the bucketing hash), conversion =
+    "placed at least one purchase event". All COUNTS are exact
+    distinct-user integers; the lift and the two-proportion z² statistic
+    are computed in doubles FROM those identical integers and
+    micro-floored, so the readout is partition-order exact. One
+    distinct-user aggregation + a 1-row epilogue — a dashboard query
+    that costs the same at any corpus size past the first rollup."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    )
+    g = per_user.select(
+        (F.col("user_id") % 2 == 1).alias("treated"), "converted"
+    ).groupBy("treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    t = g.filter(F.col("treated")).select(
+        F.col("n_users").alias("n_t"), F.col("n_converted").alias("x_t")
+    )
+    c = g.filter(~F.col("treated")).select(
+        F.col("n_users").alias("n_c"), F.col("n_converted").alias("x_c")
+    )
+    j = t.join(F.broadcast(c))
+    pt = F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    pc = F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    pp = (F.col("x_t") + F.col("x_c")).cast("double") / (F.col("n_t") + F.col("n_c")).cast("double")
+    se2 = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n_t").cast("double") + F.lit(1.0) / F.col("n_c").cast("double")
+    )
+    return j.select(
+        "n_c",
+        "n_t",
+        "x_c",
+        "x_t",
+        F.floor((pt - pc) * 1000000).cast("long").alias("lift_micro"),
+        F.when(se2 > 0.0, F.floor((pt - pc) * (pt - pc) / se2 * 1000))
+        .cast("long")
+        .alias("z2_milli"),
+    )
+
+
+AB01_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id
+),
+g AS (
+  SELECT user_id % 2 = 1 AS treated,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+),
+t AS (SELECT n_users AS n_t, n_converted AS x_t FROM g WHERE treated),
+c AS (SELECT n_users AS n_c, n_converted AS x_c FROM g WHERE NOT treated)
+SELECT n_c, n_t, x_c, x_t,
+       CAST(floor((CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                   - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1000000) AS BIGINT) AS lift_micro,
+       CASE WHEN (CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                 * (1.0 - CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                 * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)) > 0.0
+            THEN CAST(floor(
+                 (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+               * (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+               / ((CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                  * (1.0 - CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+                  * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+               * 1000) AS BIGINT)
+       END AS z2_milli
+FROM t, c
+"""
+
+QUERIES4["ab01_ab_test_readout"] = (ab01_ab_test_readout, AB01_SQL)

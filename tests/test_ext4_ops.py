@@ -316,3 +316,25 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (1, 2) in rows  # short contained in long
     assert rows[(1, 2)]["containment_micro"] >= 900_000
     assert (2, 1) not in rows  # asymmetric: long not contained in short
+
+
+def test_ab_readout_exact_counts(spark, sf_dir):
+    from pyp_etl_pipeline_spark.driver_queries_ext4 import ab01_ab_test_readout
+    from pyp_etl_pipeline_spark.tables import load_table
+
+    r = ab01_ab_test_readout(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    n_users = e.select("user_id").distinct().count()
+    assert r["n_c"] + r["n_t"] == n_users
+    assert 0 <= r["x_c"] <= r["n_c"] and 0 <= r["x_t"] <= r["n_t"]
+    # lift is the exact micro-floored difference of the two proportions
+    lift = r["x_t"] / r["n_t"] - r["x_c"] / r["n_c"]
+    import math
+    assert r["lift_micro"] == math.floor(lift * 1e6)
+    all_or_none = (r["x_c"] + r["x_t"]) in (0, n_users)
+    if all_or_none:
+        assert r["z2_milli"] is None  # zero pooled variance is guarded
+    else:
+        assert r["z2_milli"] >= 0
