@@ -635,12 +635,18 @@ def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
 MM01_SQL = """
 SELECT doc_id AS media_id,
        (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
-       length(text)::BIGINT AS n_bytes,
+       strlen(text)::BIGINT AS n_bytes,
        md5(text) AS checksum,
-       CASE WHEN length(text) = 0 THEN 0.0
-            ELSE (list_sum(list_transform(generate_series(1, length(text)), i -> ord(substring(text, i::INT, 1)))) % 997) / 997.0
+       -- BYTE arithmetic, not char arithmetic: the engine sums the
+       -- utf-8 PAYLOAD bytes, so the twin walks hex(text) two nibbles
+       -- at a time (strlen = byte length; ord(substring(...)) would
+       -- count characters and drift on multibyte text — caught by the
+       -- --unicode sweep)
+       CASE WHEN strlen(text) = 0 THEN 0.0
+            ELSE (list_sum(list_transform(generate_series(1, strlen(text)),
+                   i -> ('0x' || substr(hex(text), (i * 2 - 1)::INT, 2))::BIGINT)) % 997) / 997.0
        END AS feat0,
-       (length(text) % 31) / 31.0 AS feat1
+       (strlen(text) % 31) / 31.0 AS feat1
 FROM documents
 """
 

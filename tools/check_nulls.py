@@ -74,6 +74,32 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
     mode='dupes' appends full-row duplicates of ~5% of rows per DUP."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    if mode == "unicode":
+        # append multibyte/accented/case-folding-edge tokens to ~10% of
+        # document texts: certifies that lower()/regex tokenization/md5
+        # agree across engines beyond ASCII (JVM vs utf8proc). ß and the
+        # Turkish-adjacent İ-class stay out of the CAPITAL-CASE domain
+        # (documented JVM 1->2 expansions) but are fair game for the
+        # lower/tokenize/hash paths exercised here.
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            if t == "documents":
+                con.execute(
+                    f"""COPY (SELECT doc_id,
+                        CASE WHEN hash(doc_id) % 20 = 5
+                               THEN text || ' Café MÜNCHEN straße 中文 Ωmega ß'
+                             WHEN hash(doc_id) % 20 = 9
+                               THEN 'ÉLAN résumé ' || text
+                             ELSE text END AS text,
+                        lang, source, n_chars FROM read_parquet('{src_file}'))
+                        TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+                )
+        return
     if mode == "scramble":
         # rewrite every table with rows in md5-of-row-key order — the
         # file order a 1000-executor writer actually produces is
@@ -148,7 +174,9 @@ def main() -> int:
         mode = "dupes"
     elif "--scramble" in args:
         mode = "scramble"
-    args = [a for a in args if a not in ("--empty", "--dupes", "--scramble")]
+    elif "--unicode" in args:
+        mode = "unicode"
+    args = [a for a in args if a not in ("--empty", "--dupes", "--scramble", "--unicode")]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
     dst = f"/tmp/spark_graft_sf{mode}"
