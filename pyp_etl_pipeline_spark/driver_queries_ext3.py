@@ -792,7 +792,14 @@ def mm04_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     repo_root = REPO_ROOT
-    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    # a doc with unknown length has no synthesizable duration (and NULL
+    # n_chars would reach int() inside the Arrow batch) — both sides
+    # restrict the plan to docs with a known length
+    d = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
 
     def synth(batches):
         import sys  # noqa: PLC0415
@@ -820,7 +827,7 @@ MM04_SQL = """
 SELECT doc_id AS media_id,
        (1000 * unnest(generate_series(0, greatest((n_chars * 10) // 1000, 1) - 1)))::BIGINT AS frame_ts_ms
 FROM documents
-WHERE doc_id % 3 = 2
+WHERE doc_id % 3 = 2 AND n_chars IS NOT NULL
 """
 
 
@@ -1662,7 +1669,9 @@ def pt01_partition_pruned_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "events")
     target = e.agg(F.max(F.to_date("ts"))).collect()[0][0]
-    path = os.path.join(tempfile.gettempdir(), "pyp_pt01_scratch")
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+
+    path = scratch_path("pt01_scratch")
     write_date_partitioned(e, path)
     day = read_partition_pruned(spark, path, "event_date", target)
     return (
@@ -1716,7 +1725,9 @@ def st09_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
         streaming_window_join,
     )
 
-    scratch = os.path.join(tempfile.gettempdir(), "pyp_st09_scratch")
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+
+    scratch = scratch_path("st09_scratch")
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch)
     src = os.path.join(sf, "events.parquet")
@@ -2346,7 +2357,9 @@ def st10_streaming_materialized_rollup(spark: SparkSession, sf: str) -> DataFram
     from pyp_etl_pipeline_spark.streaming.events import read_events_stream  # noqa: PLC0415
     from pyp_etl_pipeline_spark.tables import load_table as _lt  # noqa: PLC0415
 
-    scratch = os.path.join(tempfile.gettempdir(), "pyp_st10_scratch")
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+
+    scratch = scratch_path("st10_scratch")
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch)
     raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
@@ -2814,7 +2827,9 @@ def fm01_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from pyp_etl_pipeline_spark.functions.aggregates import exact_sum  # noqa: PLC0415
 
     o = load_table(spark, sf, "orders")
-    path = os.path.join(tempfile.gettempdir(), "fm01_orc")
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+
+    path = scratch_path("fm01_orc")
     shutil.rmtree(path, ignore_errors=True)
     o.write.option("compression", "zlib").orc(path)
     back = spark.read.orc(path)
@@ -2990,7 +3005,9 @@ def se01_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile  # noqa: PLC0415
 
     d = load_table(spark, sf, "documents")
-    root = os.path.join(tempfile.gettempdir(), "se01_evolve")
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+
+    root = scratch_path("se01_evolve")
     shutil.rmtree(root, ignore_errors=True)
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.parquet(
         os.path.join(root, "p=1")
@@ -3163,8 +3180,17 @@ def ks01_keep_best_per_cluster(spark: SparkSession, sf: str) -> DataFrame:
     pairs = _dedup.shingle_pairs_jaccard(d, threshold=0.5)
     clusters = _dedup.dup_clusters(pairs)
     member = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    # NULL-quality docs must not win the election: Spark sorts a NULL
+    # struct field FIRST under min() while the twin's ORDER BY ... DESC
+    # puts NULLs LAST — coalesce to -1 on BOTH sides so a null-quality
+    # doc ranks below every real one (ADVICE r8).
     keepers = member.groupBy("cluster_id").agg(
-        F.min(F.struct((-F.col("n_chars")).alias("nq"), F.col("doc_id").alias("id"))).alias("__k")
+        F.min(
+            F.struct(
+                (-F.coalesce(F.col("n_chars"), F.lit(-1))).alias("nq"),
+                F.col("doc_id").alias("id"),
+            )
+        ).alias("__k")
     )
     return (
         member.join(keepers, "cluster_id")
@@ -3188,7 +3214,7 @@ member AS (
 keeper AS (
   SELECT cluster_id, doc_id AS keeper_id FROM (
     SELECT cluster_id, doc_id,
-           row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+           row_number() OVER (PARTITION BY cluster_id ORDER BY coalesce(n_chars, -1) DESC, doc_id ASC) AS rn
     FROM member) WHERE rn = 1
 )
 SELECT m.doc_id, m.cluster_id, k.keeper_id, m.doc_id = k.keeper_id AS kept, m.n_chars
@@ -4025,7 +4051,10 @@ WITH g AS (
 ),
 nz AS (
   SELECT lang, source, n,
-         (('0x' || substring(md5(concat_ws('|', coalesce(lang::VARCHAR, '␀'), coalesce(source::VARCHAR, '␀')) || 'dp-v1'), 1, 7))::BIGINT % 41) - 20 AS noise
+         (('0x' || substring(md5(
+             (CASE WHEN lang IS NULL THEN 'N' ELSE md5(lang::VARCHAR) END)
+             || (CASE WHEN source IS NULL THEN 'N' ELSE md5(source::VARCHAR) END)
+             || 'dp-v1'), 1, 7))::BIGINT % 41) - 20 AS noise
   FROM g
 )
 SELECT lang, source, CAST(greatest(0, n + noise) AS BIGINT) AS noisy_count FROM nz

@@ -92,7 +92,7 @@ t2 AS (
 ),
 cent AS (
   SELECT label, idx,
-         CAST(sum(mi) AS BIGINT) // 1000 AS s,
+         CAST(sum(mi) AS BIGINT) // CAST(count(*) AS BIGINT) AS s,
          CAST(count(*) AS BIGINT) AS n
   FROM t2 GROUP BY label, idx
 ),

@@ -141,8 +141,15 @@ def noisy_group_counts(
     groups = df.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
-    key_str = F.concat_ws(
-        "|", *[F.coalesce(F.col(k).cast("string"), F.lit("␀")) for k in keys]
+    # injective group encoding: each component is md5'd separately (32
+    # hex chars) or the 1-char tag 'N' for NULL — no separator collisions
+    # (('a|b','c') vs ('a','b|c')) and no literal-vs-sentinel collision,
+    # so distinct groups never share noise (ADVICE r8)
+    key_str = F.concat(
+        *[
+            F.when(F.col(k).isNull(), F.lit("N")).otherwise(F.md5(F.col(k).cast("string")))
+            for k in keys
+        ]
     )
     h = F.conv(F.substring(F.md5(F.concat(key_str, F.lit(salt))), 1, 7), 16, 10).cast("long")
     noise = h % (2 * noise_bound + 1) - noise_bound

@@ -89,9 +89,15 @@ def label_centroid_cosine(
     Plan shape: posexplode to (label, idx, micro) -> groupBy(label, idx)
     integer sum (ONE shuffle of n_rows x dim skinny rows) -> the
     centroid relation is tiny (n_labels x dim), so the pairwise epilogue
-    is a broadcast self-join. Element sums are downscaled DIV 1000
-    before the dot product so a billion-row corpus cannot overflow the
-    64-bit accumulator (same expression both engines — q07 pattern).
+    is a broadcast self-join. Element sums are divided by the per-label
+    row count (integer DIV — cosine is invariant to the 1/n factor, and
+    DuckDB // matches Spark DIV) BEFORE the dot product, so the
+    accumulator bound is dim * (1e6 * max|x|)^2 — independent of corpus
+    size (safe for any n while max|x| < ~379/sqrt(dim); unit-scale
+    embeddings are far inside it). The raw per-(label, idx) sum(mi)
+    itself only overflows past ~9e12 rows per label (mi ~ 1e6), beyond
+    a 100 TB embedding table. (ADVICE r8: the old DIV-1000 downshift
+    overflowed at ~1e5-1e7 rows per label.)
     """
     e = df.filter(
         F.col(vec_col).isNotNull()
@@ -103,7 +109,7 @@ def label_centroid_cosine(
         F.posexplode(_as_double(F.col(vec_col))).alias("idx", "x"),
     ).select("label", "idx", F.floor(F.col("x") * MICRO).cast("long").alias("mi"))
     cent = terms.groupBy("label", "idx").agg(
-        F.expr("CAST(sum(mi) AS BIGINT) DIV 1000").alias("s"),
+        F.expr("CAST(sum(mi) AS BIGINT) DIV count(1)").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     a = cent.select(

@@ -456,7 +456,12 @@ def heavy_hitters(items: DataFrame, col: str = "tok", k: int = 200) -> DataFrame
             yield pd.DataFrame({col: hh.index})
 
     items = items.filter(F.col(col).isNotNull())
-    candidates = items.mapInPandas(_local_candidates, schema=f"{col} string").distinct()
+    # candidate schema mirrors the input column's type — a hardcoded
+    # string schema would coerce/break numeric item ids (ADVICE r8)
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    cand_schema = StructType([StructField(col, items.schema[col].dataType)])
+    candidates = items.mapInPandas(_local_candidates, schema=cand_schema).distinct()
     total = items.agg(F.count("*").alias("__total"))
     counts = (
         items.join(F.broadcast(candidates), col)

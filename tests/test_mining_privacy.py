@@ -184,6 +184,30 @@ def test_noisy_counts_bounded_sticky_and_clamped(spark):
     assert other != out  # a new salt draws a fresh release (overwhelmingly)
 
 
+def test_noisy_counts_injective_group_encoding(spark):
+    # separator-ambiguous groups (('a|b','c') vs ('a','b|c')) and a
+    # literal sentinel vs NULL must NOT deterministically share noise
+    # (ADVICE r8: concat_ws encoding made them collide). Each pair has
+    # equal true counts, so equal noisy counts == equal noise; with an
+    # injective encoding all 6 pairs colliding by chance is ~41^-6.
+    pairs = [
+        (("a|b", "c"), ("a", "b|c")),
+        (("x|", "y"), ("x", "|y")),
+        (("", "p|q"), ("|p", "q")),
+        (("m|n|o", "z"), ("m", "n|o|z")),
+        (("␀", "w"), (None, "w")),
+        (("h|", "|k"), ("h", "||k")),
+    ]
+    rows = [g for pair in pairs for g in pair for _ in range(5)]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {
+        (r["lang"], r["source"]): r["noisy_count"]
+        for r in masking.noisy_group_counts(df, ("lang", "source"), noise_bound=20).collect()
+    }
+    assert len(out) == 12
+    assert any(out[a] != out[b] for a, b in pairs)
+
+
 # --------------------------------------------------------------------------
 # skew_audit
 # --------------------------------------------------------------------------

@@ -40,6 +40,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INJECT = [
     ("documents", "text", "doc_id", 3),
     ("documents", "lang", "doc_id", 7),
+    ("documents", "n_chars", "doc_id", 18),
     ("events", "value", "event_id", 4),
     ("events", "event_type", "event_id", 11),
     ("events", "props", "event_id", 16),
