@@ -3557,71 +3557,74 @@ REGISTRY.update(_ext4.QUERIES4)
 # (c) everything else, stalest driver row first, so no query's last
 # driver check keeps aging.
 _DRIVER_PRIORITY = [
-    # round-8 FINAL rotation — the driver gate samples the FIRST 50
-    # registry entries, so the window must be spent where evidence is
-    # missing or stale. Exactly 50 slots: (a) the six r7 hash-red
-    # queries whose HUGEINT twins were fixed this round (the driver
-    # must re-certify them green); (b) every query with ZERO driver
-    # evidence (all round-8 additions, incl. the ext4 batch); (c) four
-    # whose twin/operator changed in the null/empty sweeps (js01 ''
-    # handling, st03 long-min fix, sh01 all-null pairing, tx05 drift).
+    # round-9 rotation — the driver gate samples the FIRST 50 registry
+    # entries. Slots: (a) the 11 queries with ZERO driver evidence
+    # (the ten r8 leftovers the judge listed + the new dd10);
+    # (b) streaming re-certification st09/st10 (VERDICT r8 item 8 —
+    # st11 is already in (a)); (c) the 12 queries whose operator, twin,
+    # or build path changed this round (null-keeper election, centroid
+    # overflow, noisy-counts encoding, n_chars null handling, scratch
+    # paths, heavy-hitters schema); (d) backfill with the STALEST
+    # driver evidence (r2 -> r4 -> r5), so no green row ages forever.
     # Duplicates further down are harmless: dict insertion keeps the
     # FIRST occurrence's position.
-    "ann06_ivfpq_topk",
-    "ann05_pq_topk",
-    "mx02_token_budget_fill",
-    "gr01_pagerank",
-    "ex03_jsonl_roundtrip",
-    "pk01_sequence_packing",
-    "ka01_k_anonymity",
-    "uv01_unpivot_part_attrs",
-    "gs01_grouping_sets",
-    "hy01_hybrid_rrf_fusion",
-    "bfs01_reach_levels",
-    "hh01_threshold_heavy_hitters",
-    "sq01_session_transitions",
-    "hn01_hard_negatives",
-    "ev03_rank_agreement",
-    "cu01_curriculum_schedule",
-    "dp01_noisy_counts",
-    "mk01_mlm_masking_plan",
-    "sa01_skew_audit",
-    "ev04_gate_calibration",
-    "ev05_gate_kappa",
-    "tx17_url_normalize",
-    "dc03_semantic_decontaminate",
-    "px03_pii_density",
-    "dd08_dedup_savings",
-    "mm14_resized_thumbs",
-    "tk03_vocab_coverage",
-    "aj02_asof_directions",
-    "q07_promo_revenue_share",
-    "ev06_quality_auc",
-    "cf01_cascade_filter",
-    "gr02_star_components",
-    "ann07_ivfpq_refine_topk",
-    "mx03_temperature_mixture",
-    "ev02_ann_recall",
-    "se01_schema_evolution",
-    "mm12_gif_decode",
-    "mm13_gif_animation_frames",
-    "fm01_orc_roundtrip",
+    # (a) zero driver evidence
+    "ab01_ab_test_readout",
+    "ann08_int8_topk",
+    "cd02_apply_changefeed",
+    "dd09_containment_pairs",
+    "dd10_exact_substring_spans",
+    "dr01_psi_drift",
+    "ka02_l_diversity",
+    "q09_priority_with_returns",
+    "q10_returned_revenue_topk",
+    "st11_streaming_psi_drift",
+    "tx18_zipf_fit",
+    # (b) streaming re-certification
+    "st09_stream_stream_left_join",
+    "st10_streaming_materialized_rollup",
+    # (c) changed this round
     "ks01_keep_best_per_cluster",
-    "qn01_int8_quantize",
     "dm01_label_centroid_cosine",
-    "fh01_feature_hashing",
-    "tk04_vocab_coverage_curve",
-    "pb01_padding_efficiency",
-    "q08_idle_customers",
-    "br01_boolean_retrieval",
-    "rp01_corpus_datacard",
-    "sp03_group_safe_split",
-    "im01_class_weight_plan",
-    # ---- end of the 50-slot driver window. Every slot goes to a query
-    # with either a red r7 record (the six HUGEINT twins) or ZERO driver
-    # evidence; the r8 twin-drift fixes to previously-green queries
-    # (js01/st03/sh01/tx05/mm01/mm04/ev01/bf01) are four-gate certified
-    # locally (stock + plain-session + null-injected + empty-string) ----
+    "dp01_noisy_counts",
+    "a10_length_histogram",
+    "mm04_frame_sample_plan",
+    "hh01_threshold_heavy_hitters",
+    "fm01_orc_roundtrip",
+    "se01_schema_evolution",
+    "ex02_export_roundtrip",
+    "ex03_jsonl_roundtrip",
+    "st06_streaming_upsert",
+    "pt01_partition_pruned_rollup",
+    # (d) stalest driver evidence: last green r2
+    "dc01_decontaminate",
+    "e03_crosslink_dedup",
+    "o01_topk_orders_per_customer",
+    "o04_latest_order_per_customer",
+    "p01_header_mapping",
+    "sp01_hash_split",
+    "t09_masking",
+    "tx05_repetition",
+    "tx06_unigram_logprob",
+    # (d) last green r4
+    "a03_push_summary",
+    "dd01_exact_dup_histogram",
+    "f03_name_email_validation",
+    "f05_country_whitelist",
+    "o07_distinct_sorted_filters",
+    "sh01_simhash_pairs",
+    "t03_punct_lower_key",
+    "tx01_quality_features",
+    "tx02_token_counts",
+    "tx03_language_id",
+    "tx04_fingerprints",
+    # (d) last green r5
+    "a01_band_summary",
+    "a02_member_rollup",
+    "a05_error_summary_24h",
+    "a07_status_priority_rollup",
+    "a08_percentile_summary",
+    # ---- end of the 50-slot round-9 driver window ----
     "ka01_k_anonymity",
     "uv01_unpivot_part_attrs",
     "gs01_grouping_sets",

@@ -1391,3 +1391,44 @@ FROM t, c
 """
 
 QUERIES4["ab01_ab_test_readout"] = (ab01_ab_test_readout, AB01_SQL)
+
+
+# --------------------------------------------------------------------------
+# dd10: cross-document exact substring duplication (Lee et al. shape)
+# --------------------------------------------------------------------------
+
+def dd10_exact_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated CHARACTER spans across documents — the canonical
+    LLM-curation exact-substring dedup signal (Lee et al. 2021),
+    approximated with overlapping 40-char grams + interval extension
+    (``operators/dedup.exact_substring_spans``; generalizes the
+    reference's E2/dd06 line dedup to unaligned character spans). The
+    twin replays the identical gram/extension arithmetic."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.operators import dedup as _dedup  # noqa: PLC0415
+
+    d = _load_corpus_unique(spark, sf, "documents")
+    return _dedup.exact_substring_spans(d, gram=40)
+
+
+DD10_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, text AS txt FROM (SELECT DISTINCT * FROM documents)
+  WHERE text IS NOT NULL AND length(text) >= 40
+),
+g AS (SELECT id, unnest(generate_series(1, length(txt) - 40 + 1)) AS p, txt FROM d),
+g2 AS (SELECT id, p, substring(txt, p, 40) AS gram FROM g),
+dup AS (SELECT gram FROM g2 GROUP BY gram HAVING min(id) <> max(id)),
+hits AS (SELECT id, p FROM g2 JOIN dup USING (gram)),
+w AS (SELECT id, p,
+        lead(p) OVER (PARTITION BY id ORDER BY p) AS np,
+        lag(p)  OVER (PARTITION BY id ORDER BY p) AS pp
+      FROM hits)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_grams,
+       CAST(sum(CASE WHEN np IS NULL THEN 40 ELSE least(np - p, 40) END) AS BIGINT) AS dup_chars,
+       CAST(sum(CASE WHEN pp IS NULL OR p - pp > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+FROM w GROUP BY id
+"""
+
+QUERIES4["dd10_exact_substring_spans"] = (dd10_exact_substring_spans, DD10_SQL)

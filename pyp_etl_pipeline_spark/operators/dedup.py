@@ -18,7 +18,7 @@ DuckDB oracle can reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyp_etl_pipeline_spark.functions.text import collapse_whitespace
@@ -531,6 +531,81 @@ def span_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("text", F.lit("")).alias("text"),
         )
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 40,
+) -> DataFrame:
+    """Cross-document exact substring duplication audit — the Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) exact-substring dedup signal, approximated with
+    fixed-length character grams + interval extension instead of a
+    suffix array (the standard distributed adaptation).
+
+    Every overlapping ``gram``-char window of every document is
+    fingerprinted; a gram that occurs in >= 2 DISTINCT documents marks
+    its position as duplicated, and per document the marked positions
+    are merged into maximal intervals (two hits extend the same span
+    iff their starts are <= gram apart). A true duplicated span of
+    length L >= gram is covered exactly (all L - gram + 1 windows
+    match), so ``dup_chars`` is the precise number of characters a
+    span-removal pass would cut.
+
+    Physical shape: gram extraction is map-only (explode + substr, all
+    JVM); the duplicate test is ONE map-side-combinable groupBy(gram)
+    with min/max doc-id (an aggregate, not a window — a
+    billion-occurrence boilerplate gram collapses per map task, no skew
+    bomb); join-back re-derives grams map-side (cheaper than caching
+    the corpus-sized relation); the extension window partitions by
+    document (groups bounded by doc length). At 100 TB the shuffle
+    carries ~corpus_chars rows — production runs cut it with stride-s
+    sampling (guaranteed detection of spans >= gram + s - 1) or 16-byte
+    gram hashes; the certified path keeps raw grams for exactness.
+
+    Output: (doc_id, n_dup_grams, dup_chars, n_spans) per document with
+    at least one cross-document duplicated span.
+    """
+    d = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= gram)
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    grams = d.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("txt") - gram + 1)).alias("p"),
+        "txt",
+    ).select("id", "p", F.col("txt").substr(F.col("p"), F.lit(gram)).alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("id").alias("__lo"), F.max("id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("id", "p")
+    wd = Window.partitionBy("id").orderBy("p")
+    ext = hits.select(
+        "id", "p", F.lead("p").over(wd).alias("np"), F.lag("p").over(wd).alias("pp")
+    )
+    return (
+        ext.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_grams"),
+            F.sum(
+                F.when(F.col("np").isNull(), gram).otherwise(
+                    F.least(F.col("np") - F.col("p"), F.lit(gram))
+                )
+            )
+            .cast("long")
+            .alias("dup_chars"),
+            F.sum(
+                F.when(F.col("pp").isNull() | (F.col("p") - F.col("pp") > gram), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_dup_grams", "dup_chars", "n_spans")
     )
 
 

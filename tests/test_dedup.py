@@ -218,3 +218,43 @@ def test_dup_clusters_composition_keeps_singletons_and_reps(spark):
     out = {r["doc_id"]: r["cluster_size"] for r in singles.unionByName(reps).collect()}
     # docs 1+2 are dups -> 1 survives with size 2; doc 3 is a singleton
     assert out == {1: 2, 3: 1}
+
+
+def test_exact_substring_spans_extension_math(spark):
+    # gram=10: docs 1 and 2 share " "+25 chars+" " = one 27-char span
+    # (the flanking spaces are shared too) => per doc all 18 window
+    # starts match (27 - 10 + 1), merged into ONE interval covering
+    # exactly 27 chars. doc 3 repeats a gram WITHIN itself only (no
+    # cross-doc) and must not appear. doc 4 is unique.
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXY"  # 25 chars
+    rows = [
+        (1, "xx1 " + shared + " one tail text here"),
+        (2, "yy22 " + shared + " two other suffix"),
+        (3, "zz " + "qqqqqqqqqqqq" + " mid " + "qqqqqqqqqqqq" + " zz"),
+        (4, "totally fresh words nobody else uses here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.exact_substring_spans(df, gram=10).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_dup_grams"] == 18
+        assert out[d]["dup_chars"] == 27
+        assert out[d]["n_spans"] == 1
+
+
+def test_exact_substring_spans_two_disjoint_spans(spark):
+    # two separated shared spans of 12+1 chars each (one flanking
+    # space shared per span; gram=10): per doc 4 hits per span,
+    # 2 maximal spans, 26 covered chars
+    a = "AAAABBBBCCCC"
+    b = "DDDDEEEEFFFF"
+    rows = [
+        (1, a + " left filler words " + b),
+        (2, "pre " + a + " totally different middle " + b + " post"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.exact_substring_spans(df, gram=10).collect()}
+    for d in (1, 2):
+        assert out[d]["n_dup_grams"] == 8
+        assert out[d]["dup_chars"] == 26
+        assert out[d]["n_spans"] == 2
