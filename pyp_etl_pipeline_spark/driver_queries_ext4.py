@@ -1204,13 +1204,27 @@ def dd09_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     hashed = sized.withColumn("hs", F.array_sort(F.transform("sh", lambda x: F.md5(x))))
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
     pref = hashed.select(
-        F.col("id").alias("id_x"), F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h")
+        F.col("id").alias("id_x"),
+        F.col("n_sh").alias("n_x"),
+        F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
     )
-    full = hashed.select(F.col("id").alias("id_y"), F.explode("hs").alias("h"))
+    full = hashed.select(
+        F.col("id").alias("id_y"),
+        F.col("n_sh").alias("n_y"),
+        F.explode("hs").alias("h"),
+    )
+    # A hit from X's prefix only certifies the X->Y direction, which
+    # needs |X∩Y| >= t|X| and |X∩Y| <= |Y|, hence |Y| >= t|X| — hits
+    # against smaller docs are dead weight (the Y->X direction is
+    # independently certified via Y's OWN prefix), so the length filter
+    # drops them with ZERO recall loss (VERDICT r8 item 3).
     cands = (
         pref.hint("shuffle_hash")
         .join(full, "h")
-        .filter(F.col("id_x") != F.col("id_y"))
+        .filter(
+            (F.col("id_x") != F.col("id_y"))
+            & (F.col("n_y") * 1_000_000 >= F.lit(t_micro) * F.col("n_x"))
+        )
         .select(
             F.least("id_x", "id_y").alias("id_a"), F.greatest("id_x", "id_y").alias("id_b")
         )
@@ -1277,14 +1291,15 @@ sz AS (SELECT doc_id, sh, len(sh) AS n_sh,
               list_sort(list_transform(sh, s -> md5(s))) AS hs
        FROM t WHERE len(sh) > 0),
 pref AS (
-  SELECT doc_id AS id_x,
+  SELECT doc_id AS id_x, n_sh AS n_x,
          unnest(hs[1:(n_sh - CAST(ceil(0.8 * n_sh) AS INT) + 1)]) AS h
   FROM sz
 ),
-fullp AS (SELECT doc_id AS id_y, unnest(hs) AS h FROM sz),
+fullp AS (SELECT doc_id AS id_y, n_sh AS n_y, unnest(hs) AS h FROM sz),
 cands AS (
   SELECT DISTINCT least(id_x, id_y) AS id_a, greatest(id_x, id_y) AS id_b
-  FROM pref JOIN fullp USING (h) WHERE id_x <> id_y
+  FROM pref JOIN fullp USING (h)
+  WHERE id_x <> id_y AND n_y * 1000000 >= 800000 * n_x
 ),
 g AS (
   SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,

@@ -157,3 +157,69 @@ def test_no_nondeterministic_expressions_registry_wide(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, f"nondeterministic expressions in plans: {offenders}"
+
+
+@pytest.mark.slow
+def test_unpartitioned_windows_are_bounded_registry_wide(spark, sf_dir):
+    """Every UNPARTITIONED window in the registry must be intentional and
+    provably bounded: its subtree contains a TakeOrderedAndProject /
+    limit (top-k epilogues) or a grouped aggregate whose key domain is
+    constant-bounded (bins, sources, distinct scores). An unpartitioned
+    window over an UNBOUNDED relation moves the whole dataset to one
+    partition — the classic scale killer this pin makes impossible to
+    reintroduce silently (VERDICT r8 'WindowExec: No Partition Defined'
+    nit). Any new query planning one must be added to the allowlist
+    with a boundedness argument."""
+    BOUNDED_OK = {
+        # query -> why the single window partition is constant-size
+        "a10_length_histogram": "50-char bins of doc length (dozens of rows)",
+        "bm01_bm25_rank": "TakeOrdered top-k + per-term aggregate",
+        "cp01_compaction_plan": "file-size buckets aggregate",
+        "ev03_rank_agreement": "top-k ranking comparison (limit-bounded)",
+        "ev06_quality_auc": "distinct score values of an integer feature",
+        "hy01_hybrid_rrf_fusion": "two limit-k rankings fused",
+        "mx03_temperature_mixture": "one row per corpus source",
+        "pk01_sequence_packing": "per-bucket offsets over bucket aggregate",
+        "sa01_skew_audit": "top-N hottest keys (TakeOrdered-bounded)",
+        "tk04_vocab_coverage_curve": "TakeOrdered top-k vocab ranking",
+        "tx18_zipf_fit": "TakeOrdered top-100 token ranks",
+    }
+    BOUNDING_NODES = {
+        "TakeOrderedAndProjectExec",
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "CollectLimitExec",
+        "HashAggregateExec",
+        "ObjectHashAggregateExec",
+        "SortAggregateExec",
+    }
+
+    def iter_nodes(node):
+        yield node
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            yield from iter_nodes(node.initialPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            yield from iter_nodes(node.plan())
+            return
+        for i in range(node.children().size()):
+            yield from iter_nodes(node.children().apply(i))
+
+    streaming = {n for n in REGISTRY if n.startswith("st")}
+    offenders = {}
+    for name, (fn, _) in sorted(REGISTRY.items()):
+        if name in streaming:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        for node in iter_nodes(plan):
+            if node.getClass().getSimpleName() not in ("WindowExec", "WindowGroupLimitExec"):
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            below = {ch.getClass().getSimpleName() for ch in iter_nodes(node)}
+            if name not in BOUNDED_OK:
+                offenders[name] = "unpartitioned window in a query not on the allowlist"
+            elif not (below & BOUNDING_NODES):
+                offenders[name] = "allowlisted but no bounding node below the window"
+    assert not offenders, f"unbounded unpartitioned windows: {offenders}"
