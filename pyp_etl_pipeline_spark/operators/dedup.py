@@ -539,6 +539,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     gram: int = 40,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Cross-document exact substring duplication audit — the Lee et al.
     ("Deduplicating Training Data Makes Language Models Better",
@@ -562,9 +563,15 @@ def exact_substring_spans(
     bomb); join-back re-derives grams map-side (cheaper than caching
     the corpus-sized relation); the extension window partitions by
     document (groups bounded by doc length). At 100 TB the shuffle
-    carries ~corpus_chars rows — production runs cut it with stride-s
-    sampling (guaranteed detection of spans >= gram + s - 1) or 16-byte
-    gram hashes; the certified path keeps raw grams for exactness.
+    carries ~corpus_chars rows — ``sample_mod=s`` cuts it ~s-fold with
+    CONTENT-DEFINED sampling: only grams whose md5 ≡ 0 (mod s) are
+    kept, so both occurrences of a duplicated span select the SAME
+    grams (positional stride cannot — the two occurrences sit at
+    different offsets). Detection becomes probabilistic (a span of
+    length L >= gram carries L - gram + 1 grams, each kept w.p. ~1/s
+    independently of position; miss probability ~(1-1/s)^(L-gram+1))
+    and coverage is measured over sampled grams only — the certified
+    default ``sample_mod=1`` keeps every gram for exactness.
 
     Output: (doc_id, n_dup_grams, dup_chars, n_spans) per document with
     at least one cross-document duplicated span.
@@ -577,6 +584,12 @@ def exact_substring_spans(
         F.explode(F.sequence(F.lit(1), F.length("txt") - gram + 1)).alias("p"),
         "txt",
     ).select("id", "p", F.col("txt").substr(F.col("p"), F.lit(gram)).alias("gram"))
+    if sample_mod > 1:
+        # engine-portable content hash: first 7 md5 hex chars -> int
+        # (conv(...,16,10) == DuckDB ('0x'||...)::BIGINT)
+        grams = grams.filter(
+            F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long") % sample_mod == 0
+        )
     dup = (
         grams.groupBy("gram")
         .agg(F.min("id").alias("__lo"), F.max("id").alias("__hi"))

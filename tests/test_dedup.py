@@ -258,3 +258,29 @@ def test_exact_substring_spans_two_disjoint_spans(spark):
         assert out[d]["n_dup_grams"] == 8
         assert out[d]["dup_chars"] == 26
         assert out[d]["n_spans"] == 2
+
+
+def test_exact_substring_spans_content_sampling_is_alignment_free(spark):
+    # sample_mod > 1 selects grams by CONTENT, so the two occurrences of
+    # a shared span (at different offsets!) keep the same grams: every
+    # sampled hit set is a subset of the exact run's, detected docs are
+    # a subset, and a long-enough span still surfaces in both docs.
+    shared = "The quick brown fox jumps over the lazy dog repeatedly tonight"
+    rows = [
+        (1, "aa " + shared + " tail one"),
+        (2, "bbbbbbb " + shared + " other end"),  # different offset
+        (3, "nothing in common with anybody here at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r["doc_id"]: r for r in dedup.exact_substring_spans(df, gram=10).collect()}
+    sampled = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_spans(df, gram=10, sample_mod=3).collect()
+    }
+    assert set(exact) == {1, 2}
+    assert set(sampled) == {1, 2}  # both offsets sample identical grams
+    for d in sampled:
+        assert sampled[d]["n_dup_grams"] <= exact[d]["n_dup_grams"]
+        assert sampled[d]["dup_chars"] <= exact[d]["dup_chars"]
+    # sampled hit counts agree between the two occurrences (content-defined)
+    assert sampled[1]["n_dup_grams"] == sampled[2]["n_dup_grams"]
