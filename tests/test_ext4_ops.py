@@ -338,3 +338,20 @@ def test_ab_readout_exact_counts(spark, sf_dir):
         assert r["z2_milli"] is None  # zero pooled variance is guarded
     else:
         assert r["z2_milli"] >= 0
+
+
+def test_label_centroid_cosine_large_group_no_overflow(spark):
+    # ADVICE r8: the old DIV-1000 downshift overflowed sum(s*s) once a
+    # label held ~1e5-1e7 rows. The mean-based rescale (sum DIV n) makes
+    # the accumulator bound independent of group size: 4200 rows/label
+    # of magnitude-500 elements overflowed the old formula
+    # (dim * (n*5e5)^2 > 2^63) and must now yield exact cosine 1e6/-1e6.
+    rows = [(i, [500.0, -500.0], 0) for i in range(4200)]
+    rows += [(10_000 + i, [-500.0, 500.0], 1) for i in range(4200)]
+    df = _edf(spark, rows)
+    out = {
+        (r["label_a"], r["label_b"]): r
+        for r in embedding_ops.label_centroid_cosine(df).collect()
+    }
+    assert out[(0, 1)]["cos_micro"] == -1_000_000
+    assert out[(0, 1)]["n_a"] == 4200 and out[(0, 1)]["n_b"] == 4200

@@ -617,3 +617,17 @@ def test_heavy_hitters_exact_threshold_and_partition_independence(spark):
 
     with _pt.raises(ValueError):
         sketch.heavy_hitters(df, "tok", k=0)
+
+
+def test_heavy_hitters_numeric_item_column(spark):
+    from pyp_etl_pipeline_spark.operators import sketch
+
+    # ADVICE r8: the candidate schema was hardcoded to string, breaking
+    # numeric item columns — pin that a BIGINT column round-trips with
+    # exact counts and type
+    rows = [(7,)] * 80 + [(11,)] * 15 + [(i,) for i in range(100, 105)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = {r["user_id"]: r["cnt"] for r in sketch.heavy_hitters(df, "user_id", k=10).collect()}
+    assert out == {7: 80, 11: 15}
+    dt = sketch.heavy_hitters(df, "user_id", k=10).schema["user_id"].dataType.simpleString()
+    assert dt == "bigint"
