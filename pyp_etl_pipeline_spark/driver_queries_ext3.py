@@ -1956,6 +1956,11 @@ def mm08_hadamard_spectrum(spark: SparkSession, sf: str) -> DataFrame:
         hadamard_spectrum,
     )
 
+    # Measured r9: adding a numbered repartition after this distinct
+    # made it SLOWER (0.61 -> 0.76 quiet min-of-3) — the synth+WHT over
+    # 2.5k rows is cheap enough that the extra shuffle round-trip costs
+    # more than the parallelism buys. The AQE small-shuffle trap only
+    # bites when downstream per-row compute dominates (dd09's shingles).
     d = load_table(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") % 2 == 1).distinct()
     repo_root = REPO_ROOT
 
