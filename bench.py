@@ -156,6 +156,7 @@ EXTENDED = [
     "ab01_ab_test_readout",
     # round 9
     "dd10_exact_substring_spans",
+    "tx19_token_entropy",
 ]
 
 HEADLINE = [

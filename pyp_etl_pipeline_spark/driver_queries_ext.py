@@ -3580,6 +3580,7 @@ _DRIVER_PRIORITY = [
     "q10_returned_revenue_topk",
     "st11_streaming_psi_drift",
     "tx18_zipf_fit",
+    "tx19_token_entropy",
     # (b) streaming re-certification
     "st09_stream_stream_left_join",
     "st10_streaming_materialized_rollup",
@@ -3623,7 +3624,8 @@ _DRIVER_PRIORITY = [
     "a02_member_rollup",
     "a05_error_summary_24h",
     "a07_status_priority_rollup",
-    "a08_percentile_summary",
+    # (a08 backfill slot ceded to tx19; stalest-first backfill resumes
+    # next round)
     # ---- end of the 50-slot round-9 driver window ----
     "ka01_k_anonymity",
     "uv01_unpivot_part_attrs",

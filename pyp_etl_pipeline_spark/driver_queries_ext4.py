@@ -1447,3 +1447,44 @@ FROM w GROUP BY id
 """
 
 QUERIES4["dd10_exact_substring_spans"] = (dd10_exact_substring_spans, DD10_SQL)
+
+
+# --------------------------------------------------------------------------
+# tx19: per-document token-distribution Shannon entropy (quality signal)
+# --------------------------------------------------------------------------
+
+def tx19_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Information-density quality gate: Shannon entropy (nats, exact
+    integer micro) of each document's token distribution — low entropy
+    at high length = repetitive junk the fixed-n repetition window
+    (tx05) can miss; abnormally high = mojibake/noise. Two per-doc
+    hash aggregates, no corpus pass (operators/textan.token_entropy)."""
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus  # noqa: PLC0415
+
+    out = textan.token_entropy(_load_corpus(spark, sf, "documents"))
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _tx19_sql() -> str:
+    from pyp_etl_pipeline_spark import driver_queries as core  # noqa: PLC0415
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({core.sql_normalized_text("text")}, ' ')) AS tok
+  FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM cnts GROUP BY 1)
+SELECT cnts.doc_id,
+       CAST(max(tot.n) AS BIGINT) AS n_tokens,
+       CAST(max(tot.n_distinct) AS BIGINT) AS n_distinct,
+       CAST(sum(CAST(floor((cnt / tot.n) * ln(tot.n / cnt) * 1000000) AS BIGINT)) AS BIGINT)
+         AS entropy_nats_micro
+FROM cnts JOIN tot USING (doc_id)
+GROUP BY 1
+"""
+
+QUERIES4["tx19_token_entropy"] = (tx19_token_entropy, _tx19_sql())

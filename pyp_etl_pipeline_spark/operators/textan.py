@@ -204,6 +204,49 @@ def unigram_logprob(
     )
 
 
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the information-density quality signal: low entropy at high length
+    means repetitive junk (keyword stuffing, boilerplate loops) that
+    repetition_features' fixed-n window can miss, and abnormally high
+    entropy flags mojibake/random noise. The C4/Gopher family uses it
+    beside the repetition ratios.
+
+    H = -Σ (c/n)·ln(c/n) over the doc's distinct tokens. Each term is
+    micro-floored BEFORE the per-doc integer sum, so the result is
+    partition-order exact (the tx06/bm01 contract); the within-doc
+    distribution needs no corpus pass, so the whole operator is two
+    per-doc-keyed hash aggregates — map-side combinable, no skew
+    surface (group = document).
+
+    Output: (id, n_tokens, n_distinct, entropy_nats_micro).
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = ex.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    term = F.floor(
+        (F.col("c") / F.col("n")) * F.log(F.col("n") / F.col("c")) * 1_000_000
+    ).cast("long")
+    return (
+        counts.join(totals, "id")
+        .groupBy("id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.max("n_distinct").cast("long").alias("n_distinct"),
+            F.sum(term).cast("long").alias("entropy_nats_micro"),
+        )
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -849,3 +849,23 @@ def test_ka01_k_anonymity_ladder(spark):
         assert all(r["n"] >= 25 for r in rows)
     else:
         assert len(rows) == 1 and rows[0]["qi_nation"] == "*" and rows[0]["qi_segment"] == "*"
+
+
+def test_token_entropy_uniform_and_repetitive(spark):
+    from pyp_etl_pipeline_spark.operators.textan import token_entropy
+    import math
+
+    rows = [
+        (1, "a b c d"),              # uniform over 4 -> H = ln(4)
+        (2, "x x x x x x"),          # single token -> H = 0
+        (3, "a a a a a a a b"),      # skewed -> 0 < H < ln(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 4
+    # 4 terms of floor((1/4)*ln(4)*1e6)
+    assert out[1]["entropy_nats_micro"] == 4 * math.floor(0.25 * math.log(4.0) * 1e6)
+    assert out[2]["entropy_nats_micro"] == 0 and out[2]["n_distinct"] == 1
+    expected3 = math.floor(7 / 8 * math.log(8 / 7) * 1e6) + math.floor(1 / 8 * math.log(8.0) * 1e6)
+    assert out[3]["entropy_nats_micro"] == expected3
+    assert 0 < out[3]["entropy_nats_micro"] < out[1]["entropy_nats_micro"]
