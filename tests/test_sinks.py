@@ -127,3 +127,14 @@ def test_plan_compaction_contiguous_target_groups(spark):
     # partition invariance
     again = plan_compaction(df.repartition(7), "bytes", "name", target_size=60).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, plan))
+
+
+def test_scratch_path_stable_within_process_and_tagged():
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path
+
+    a, b = scratch_path("tag_a"), scratch_path("tag_b")
+    assert a != b and a.startswith("/") and "tag_a" in a
+    assert scratch_path("tag_a") == a  # stable within a process
+    import os
+
+    assert str(os.getpid()) in os.path.basename(a)  # process-unique token
