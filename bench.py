@@ -254,6 +254,7 @@ def main() -> None:
         ("BENCH_ANCHOR_R6.json", "vs_anchor_r6", "vs_anchor_r6_total"),
         ("BENCH_ANCHOR_R7.json", "vs_anchor_r7", "vs_anchor_r7_total"),
         ("BENCH_ANCHOR_R8.json", "vs_anchor_r8", "vs_anchor_r8_total"),
+        ("BENCH_ANCHOR_R9.json", "vs_anchor_r9", "vs_anchor_r9_total"),
     ):
         anchor_path = os.path.join(REPO, path)
         if not os.path.exists(anchor_path):
@@ -289,7 +290,7 @@ def main() -> None:
         "extended_total": round(sum(t for t in extended.values() if t >= 0), 3),
         "full": "BENCH_FULL_LOCAL.json",
     }
-    for k in ("vs_anchor_total", "vs_anchor_r8_total"):
+    for k in ("vs_anchor_total", "vs_anchor_r8_total", "vs_anchor_r9_total"):
         if k in out:
             compact[k] = out[k]
     print(json.dumps(compact))
