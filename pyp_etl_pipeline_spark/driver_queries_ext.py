@@ -1349,8 +1349,8 @@ def ex02_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     from pyp_etl_pipeline_spark.operators import export  # noqa: PLC0415
 
-    # fixed scratch path + pre-clean: repeat gate/bench invocations
-    # replace the shard dir instead of accumulating mkdtemp orphans
+    # process-unique scratch path + pre-clean: repeat invocations within
+    # a session replace the shard dir; concurrent sessions never collide
     path = scratch_path("ex02_shards")
     shutil.rmtree(path, ignore_errors=True)
     export.write_sharded(load_table(spark, sf, "documents"), path, "doc_id", 16)
