@@ -3025,10 +3025,18 @@ def st07_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The GAP test runs on exact integer MICROSECONDS (epoch_us), because
+# Spark's session_window merges on the raw microsecond timestamps: a
+# pair with true delta 1799.5s but floored-second delta 1800 merges in
+# the engine and must merge here (caught by the sf0.1 gate — one such
+# pair exists there and none at sf0.01). The OUTPUT stays in floored
+# seconds: floor commutes with min/max, and the engine's
+# unix_timestamp(session_start/end) floors the same way.
 ST07_SQL = """
-WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-     l AS (SELECT *, ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap FROM e),
-     s AS (SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                  epoch_us(ts) AS us FROM events),
+     l AS (SELECT *, us - lag(us) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us FROM e),
+     s AS (SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
                           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
            FROM l)
 SELECT user_id, min(ep) AS session_start, max(ep) + 1800 AS session_end,
