@@ -3446,10 +3446,19 @@ def hy01_hybrid_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     text_list = _textan.bm25_rank(_load_corpus(spark, sf, "documents")).select(
         "doc_id", F.col("rank").alias("text_rank")
     )
-    emb = _load_corpus(spark, sf, "embeddings")
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+
+    # idempotent-ingest contract: collapse duplicated embedding rows,
+    # and restrict to document ids with a SEMI join — an inner join
+    # against a duplicated documents table would MULTIPLY embedding
+    # rows and let one doc consume two top-10 slots (caught by the
+    # --dupes gate run from the sf0.01 base; the twin's IN() was
+    # already a semi join)
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     doc_vecs = emb.join(
         load_table(spark, sf, "documents").select(F.col("doc_id").alias("vec_id")),
         "vec_id",
+        "left_semi",
     )
     q = emb.filter(F.col("vec_id") == 0).select(
         F.lit(-1).alias("query_id"), F.col("embedding").alias("query_vec")
@@ -3484,9 +3493,9 @@ WITH bm AS ({BM01_BODY}),
 text_list AS (SELECT doc_id, rank AS text_rank FROM bm),
 dv AS (
   SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
-  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM documents)
+  FROM (SELECT DISTINCT * FROM embeddings) WHERE vec_id IN (SELECT doc_id FROM documents)
 ),
-q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM (SELECT DISTINCT * FROM embeddings) WHERE vec_id = 0),
 scored AS (SELECT doc_id, list_cosine_similarity(qv, v) AS cos FROM dv, q),
 vec_list AS (
   SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
@@ -3922,10 +3931,19 @@ def ev03_rank_agreement(spark: SparkSession, sf: str) -> DataFrame:
     text_list = _textan.bm25_rank(_load_corpus(spark, sf, "documents")).select(
         "doc_id", F.col("rank").cast("long").alias("text_rank")
     )
-    emb = _load_corpus(spark, sf, "embeddings")
+    from pyp_etl_pipeline_spark.driver_queries_ext import _load_corpus_unique  # noqa: PLC0415
+
+    # idempotent-ingest contract: collapse duplicated embedding rows,
+    # and restrict to document ids with a SEMI join — an inner join
+    # against a duplicated documents table would MULTIPLY embedding
+    # rows and let one doc consume two top-10 slots (caught by the
+    # --dupes gate run from the sf0.01 base; the twin's IN() was
+    # already a semi join)
+    emb = _load_corpus_unique(spark, sf, "embeddings")
     doc_vecs = emb.join(
         load_table(spark, sf, "documents").select(F.col("doc_id").alias("vec_id")),
         "vec_id",
+        "left_semi",
     )
     q = emb.filter(F.col("vec_id") == 0).select(
         F.lit(-1).alias("query_id"), F.col("embedding").alias("query_vec")
@@ -3963,9 +3981,9 @@ WITH bm AS ({BM01_BODY}),
 text_list AS (SELECT doc_id, CAST(rank AS BIGINT) AS text_rank FROM bm),
 dv AS (
   SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
-  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM documents)
+  FROM (SELECT DISTINCT * FROM embeddings) WHERE vec_id IN (SELECT doc_id FROM documents)
 ),
-q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM (SELECT DISTINCT * FROM embeddings) WHERE vec_id = 0),
 scored AS (SELECT doc_id, list_cosine_similarity(qv, v) AS cos FROM dv, q),
 vec_list AS (
   SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS vec_rank
