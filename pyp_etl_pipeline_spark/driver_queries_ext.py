@@ -4,8 +4,11 @@ dedup suite, ANN search, text analysis, streaming — plus the merged REGISTRY.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -24,11 +27,25 @@ from pyp_etl_pipeline_spark.tables import load_table
 # write/rmtree their own directories — ADVICE r8: fixed names raced).
 _SCRATCH_TOKEN = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
 
+# Every path handed out by scratch_path; swept at interpreter exit so
+# gate/bench/CI processes don't leak parquet copies into /tmp (the old
+# fixed names self-replaced across runs; per-process names don't).
+_SCRATCH_PATHS: set[str] = set()
+
+
+@atexit.register
+def _sweep_scratch() -> None:
+    for p in _SCRATCH_PATHS:
+        shutil.rmtree(p, ignore_errors=True)
+
 
 def scratch_path(tag: str) -> str:
     """Per-process-unique scratch directory path for queries that write
-    intermediate files (format round-trips, streaming file sources)."""
-    return os.path.join(tempfile.gettempdir(), f"pyp_{tag}_{_SCRATCH_TOKEN}")
+    intermediate files (format round-trips, streaming file sources).
+    Tracked and rmtree'd at process exit."""
+    p = os.path.join(tempfile.gettempdir(), f"pyp_{tag}_{_SCRATCH_TOKEN}")
+    _SCRATCH_PATHS.add(p)
+    return p
 
 
 def _load_corpus(spark: SparkSession, sf: str, name: str) -> DataFrame:
@@ -71,16 +88,31 @@ def _load_corpus_unique(spark: SparkSession, sf: str, name: str) -> DataFrame:
     item 2: the per-query distinct taxed cp01/tx05/mm08/j16/dc01/mx02
     by 1.2-1.4x)."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf), name)
-    cached = _UNIQUE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    target = spark.sparkContext.defaultParallelism
-    df = load_table(spark, sf, name).distinct().repartition(target).persist()
-    _UNIQUE_CACHE[key] = df
-    return df
+    with _UNIQUE_LOCK:
+        # evict entries from stopped sessions: their persisted handles pin
+        # dead JVM references and can never be returned again (a restarted
+        # session gets a fresh applicationId, but don't rely on that).
+        for k in [k for k, v in _UNIQUE_CACHE.items() if _session_stopped(v)]:
+            _UNIQUE_CACHE.pop(k, None)
+        cached = _UNIQUE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        target = spark.sparkContext.defaultParallelism
+        df = load_table(spark, sf, name).distinct().repartition(target).persist()
+        _UNIQUE_CACHE[key] = df
+        return df
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — any failure to reach the JVM means dead
+        return True
 
 
 _UNIQUE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_UNIQUE_LOCK = threading.Lock()
 
 
 # --------------------------------------------------------------------------
@@ -3554,172 +3586,28 @@ from pyp_etl_pipeline_spark import driver_queries_ext4 as _ext4  # noqa: E402
 
 REGISTRY.update(_ext4.QUERIES4)
 
-# The driver's correctness gate only covers the first 50 registry entries.
-# Round-7 rotation: (a) the six queries NO driver round has ever sampled
-# (green in the local gate, zero driver evidence — VERDICT r6 #4);
-# (b) everything whose implementation or twin changed this round: the
-# pk01 deterministic-bucket prefix-sum fix (THE red row of r6), the w06
-# twin null filter, the st06/ex02 scratch-path rework, the
-# expectation-report null/empty semantics (dq01), the salted-join
-# deterministic salt (sk01), and the kmeans-validated ann04/sd01;
-# (c) everything else, stalest driver row first, so no query's last
-# driver check keeps aging.
+# The driver's correctness gate only covers the first 50 registry
+# entries; this list sets that window per round (changed-code re-certs
+# first, then the stalest driver evidence), so no query's last driver
+# check keeps aging. Duplicates further down are harmless: dict
+# insertion keeps the FIRST occurrence's position.
 _DRIVER_PRIORITY = [
-    # round-9 rotation — the driver gate samples the FIRST 50 registry
-    # entries. Slots: (a) the 11 queries with ZERO driver evidence
-    # (the ten r8 leftovers the judge listed + the new dd10);
-    # (b) streaming re-certification st09/st10 (VERDICT r8 item 8 —
-    # st11 is already in (a)); (c) the 12 queries whose operator, twin,
-    # or build path changed this round (null-keeper election, centroid
-    # overflow, noisy-counts encoding, n_chars null handling, scratch
-    # paths, heavy-hitters schema); (d) backfill with the STALEST
-    # driver evidence (r2 -> r4 -> r5), so no green row ages forever.
-    # Duplicates further down are harmless: dict insertion keeps the
-    # FIRST occurrence's position.
-    # (a) zero driver evidence
-    "ab01_ab_test_readout",
-    "ann08_int8_topk",
-    "cd02_apply_changefeed",
-    "dd09_containment_pairs",
-    "dd10_exact_substring_spans",
-    "dr01_psi_drift",
-    "ka02_l_diversity",
-    "q09_priority_with_returns",
-    "q10_returned_revenue_topk",
-    "st11_streaming_psi_drift",
-    "tx18_zipf_fit",
-    "tx19_token_entropy",
-    # (b) streaming re-certification
-    "st09_stream_stream_left_join",
-    "st10_streaming_materialized_rollup",
-    # (c) changed this round
-    "ks01_keep_best_per_cluster",
-    "dm01_label_centroid_cosine",
-    "dp01_noisy_counts",
-    "a10_length_histogram",
-    "mm04_frame_sample_plan",
-    "hh01_threshold_heavy_hitters",
-    "fm01_orc_roundtrip",
-    "se01_schema_evolution",
-    "ex02_export_roundtrip",
-    "ex03_jsonl_roundtrip",
-    "st06_streaming_upsert",
-    "pt01_partition_pruned_rollup",
-    # (d) stalest driver evidence: last green r2
-    "dc01_decontaminate",
-    "e03_crosslink_dedup",
-    "o01_topk_orders_per_customer",
-    "o04_latest_order_per_customer",
-    "p01_header_mapping",
-    "sp01_hash_split",
-    "t09_masking",
-    "tx05_repetition",
-    "tx06_unigram_logprob",
-    # (d) last green r4
-    "a03_push_summary",
-    "dd01_exact_dup_histogram",
-    "f03_name_email_validation",
-    "f05_country_whitelist",
-    "o07_distinct_sorted_filters",
-    "sh01_simhash_pairs",
-    "t03_punct_lower_key",
-    "tx01_quality_features",
-    "tx02_token_counts",
-    "tx03_language_id",
-    "tx04_fingerprints",
-    # (d) last green r5
-    "a01_band_summary",
-    "a02_member_rollup",
-    "a05_error_summary_24h",
-    "a07_status_priority_rollup",
-    # (a08 backfill slot ceded to tx19; stalest-first backfill resumes
-    # next round)
-    # ---- end of the 50-slot round-9 driver window ----
-    "ka01_k_anonymity",
-    "uv01_unpivot_part_attrs",
-    "gs01_grouping_sets",
+    # round-10 rotation — the driver gate samples the FIRST 50 registry
+    # entries (VERDICT r9 items 1-2).
+    # (a) code or twin changed AFTER the last driver row hashed it:
+    #     hy01/ev03 (LEFT SEMI + unique embeddings, a52ef8e, last row r8),
+    #     st07 (twin micros fix e3b35fb, last row r6), dd09 (ANSI long
+    #     cast in the candidate filter, this round, last row r9), and
+    #     mm01 (byte_stat0/1 rename of the plumbing stats, this round).
     "hy01_hybrid_rrf_fusion",
-    "bfs01_reach_levels",
-    "hh01_threshold_heavy_hitters",
-    "sq01_session_transitions",
-    "gf01_gap_fill",
-    "ii01_inverted_index",
-    "qt01_histogram_quantiles",
-    "ev01_linkage_eval",
-    "tk02_wordpiece_segment",
-    "ia01_incremental_rollup",
-    "bm01_bm25_rank",
-    "pt01_partition_pruned_rollup",
-    "st09_stream_stream_left_join",
-    "js01_json_extract_rollup",
-    "ad01_traffic_anomalies",
-    "wz01_winsorized_stats",
-    "mm08_hadamard_spectrum",
-    "cp01_compaction_plan",
-    "tx15_readability",
-    "pf01_table_profile",
-    "ep01_epoch_shuffle",
-    "tc01_triangle_census",
-    "bf01_bloom_decontaminate",
-    "st10_streaming_materialized_rollup",
-    "w10_ohlc_bars",
-    "mm09_image_dhash",
-    "mm10_image_neardup_pairs",
-    "ann06_ivfpq_topk",
-    "tx16_heldout_logprob",
-    "ws01_weighted_sample",
-    "mm11_audio_fingerprint_groups",
-    "pp02_multimodal_curation",
-    "o08_keyset_pagination",
-    "a10_length_histogram",
-    "tx11_quality_percentile_gate",
-    "w05_ntile_quartiles",
-    "u05_status_set_ops",
-    "u06_multiset_ops",
-    "mm07_mjpeg_frames",
-    "ann05_pq_topk",
-    "st08_stream_static_enrich",
-    "tx14_bigram_logprob",
-    "mx02_token_budget_fill",
-    "gr01_pagerank",
-    "tk01_bpe_vocab",
-    "a13_hll_distinct",
-    "w09_ewma_value",
-    "cms01_heavy_hitters",
-    "ex03_jsonl_roundtrip",
-    "zo01_zorder_cells",
-    "pk01_sequence_packing",
-    "w06_group_zscores",
-    "st06_streaming_upsert",
-    "ex02_export_roundtrip",
-    "dq01_expectation_report",
-    "sk01_salted_join",
-    "ann04_kmeans_clusters",
-    "sd01_semantic_dedup",
-    "dc01_decontaminate",
-    "e03_crosslink_dedup",
-    "o01_topk_orders_per_customer",
-    "o04_latest_order_per_customer",
-    "p01_header_mapping",
-    "sp01_hash_split",
-    "t09_masking",
-    "tx05_repetition",
-    "tx06_unigram_logprob",
-    "a03_push_summary",
-    "dd01_exact_dup_histogram",
-    "f03_name_email_validation",
-    "f05_country_whitelist",
-    "o07_distinct_sorted_filters",
-    "sh01_simhash_pairs",
-    "t03_punct_lower_key",
-    "tx01_quality_features",
-    "tx02_token_counts",
-    "tx03_language_id",
-    "tx04_fingerprints",
-    "a01_band_summary",
-    "a02_member_rollup",
-    "a05_error_summary_24h",
-    "a07_status_priority_rollup",
+    "ev03_rank_agreement",
+    "st07_streaming_sessions",
+    "dd09_containment_pairs",
+    # (b) the ENTIRE r5-stale evidence tier (40 queries — the oldest
+    #     green rows in the ledger; mm01 changed this round and j13 is
+    #     the heaviest plan in PLANS.md, so they lead).
+    "mm01_media_features",
+    "j13_reject_payload",
     "a08_percentile_summary",
     "aj01_asof_purchase_view",
     "dd02_ngram_jaccard_pairs",
@@ -3738,8 +3626,6 @@ _DRIVER_PRIORITY = [
     "j10_dim_lookup_or_create",
     "j11_offerings_derivation",
     "j12_canonical_backfill",
-    "j13_reject_payload",
-    "mm01_media_features",
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q03_region_revenue",
@@ -3760,12 +3646,17 @@ _DRIVER_PRIORITY = [
     "w02_sliding_1h_15m",
     "w03_sessionize_30m",
     "w04_lag_delta",
+    # (c) backfill: stalest-first from the r6 tier.
     "a09_event_pivot",
     "a11_cube_summary",
     "a12_cohort_retention",
     "ann01_cosine_topk",
     "ann02_lsh_topk",
     "ann03_ivf_topk",
+    # ---- end of the 50-slot round-10 driver window ----
+    # backfill order for future windows: rest of r6, then r7, then r8
+    # (r9-fresh entries follow in REGISTRY insertion order).
+    "ann04_kmeans_clusters",
     "bk01_bucketed_join",
     "cd01_snapshot_diff",
     "ck01_document_chunks",
@@ -3775,6 +3666,7 @@ _DRIVER_PRIORITY = [
     "dd05_incremental_minhash",
     "dd06_span_dedup",
     "dd07_neardup_dedup",
+    "dq01_expectation_report",
     "ex01_shard_stats",
     "j14_scd2_history",
     "j15_live_uid_fallback",
@@ -3782,7 +3674,6 @@ _DRIVER_PRIORITY = [
     "ml01_linear_trend",
     "mm02_media_decode",
     "mm03_jpeg_decode",
-    "mm04_frame_sample_plan",
     "mm05_mp4_metadata",
     "mm06_audio_features",
     "mx01_corpus_mixture",
@@ -3792,8 +3683,9 @@ _DRIVER_PRIORITY = [
     "px02_pseudonymization",
     "q06_large_volume_customers",
     "rj01_interval_join",
+    "sd01_semantic_dedup",
+    "sk01_salted_join",
     "st05_stream_stream_join",
-    "st07_streaming_sessions",
     "tx07_gopher_rules",
     "tx08_html_extract",
     "tx09_token_topk",
@@ -3802,6 +3694,85 @@ _DRIVER_PRIORITY = [
     "tx13_pmi_collocations",
     "w07_rolling_30d_revenue",
     "w08_funnel_analysis",
+    "a13_hll_distinct",
+    "ad01_traffic_anomalies",
+    "bf01_bloom_decontaminate",
+    "bm01_bm25_rank",
+    "cms01_heavy_hitters",
+    "cp01_compaction_plan",
+    "ep01_epoch_shuffle",
+    "ev01_linkage_eval",
+    "gf01_gap_fill",
+    "ia01_incremental_rollup",
+    "ii01_inverted_index",
+    "js01_json_extract_rollup",
+    "mm07_mjpeg_frames",
+    "mm08_hadamard_spectrum",
+    "mm09_image_dhash",
+    "mm10_image_neardup_pairs",
+    "mm11_audio_fingerprint_groups",
+    "o08_keyset_pagination",
+    "pf01_table_profile",
+    "pp02_multimodal_curation",
+    "qt01_histogram_quantiles",
+    "st08_stream_static_enrich",
+    "tc01_triangle_census",
+    "tk01_bpe_vocab",
+    "tk02_wordpiece_segment",
+    "tx11_quality_percentile_gate",
+    "tx14_bigram_logprob",
+    "tx15_readability",
+    "tx16_heldout_logprob",
+    "u05_status_set_ops",
+    "u06_multiset_ops",
+    "w05_ntile_quartiles",
+    "w06_group_zscores",
+    "w09_ewma_value",
+    "w10_ohlc_bars",
+    "ws01_weighted_sample",
+    "wz01_winsorized_stats",
+    "zo01_zorder_cells",
+    "aj02_asof_directions",
+    "ann05_pq_topk",
+    "ann06_ivfpq_topk",
+    "ann07_ivfpq_refine_topk",
+    "bfs01_reach_levels",
+    "br01_boolean_retrieval",
+    "cf01_cascade_filter",
+    "cu01_curriculum_schedule",
+    "dc03_semantic_decontaminate",
+    "dd08_dedup_savings",
+    "ev02_ann_recall",
+    "ev04_gate_calibration",
+    "ev05_gate_kappa",
+    "ev06_quality_auc",
+    "fh01_feature_hashing",
+    "gr01_pagerank",
+    "gr02_star_components",
+    "gs01_grouping_sets",
+    "hn01_hard_negatives",
+    "im01_class_weight_plan",
+    "ka01_k_anonymity",
+    "mk01_mlm_masking_plan",
+    "mm12_gif_decode",
+    "mm13_gif_animation_frames",
+    "mm14_resized_thumbs",
+    "mx02_token_budget_fill",
+    "mx03_temperature_mixture",
+    "pb01_padding_efficiency",
+    "pk01_sequence_packing",
+    "px03_pii_density",
+    "q07_promo_revenue_share",
+    "q08_idle_customers",
+    "qn01_int8_quantize",
+    "rp01_corpus_datacard",
+    "sa01_skew_audit",
+    "sp03_group_safe_split",
+    "sq01_session_transitions",
+    "tk03_vocab_coverage",
+    "tk04_vocab_coverage_curve",
+    "tx17_url_normalize",
+    "uv01_unpivot_part_attrs",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},

@@ -608,11 +608,13 @@ FROM events GROUP BY 1
 # --------------------------------------------------------------------------
 
 def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal extract-features over binary payloads synthesized from
-    the documents table (payload = utf-8 bytes of text; kind cycles
-    image/audio/video). Arrow-batched mapInPandas with the deterministic
-    stub decoder. The DuckDB twin reproduces every feature from the text
-    (the corpus is ASCII, so byte arithmetic equals char arithmetic);
+    """Multimodal PAYLOAD-PLUMBING stats over binary payloads synthesized
+    from the documents table (payload = utf-8 bytes of text; kind cycles
+    image/audio/video): byte length, md5 checksum, byte_stat0/1 (byte-sum
+    mod 997 / length mod 31 — transport/integrity stats of the raw
+    bytes, NOT media features; real decodes are mm02–mm14). Arrow-batched
+    mapInPandas. The DuckDB twin reproduces every stat from the text via
+    hex-pair byte walking (byte arithmetic, never char arithmetic);
     plumbing values are additionally golden-tested in pytest."""
     from pyp_etl_pipeline_spark.multimodal.binary_ops import extract_features  # noqa: PLC0415
 
@@ -645,8 +647,8 @@ SELECT doc_id AS media_id,
        CASE WHEN strlen(text) = 0 THEN 0.0
             ELSE (list_sum(list_transform(generate_series(1, strlen(text)),
                    i -> ('0x' || substr(hex(text), (i * 2 - 1)::INT, 2))::BIGINT)) % 997) / 997.0
-       END AS feat0,
-       (strlen(text) % 31) / 31.0 AS feat1
+       END AS byte_stat0,
+       (strlen(text) % 31) / 31.0 AS byte_stat1
 FROM documents
 """
 

@@ -1222,8 +1222,14 @@ def dd09_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
         pref.hint("shuffle_hash")
         .join(full, "h")
         .filter(
+            # n_x/n_y come from F.size (IntegerType): cast to long BEFORE
+            # the micro multiply — under ANSI a >2147-shingle doc (~2150
+            # words, routine at 100 TB) would overflow int32 (ADVICE r9).
             (F.col("id_x") != F.col("id_y"))
-            & (F.col("n_y") * 1_000_000 >= F.lit(t_micro) * F.col("n_x"))
+            & (
+                F.col("n_y").cast("long") * 1_000_000
+                >= F.lit(t_micro).cast("long") * F.col("n_x").cast("long")
+            )
         )
         .select(
             F.least("id_x", "id_y").alias("id_a"), F.greatest("id_x", "id_y").alias("id_b")
@@ -1269,7 +1275,10 @@ def dd09_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("p"),
         "n_inter",
     ).select("p.src_id", "p.ref_id", F.col("p.n_src").cast("long").alias("n_src"), "n_inter")
-    return directed.filter(F.col("n_inter") * 1000000 >= t_micro * F.col("n_src")).select(
+    return directed.filter(
+        F.col("n_inter") * F.lit(1_000_000).cast("long")
+        >= F.lit(t_micro).cast("long") * F.col("n_src")
+    ).select(
         "src_id",
         "ref_id",
         "n_src",

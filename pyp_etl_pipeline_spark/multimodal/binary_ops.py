@@ -16,10 +16,11 @@ Two decode paths:
   mvhd duration, tkhd dims — ``codecs.mp4_decode``, oracle-checked by
   mm04/mm05); ``frame_sample_decoded`` plans frame grids from those
   real container bytes.
-- STUB: only pixel/audio decode of COMPRESSED video (the codec
-  payloads inside the container) needs external codecs that are not
-  in this container; ``extract_features`` computes deterministic
-  byte-level stand-ins and ``decode_real`` raises
+- PLUMBING: ``extract_features`` computes transport/integrity stats of
+  the raw bytes (length, md5, byte-sum mod — NOT media features; see
+  its docstring). Only pixel/audio decode of COMPRESSED inter-frame
+  video (the codec payloads inside the container) needs external
+  codecs that are not in this container; ``decode_real`` raises
   ``NotImplementedError`` naming the format.
 """
 
@@ -59,7 +60,10 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, checksum string, feat0 double, feat1 double"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, checksum string, "
+    "byte_stat0 double, byte_stat1 double"
+)
 
 # Repo root as a PLAIN STRING: worker-side closures capture it (strings
 # pickle by value) and bootstrap sys.path before importing this package —
@@ -94,11 +98,28 @@ def decode_real(payload: bytes, kind: str) -> dict:
         # video decode path (see sample_frames_decoded) — no libav.
         meta = codecs.avi_mjpeg_decode(payload)
         return {"format": "avi", **{k: v for k, v in meta.items() if k != "frames"}}
+    from pyp_etl_pipeline_spark.multimodal import plugins  # noqa: PLC0415
+
+    decoder = plugins.get_video_decoder(fmt) if fmt else None
+    if decoder is not None:
+        # a registered backend (see multimodal/plugins.py — e.g. PyAV on
+        # a libav-equipped cluster image) claims this container format:
+        # real frame decode, real stats, still no fake path
+        n = 0
+        w = h = None
+        last_pts = 0.0
+        for _idx, pts_ms, frame in decoder.decode_frames(payload):
+            if w is None:
+                h, w = int(frame.shape[0]), int(frame.shape[1])
+            last_pts = pts_ms
+            n += 1
+        return {"format": fmt, "width": w, "height": h, "n_frames": n, "duration_ms": last_pts}
     raise NotImplementedError(
         f"no pure-python codec for this {kind} payload (PNG, WAV, JPEG, "
         "MJPEG-AVI and MP4-container metadata decode natively; only "
         "INTER-FRAME video codecs — H.264/VP9/AV1 payloads — still need "
-        "libav on the cluster image)"
+        "libav on the cluster image: see multimodal/plugins.py for the "
+        "decoder registration seam)"
     )
 
 
@@ -290,51 +311,35 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def _fake_features(payload: bytes) -> tuple[float, float]:
-    """Deterministic stand-in features derived from the raw bytes."""
-    if not payload:
-        return 0.0, 0.0
-    s = sum(payload)
-    return (s % 997) / 997.0, (len(payload) % 31) / 31.0
-
-
-def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched PAYLOAD-PLUMBING stats over binary columns: byte
+    length, md5 checksum, and two deterministic byte-level statistics
+    (``byte_stat0`` = byte-sum mod 997, ``byte_stat1`` = length mod 31).
+    These are transport/integrity features of the raw bytes — NOT image
+    or audio features; real decodes live in ``decode_features`` /
+    ``gif_pixel_stats`` / ``sample_frames_decoded`` (mm02–mm14).
 
     ``mapInPandas`` keeps partitioning; each batch is a pandas DataFrame so
-    a real decoder would vectorize over the batch, not per row.
+    the stats vectorize over the batch, not per row.
     """
-    # nested copy of _fake_features: a closure reference to a
-    # module-level helper pickles as an import the executor worker may
-    # not be able to resolve (see REPO_ROOT note); nested functions
-    # pickle by value
-    def fake(payload: bytes) -> tuple[float, float]:
+    # nested helper: a closure reference to a module-level function
+    # pickles as an import the executor worker may not be able to
+    # resolve (see REPO_ROOT note); nested functions pickle by value
+    def byte_stats(payload: bytes) -> tuple[float, float]:
         if not payload:
             return 0.0, 0.0
         s = sum(payload)
         return (s % 997) / 997.0, (len(payload) % 31) / 31.0
-
-    repo_root = REPO_ROOT
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # noqa: PLC0415
 
         for pdf in batches:
             payloads = pdf["payload"]
-            if not use_stub:
-                import sys  # noqa: PLC0415
-
-                if repo_root not in sys.path:
-                    sys.path.insert(0, repo_root)
-                from pyp_etl_pipeline_spark.multimodal.binary_ops import (  # noqa: PLC0415
-                    decode_real,
-                )
-
-                decode_real(b"", "image")  # pragma: no cover
             # a MISSING payload is not an EMPTY payload: NULL in -> NULL
             # features out (md5('') for a null blob was a lie the null-
             # injection sweep caught, r8)
-            feats = [fake(p) if p is not None else (None, None) for p in payloads]
+            feats = [byte_stats(p) if p is not None else (None, None) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -345,8 +350,8 @@ def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
                     "checksum": [
                         hashlib.md5(p).hexdigest() if p is not None else None for p in payloads
                     ],
-                    "feat0": [f[0] for f in feats],
-                    "feat1": [f[1] for f in feats],
+                    "byte_stat0": [f[0] for f in feats],
+                    "byte_stat1": [f[1] for f in feats],
                 }
             )
 
@@ -513,7 +518,7 @@ SAMPLED_FRAME_SCHEMA = (
 )
 
 
-def sample_frames_decoded(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames_decoded(df: DataFrame, every_ms: int = 1000, decoder=None) -> DataFrame:
     """Sampled-frame PIXEL decode for MJPEG-AVI video: the container's
     frame chunks are independent baseline JPEGs, so the frame at each
     grid timestamp really decodes (marker walk + DC entropy decode) —
@@ -530,8 +535,15 @@ def sample_frames_decoded(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     Shape: Arrow-batched mapInPandas, partition-preserving map-only —
     each task decodes only its partition's payloads and only the
     SAMPLED frames, which is the property that matters when a 100 TB
-    corpus carries hour-long clips sampled at 1 fps."""
+    corpus carries hour-long clips sampled at 1 fps.
+
+    ``decoder``: an explicit :class:`multimodal.plugins.VideoFrameDecoder`
+    for inter-frame containers, pickled by value into the worker closure
+    (dependency injection — registry state does not travel driver ->
+    worker). When None, workers consult their own plugin registry, which
+    a cluster image arms via ``PYP_VIDEO_PLUGIN`` (see plugins.py)."""
     repo_root = REPO_ROOT
+    injected = decoder
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct  # noqa: PLC0415
@@ -542,11 +554,50 @@ def sample_frames_decoded(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             sys.path.insert(0, repo_root)
         from pyp_etl_pipeline_spark.multimodal import codecs  # noqa: PLC0415
 
+        from pyp_etl_pipeline_spark.multimodal import plugins  # noqa: PLC0415
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else b""
-                if codecs.sniff_kind(p) != "avi":
+                fmt = codecs.sniff_kind(p)
+                if fmt != "avi":
+                    # inter-frame containers (mp4/mkv/webm) decode only
+                    # through a registered or injected backend
+                    # (plugins.py seam) — without one they are skipped,
+                    # stray-tolerant
+                    if injected is not None and fmt in getattr(
+                        injected, "container_formats", ()
+                    ):
+                        dec = injected
+                    else:
+                        dec = plugins.get_video_decoder(fmt) if fmt else None
+                    if dec is not None:
+                        try:
+                            frames = list(dec.decode_frames(p))
+                        except Exception:  # noqa: BLE001 — stray payload
+                            continue
+                        if not frames:
+                            continue
+                        duration_ms = frames[-1][1]
+                        n_samples = max(1, int(duration_ms // every_ms))
+                        for k in range(n_samples):
+                            ts = k * every_ms
+                            idx = max(
+                                (i for i, (_, pts, _f) in enumerate(frames) if pts <= ts),
+                                default=0,
+                            )
+                            _, _, fr = frames[idx]
+                            rows.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_idx": int(frames[idx][0]),
+                                    "frame_ts_ms": int(ts),
+                                    "width": int(fr.shape[1]),
+                                    "height": int(fr.shape[0]),
+                                    "mean_val": float(fr.mean()),
+                                }
+                            )
                     continue
                 try:
                     meta = codecs.avi_mjpeg_decode(p)

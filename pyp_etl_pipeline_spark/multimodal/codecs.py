@@ -36,8 +36,8 @@ WAV_MAGIC = b"RIFF"
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """'png' / 'wav' / 'avi' / 'jpeg' / 'mp4' / 'gif' when the magic
-    bytes match, else None."""
+    """'png' / 'wav' / 'avi' / 'jpeg' / 'mp4' / 'gif' / 'mkv' when the
+    magic bytes match, else None."""
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -50,6 +50,10 @@ def sniff_kind(payload: bytes) -> str | None:
         return "jpeg"
     if payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        # EBML header: Matroska/WebM containers. No pure-python decode —
+        # inter-frame codecs dispatch via the multimodal/plugins.py seam.
+        return "mkv"
     return None
 
 

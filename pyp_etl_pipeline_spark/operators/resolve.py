@@ -290,28 +290,48 @@ def similarity_resolve(
     w = Window.partitionBy("__item").orderBy(F.desc("adjusted_score"), F.asc("raw_rnk"))
     ranked = scored.withColumn("rank", F.row_number().over(w))
 
-    best = ranked.filter(F.col("rank") == 1)
-    # Alternatives, reference app/etl.py:1342-1351: walk the extract (raw)
-    # order, skip the chosen best, keep adjusted >= the auto-reject
-    # threshold, stop at n; only the review branch materializes them.
-    alt_w = Window.partitionBy("__item").orderBy(F.asc("raw_rnk"))
-    alts = (
-        ranked.filter((F.col("rank") >= 2) & (F.col("adjusted_score") >= S.AUTO_REJECT_THRESHOLD))
-        .withColumn("alt_rank", F.row_number().over(alt_w))
-        .filter(F.col("alt_rank") <= n_alternatives)
-        .groupBy("__item")
-        .agg(
-            F.sort_array(
-                F.collect_list(
+    # Best row AND alternatives in ONE aggregation pass over ``ranked``
+    # (two filter+join consumers would each re-derive the whole fuzzy
+    # chain in the physical plan and meet in a sort-merge join — the
+    # heaviest shape in the registry until round 10). Alternatives,
+    # reference app/etl.py:1342-1351: walk the extract (raw) order, skip
+    # the chosen best, keep adjusted >= the auto-reject threshold, stop
+    # at n. ``alt_rank`` is the 1-based position among qualifying rows
+    # in raw order — a conditional running count over the SAME __item
+    # partitioning the ranking windows already shuffled on (no new
+    # exchange), exactly row_number-after-filter without the filter
+    # forking the plan.
+    alt_ok = (F.col("rank") >= 2) & (F.col("adjusted_score") >= S.AUTO_REJECT_THRESHOLD)
+    run_w = (
+        Window.partitionBy("__item")
+        .orderBy(F.asc("raw_rnk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_alt = ranked.withColumn(
+        "__alt_rank", F.sum(F.when(alt_ok, 1).otherwise(0)).over(run_w)
+    )
+    is_best = F.col("rank") == 1
+    keep_alt = alt_ok & (F.col("__alt_rank") <= n_alternatives)
+    best_cols = with_alt.groupBy("__item").agg(
+        F.max(F.when(is_best, F.col("__title"))).alias("__best_title"),
+        F.max(F.when(is_best, F.col("__cand_id"))).alias("__best_id"),
+        F.max(F.when(is_best, F.col("adjusted_score"))).alias("__best_score"),
+        F.sort_array(
+            # collect_list drops the NULLs the non-alternative rows
+            # produce; [] (no qualifying alternative) and the old
+            # missing-row NULL coalesce identically downstream
+            F.collect_list(
+                F.when(
+                    keep_alt,
                     F.struct(
-                        F.col("alt_rank").alias("rank"),
+                        F.col("__alt_rank").cast("int").alias("rank"),
                         F.col("__title").alias("name"),
                         F.round("adjusted_score", 4).alias("score"),
                         F.col("__cand_id").alias("ext_id"),
-                    )
+                    ),
                 )
-            ).alias("alternatives")
-        )
+            )
+        ).alias("__alts"),
     )
 
     empty_alts = F.array().cast("array<struct<rank:int,name:string,score:double,ext_id:string>>")
@@ -321,13 +341,6 @@ def similarity_resolve(
     # covers items whose blocking produced no candidate at all (best is
     # absent -> score 0.0 -> reject band with the item text as the
     # suggested name, exactly the reference's `name0 or text_sanitized`).
-    best_cols = best.join(alts, "__item", "left").select(
-        "__item",
-        F.col("__title").alias("__best_title"),
-        F.col("__cand_id").alias("__best_id"),
-        F.col("adjusted_score").alias("__best_score"),
-        F.col("alternatives").alias("__alts"),
-    )
     fuzzy_out = (
         misses.join(best_cols, "__item", "left")
         .withColumn("score", F.coalesce(F.col("__best_score"), F.lit(0.0)))

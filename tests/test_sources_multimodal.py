@@ -92,9 +92,9 @@ def test_extract_features_deterministic(media):
     payload = b"\x89PNG fake bytes"
     assert out[1]["n_bytes"] == len(payload)
     assert out[1]["checksum"] == hashlib.md5(payload).hexdigest()
-    assert out[1]["feat0"] == (sum(payload) % 997) / 997.0
+    assert out[1]["byte_stat0"] == (sum(payload) % 997) / 997.0
     # a MISSING payload yields NULL features (not md5('')/0 — r8 contract)
-    assert out[4]["n_bytes"] is None and out[4]["feat0"] is None
+    assert out[4]["n_bytes"] is None and out[4]["byte_stat0"] is None
     assert out[4]["checksum"] is None and out[4]["kind"] is not None
 
 
@@ -211,3 +211,87 @@ def test_read_jsonl_upload_rejects_wrong_extension(spark, tmp_path):
     p.write_text("a,b\n1,2\n")
     with pytest.raises(ValueError, match="not a jsonl"):
         ingest.read_jsonl_upload(spark, str(p))
+
+
+# ------------------------------------------- video plugin seam (plugins.py)
+
+class _ToyInterFrameDecoder:
+    """Test-only backend exercising the DISPATCH plumbing (registration,
+    format claim, frame grid, stray tolerance) — explicitly synthetic;
+    the production path without a registered backend keeps raising
+    NotImplementedError (no fake decode ships)."""
+
+    container_formats = ("mkv",)
+
+    def decode_frames(self, payload):
+        import numpy as np
+
+        if len(payload) < 8:
+            raise ValueError("truncated")
+        # 3 frames, 20x10, 1 s apart; pixel value = frame index
+        for i in range(3):
+            yield i, i * 1000.0, np.full((10, 20, 3), i, dtype="uint8")
+
+
+MKV_MAGIC = b"\x1a\x45\xdf\xa3" + b"\x00" * 16
+
+
+@pytest.fixture()
+def _clean_video_registry():
+    from pyp_etl_pipeline_spark.multimodal import plugins
+
+    plugins.clear_video_decoders()
+    yield
+    plugins.clear_video_decoders()
+
+
+def test_interframe_video_raises_without_backend(_clean_video_registry):
+    with pytest.raises(NotImplementedError, match="plugins.py"):
+        binary_ops.decode_real(MKV_MAGIC, "video")
+
+
+def test_video_plugin_dispatch(spark, _clean_video_registry):
+    from pyp_etl_pipeline_spark.multimodal import plugins
+
+    plugins.register_video_decoder(_ToyInterFrameDecoder())
+    meta = binary_ops.decode_real(MKV_MAGIC, "video")
+    assert meta == {
+        "format": "mkv", "width": 20, "height": 10, "n_frames": 3, "duration_ms": 2000.0,
+    }
+    # registry state does NOT travel driver -> Python worker, so the
+    # distributed path takes an explicitly injected decoder: a class
+    # defined HERE (nested, no module-level bases) pickles by value
+    # into the worker closure
+    class _NestedToy:
+        container_formats = ("mkv",)
+
+        def decode_frames(self, payload):
+            import numpy as np
+
+            if len(payload) < 8:
+                raise ValueError("truncated")
+            for i in range(3):
+                yield i, i * 1000.0, np.full((10, 20, 3), i, dtype="uint8")
+
+    df = spark.createDataFrame(
+        [(1, "video", MKV_MAGIC), (2, "video", b"\x1a\x45\xdf\xa3"[:3]), (3, "video", None)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sorted(
+        binary_ops.sample_frames_decoded(df, every_ms=1000, decoder=_NestedToy()).collect(),
+        key=lambda r: (r["media_id"], r["frame_ts_ms"]),
+    )
+    # only media 1 decodes: 2 sampled frames (duration 2000 ms / 1000 ms)
+    assert [(r["media_id"], r["frame_idx"], r["frame_ts_ms"]) for r in rows] == [
+        (1, 0, 0), (1, 1, 1000),
+    ]
+    assert rows[0]["width"] == 20 and rows[0]["height"] == 10
+    assert rows[1]["mean_val"] == 1.0
+
+
+def test_pyav_backend_registers_when_available(_clean_video_registry):
+    pytest.importorskip("av", reason="libav/PyAV not on this image — seam stays honest")
+    from pyp_etl_pipeline_spark.multimodal import plugins
+
+    assert plugins.try_register_pyav()
+    assert plugins.get_video_decoder("mp4") is not None

@@ -44,6 +44,15 @@ HEAVY = [
     "sd01_semantic_dedup",
     "gr02_star_components",
     "bfs01_reach_levels",
+    # round-10 extension (VERDICT r9 item 5): the expensive non-ANN
+    # headliners, so every >1 s bench query has a measured 10x exponent
+    "j02_fuzzy_topk",
+    "j13_reject_payload",
+    "dd02_ngram_jaccard_pairs",
+    "dd03_minhash_lsh_pairs",
+    "a01_band_summary",
+    "w03_sessionize_30m",
+    "aj01_asof_purchase_view",
 ]
 
 TABLES = (
