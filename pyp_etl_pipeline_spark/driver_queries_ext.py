@@ -697,11 +697,32 @@ GROUP BY 1, 2
 
 
 def w03_sessionize_30m(spark: SparkSession, sf: str) -> DataFrame:
-    return windows.sessionize(load_table(spark, sf, "events"))
+    """Gaps-and-islands sessionization over the events table.
+
+    Idempotent-ingest contract (caught by the sf0.1 --dupes battery,
+    r10): a full-row duplicate AT a session boundary makes the
+    lag-flag -> running-sum pattern instance-based — Spark evaluates
+    both expressions over ONE sort in one WindowExec (deterministic),
+    but DuckDB's two window phases may re-sort tied identical rows
+    between them, attaching the boundary flag to different copies run
+    to run (user 908, sf0.1: sessions (2,2) vs (3,1)). Collapse copies
+    up front in BOTH engines — value-based and deterministic; identity
+    on already-unique driver data. The dedup rides the window's own
+    user_id partitioning (HashPartitioning(user_id) satisfies the
+    dropDuplicates clustering on its superset keys), so the collapse
+    costs ZERO extra shuffles — one events exchange total."""
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts")
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "event_id", "ts"])
+    )
+    return windows.sessionize(ev)
 
 
 W03_SQL = """
-WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+WITH e AS (SELECT DISTINCT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+           FROM events),
      l AS (SELECT *, ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap FROM e),
      s AS (SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
@@ -3064,15 +3085,26 @@ def st07_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
 # pair exists there and none at sf0.01). The OUTPUT stays in floored
 # seconds: floor commutes with min/max, and the engine's
 # unix_timestamp(session_start/end) floors the same way.
+#
+# Duplicate-instance hazard (w03's r10 lesson): the lag-flag ->
+# running-sum pattern over rows with full-row duplicates is
+# INSTANCE-based — DuckDB's two window phases can re-sort tied
+# identical rows between them and attach the boundary flag to a
+# different copy run to run. The engine's session_window merges by
+# VALUE (copies share a window) but still COUNTS copies, so the twin
+# groups copies first ((user_id, event_id, ts) + n_copies — total
+# order, no ties), runs the boundary logic over the unique rows, and
+# sums n_copies back into n_events. Identity on unique driver data.
 ST07_SQL = """
 WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
-                  epoch_us(ts) AS us FROM events),
+                  epoch_us(ts) AS us, count(*) AS n_copies
+           FROM events GROUP BY 1, 2, 3, 4, 5),
      l AS (SELECT *, us - lag(us) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us FROM e),
      s AS (SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
                           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
            FROM l)
 SELECT user_id, min(ep) AS session_start, max(ep) + 1800 AS session_end,
-       count(*) AS n_events
+       CAST(sum(n_copies) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, session_seq
 """
 

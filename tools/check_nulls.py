@@ -101,6 +101,46 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                     f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
                 )
         return
+    if mode == "longdocs":
+        # append 8 very LONG documents (2,200-3,400 words — straddling
+        # the 2,147-shingle int32 boundary): at 100 TB long docs are
+        # routine, but the driver corpus maxes ~100 words, so any int32
+        # arithmetic on F.size outputs (shingle counts, token counts,
+        # gram positions) is invisible to every other family. ADVICE r9
+        # found exactly this class in dd09 (`n_y * 1_000_000` raising
+        # ARITHMETIC_OVERFLOW under ANSI once a doc has >2147 shingles);
+        # this family makes it a live gate failure. The word sequence is
+        # deterministic (DuckDB hash of the position); docs 2k and 2k+1
+        # share ONE generator with different lengths, so each pair is a
+        # true prefix-containment near-dup — the candidate joins produce
+        # real pairs of >2147-shingle docs, which is what forces the
+        # suspect arithmetic to actually evaluate on big counts (an
+        # overflow expression inside a join filter never fires if long
+        # docs never pair).
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            if t == "documents":
+                con.execute(
+                    f"""COPY (
+                        SELECT * FROM read_parquet('{src_file}')
+                        UNION ALL
+                        SELECT 900000000 + j AS doc_id,
+                               array_to_string(
+                                 list_transform(generate_series(1, 2200 + j * 171),
+                                   i -> 'w' || (hash(i * 4 + (j // 2)) % 100000)), ' ') AS text,
+                               'en' AS lang, 'synthetic-long' AS source,
+                               strlen(array_to_string(
+                                 list_transform(generate_series(1, 2200 + j * 171),
+                                   i -> 'w' || (hash(i * 4 + (j // 2)) % 100000)), ' '))::BIGINT AS n_chars
+                        FROM (SELECT unnest(generate_series(0, 7)) AS j)
+                    ) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+                )
+        return
     if mode == "scramble":
         # rewrite every table with rows in md5-of-row-key order — the
         # file order a 1000-executor writer actually produces is
@@ -177,7 +217,9 @@ def main() -> int:
         mode = "scramble"
     elif "--unicode" in args:
         mode = "unicode"
-    args = [a for a in args if a not in ("--empty", "--dupes", "--scramble", "--unicode")]
+    elif "--longdocs" in args:
+        mode = "longdocs"
+    args = [a for a in args if a not in ("--empty", "--dupes", "--scramble", "--unicode", "--longdocs")]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
     dst = f"/tmp/spark_graft_sf{mode}"
