@@ -3305,11 +3305,18 @@ def w09_ewma_value(spark: SparkSession, sf: str) -> DataFrame:
     return win.ewma_by_key(load_events(spark, sf))
 
 
+# NOTE the halving step: the engine is F.floor((acc+x)/2) — TRUE floor
+# (floor(-5/2) = -3) — while DuckDB `//` truncates toward zero
+# ((-5)//2 = -2), so a bare `//` twin diverges by 1 on odd NEGATIVE
+# sums (caught by the --negatives sweep, r10). The identity below
+# subtracts the floor-remainder ((n % 2 + 2) % 2, always 0/1) to make
+# the dividend even, after which `//` is exact — pure integer, no
+# double round-trip.
 W09_SQL = """
 SELECT user_id, count(*)::BIGINT AS n_events,
        list_reduce(
          array_agg(CAST(floor(value * 100 + 0.5) AS BIGINT) ORDER BY ts, event_id),
-         (a, b) -> (a + b) // 2
+         (a, b) -> ((a + b) - (((a + b) % 2) + 2) % 2) // 2
        ) AS ewma_centi
 FROM events WHERE value IS NOT NULL GROUP BY 1
 """
@@ -3630,7 +3637,11 @@ _DRIVER_PRIORITY = [
     #     hy01/ev03 (LEFT SEMI + unique embeddings, a52ef8e, last row r8),
     #     st07 (twin micros fix e3b35fb, last row r6), dd09 (ANSI long
     #     cast in the candidate filter, this round, last row r9), and
-    #     mm01 (byte_stat0/1 rename of the plumbing stats, this round).
+    #     mm01 (byte_stat0/1 rename of the plumbing stats, this round),
+    #     w09 (twin halving step floor-corrected for negative sums —
+    #     --negatives family catch, this round; takes the slot ann03
+    #     would have had: changed code outranks stale-evidence backfill).
+    "w09_ewma_value",
     "hy01_hybrid_rrf_fusion",
     "ev03_rank_agreement",
     "st07_streaming_sessions",
@@ -3684,7 +3695,6 @@ _DRIVER_PRIORITY = [
     "a12_cohort_retention",
     "ann01_cosine_topk",
     "ann02_lsh_topk",
-    "ann03_ivf_topk",
     # ---- end of the 50-slot round-10 driver window ----
     # backfill order for future windows: rest of r6, then r7, then r8
     # (r9-fresh entries follow in REGISTRY insertion order).

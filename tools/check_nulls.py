@@ -141,6 +141,34 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                     f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
                 )
         return
+    if mode == "negatives":
+        # flip the SIGN of ~5% of events.value and customer.c_acctbal
+        # (deterministic hash pick): certifies sign-safety of every
+        # floor/DIV/ratio formula pair — floor(-x*1e6) vs CAST, DuckDB
+        # `//` vs Spark DIV on negative operands, z-scores/quantiles/
+        # winsorizing with negative tails. Real pipelines carry refunds,
+        # corrections, and signed deltas; the driver data is all-positive
+        # so this class is otherwise invisible.
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            if t == "events":
+                con.execute(
+                    f"""COPY (SELECT * REPLACE (
+                        CASE WHEN hash(event_id) % 20 = 7 THEN -value ELSE value END AS value)
+                        FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            elif t == "customer":
+                con.execute(
+                    f"""COPY (SELECT * REPLACE (
+                        CASE WHEN hash(c_custkey) % 20 = 15 THEN -c_acctbal ELSE c_acctbal END AS c_acctbal)
+                        FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+                )
+        return
     if mode == "scramble":
         # rewrite every table with rows in md5-of-row-key order — the
         # file order a 1000-executor writer actually produces is
@@ -219,7 +247,13 @@ def main() -> int:
         mode = "unicode"
     elif "--longdocs" in args:
         mode = "longdocs"
-    args = [a for a in args if a not in ("--empty", "--dupes", "--scramble", "--unicode", "--longdocs")]
+    elif "--negatives" in args:
+        mode = "negatives"
+    args = [
+        a
+        for a in args
+        if a not in ("--empty", "--dupes", "--scramble", "--unicode", "--longdocs", "--negatives")
+    ]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
     dst = f"/tmp/spark_graft_sf{mode}"
