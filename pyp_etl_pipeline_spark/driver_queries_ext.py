@@ -2872,7 +2872,7 @@ def st06_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.unix_timestamp("ts").alias("ts_sec"),
+        F.col("ts").cast("long").alias("ts_sec"),
         F.round("value", 2).alias("value"),
     )
 
@@ -2900,7 +2900,7 @@ def ml01_linear_trend(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     e = ev.select(
         "event_type",
-        F.unix_timestamp("ts").alias("ep"),
+        F.col("ts").cast("long").alias("ep"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
     ).filter(F.col("yc").isNotNull())
     t0 = e.agg(F.min("ep").alias("ep0"))
@@ -2960,7 +2960,7 @@ def w08_funnel_analysis(spark: SparkSession, sf: str) -> DataFrame:
     windows, no self-join of the event stream. Conversion is integer
     micro math vs the stage-1 population."""
     ev = load_table(spark, sf, "events")
-    e = ev.select("user_id", "event_type", F.unix_timestamp("ts").alias("ep"))
+    e = ev.select("user_id", "event_type", F.col("ts").cast("long").alias("ep"))
     t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ep").alias("t1"))
     t2 = (
         e.join(t1, "user_id")
@@ -3027,7 +3027,7 @@ def a12_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     cohort matrix, no window over the event stream."""
     ev = load_table(spark, sf, "events")
     weeks = (
-        ev.select("user_id", F.expr("unix_timestamp(ts) DIV 604800").alias("wk"))
+        ev.select("user_id", F.floor(F.col("ts").cast("long") / F.lit(604800)).alias("wk"))
         .distinct()
     )
     first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
@@ -3040,7 +3040,10 @@ def a12_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
 A12_SQL = """
 WITH weeks AS (
-  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events
+  -- true FLOOR division (not `//`, which truncates toward zero and
+  -- mis-buckets pre-1970 weeks — the --tsextremes class); the engine
+  -- side is F.floor(cast / 604800), the same floor-of-double path.
+  SELECT DISTINCT user_id, CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS wk FROM events
 ),
 first AS (SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY 1)
 SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
@@ -3072,8 +3075,8 @@ def st07_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name).select(
         "user_id",
-        F.unix_timestamp("session_start").alias("session_start"),
-        F.unix_timestamp("session_end").alias("session_end"),
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
         F.col("n_events").cast("long").alias("n_events"),
     )
 
@@ -3084,7 +3087,8 @@ def st07_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
 # the engine and must merge here (caught by the sf0.1 gate — one such
 # pair exists there and none at sf0.01). The OUTPUT stays in floored
 # seconds: floor commutes with min/max, and the engine's
-# unix_timestamp(session_start/end) floors the same way.
+# cast-to-long of session_start/end floors the same way (sign-safe:
+# unix_timestamp would truncate pre-1970 — the --tsextremes class).
 #
 # Duplicate-instance hazard (w03's r10 lesson): the lag-flag ->
 # running-sum pattern over rows with full-row duplicates is
@@ -3098,7 +3102,11 @@ def st07_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
 ST07_SQL = """
 WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
                   epoch_us(ts) AS us, count(*) AS n_copies
-           FROM events GROUP BY 1, 2, 3, 4, 5),
+           FROM events
+           -- pre-1970 excluded: the stream's watermark starts at epoch 0,
+           -- so those rows are late-on-arrival and dropped by the stateful
+           -- session operator (--tsextremes class)
+           WHERE ts >= TIMESTAMP '1970-01-01' GROUP BY 1, 2, 3, 4, 5),
      l AS (SELECT *, us - lag(us) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us FROM e),
      s AS (SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
                           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
@@ -3646,13 +3654,37 @@ _DRIVER_PRIORITY = [
     "ev03_rank_agreement",
     "st07_streaming_sessions",
     "dd09_containment_pairs",
-    # (b) the ENTIRE r5-stale evidence tier (40 queries — the oldest
-    #     green rows in the ledger; mm01 changed this round and j13 is
-    #     the heaviest plan in PLANS.md, so they lead).
     "mm01_media_features",
+    # (a2) the --tsextremes epoch-floor sweep (this round) touched the
+    #     engine side of every query that converted timestamps to epoch
+    #     seconds via unix_timestamp (truncates pre-1970) instead of
+    #     cast-to-long (floors), plus the st04/st07/st09 twins that now
+    #     mirror the watermark's epoch-0 late-drop floor and the a12/st02
+    #     twins' `//`→floor-division. Identity on the driver's all-2024
+    #     data, but the driver has never hashed the shipping code.
+    "st06_streaming_upsert",
+    "ml01_linear_trend",
+    "w08_funnel_analysis",
+    "a12_cohort_retention",
+    "st04_streaming_dedup",
+    "st02_streaming_sliding",
+    "w04_lag_delta",
+    "aj01_asof_purchase_view",
+    "st09_stream_stream_left_join",
+    "w10_ohlc_bars",
+    "sq01_session_transitions",
+    "aj02_asof_directions",
+    "dr01_psi_drift",
+    "st11_streaming_psi_drift",
+    "rj01_interval_join",
+    "w02_sliding_1h_15m",
+    "w03_sessionize_30m",
+    # (b) the r5-stale evidence tier (the oldest green rows in the
+    #     ledger; j13 is the heaviest plan in PLANS.md, so it leads).
+    #     Changed code displaced 10 of the 40 into the next round's
+    #     backfill — changed code outranks stale-evidence backfill.
     "j13_reject_payload",
     "a08_percentile_summary",
-    "aj01_asof_purchase_view",
     "dd02_ngram_jaccard_pairs",
     "e01_explode_multivalue",
     "e02_explode_dedup",
@@ -3677,27 +3709,20 @@ _DRIVER_PRIORITY = [
     "rv01_review_workflow",
     "sp02_stratified_sample",
     "st01_streaming_tumbling",
-    "st02_streaming_sliding",
     "st03_stateful_running_totals",
-    "st04_streaming_dedup",
+    # ---- end of the 50-slot round-10 driver window ----
+    # backfill order for future windows: rest of the r5 tier first, then
+    # r6, r7, r8 (r9-fresh entries follow in REGISTRY insertion order).
     "t01_sanitize_collapse",
     "t02_variant_normalize",
     "t05_capital_case",
     "u01_union_kinds",
     "u02_idarray_union",
     "w01_tumbling_hourly",
-    "w02_sliding_1h_15m",
-    "w03_sessionize_30m",
-    "w04_lag_delta",
-    # (c) backfill: stalest-first from the r6 tier.
     "a09_event_pivot",
     "a11_cube_summary",
-    "a12_cohort_retention",
     "ann01_cosine_topk",
     "ann02_lsh_topk",
-    # ---- end of the 50-slot round-10 driver window ----
-    # backfill order for future windows: rest of r6, then r7, then r8
-    # (r9-fresh entries follow in REGISTRY insertion order).
     "ann04_kmeans_clusters",
     "bk01_bucketed_join",
     "cd01_snapshot_diff",

@@ -390,7 +390,7 @@ def st04_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.unix_timestamp("ts").alias("ts_sec"),
+        F.col("ts").cast("long").alias("ts_sec"),
         F.round("value", 2).alias("value"),
     )
 
@@ -400,10 +400,15 @@ ST04_SQL = """
 -- copy is an IDENTICAL row (the delivery contract), so full-row
 -- DISTINCT == dedup-by-event_id. Without it the twin silently assumed
 -- the source itself was unique (caught by the --dupes sweep).
+-- Pre-1970 rows are excluded: Structured Streaming initializes the
+-- watermark to epoch 0, so a pre-1970 event time is late-on-arrival
+-- and every stateful operator drops it (documented engine semantic;
+-- the --tsextremes sweep makes it visible).
 SELECT DISTINCT event_id, user_id, event_type,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
        round(value, 2) AS value
 FROM events
+WHERE ts >= TIMESTAMP '1970-01-01'
 """
 
 
@@ -424,7 +429,7 @@ def st02_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
     agg = streaming_sliding_agg(stream, watermark="0 seconds")
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name).select(
-        F.unix_timestamp("window_start").alias("window_start"),
+        F.col("window_start").cast("long").alias("window_start"),
         "event_type",
         "n_events",
     )
@@ -433,7 +438,9 @@ def st02_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
 ST02_SQL = """
 WITH ex AS (
   SELECT event_type,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - 900 * u.i AS window_start
+         -- true FLOOR division (`//` truncates toward zero and lands one
+         -- slide late on pre-1970 rows — the --tsextremes class)
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) AS BIGINT) * 900 - 900 * u.i AS window_start
   FROM events, unnest([0, 1, 2, 3]) AS u(i)
 )
 SELECT window_start, event_type, count(*) AS n_events
@@ -473,7 +480,7 @@ def w04_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     but Spark SQL provides natively (SURVEY §2.10)."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
-    e = load_table(spark, sf, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    e = load_table(spark, sf, "events").withColumn("ts_sec", F.col("ts").cast("long"))
     w = W.partitionBy("user_id").orderBy(F.col("ts_sec").asc(), F.col("event_id").asc())
     return e.select(
         "user_id",
@@ -534,7 +541,7 @@ def aj01_asof_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
     the 'latest prior' pick is deterministic."""
     from pyp_etl_pipeline_spark.operators.asof import asof_join  # noqa: PLC0415
 
-    e = load_table(spark, sf, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    e = load_table(spark, sf, "events").withColumn("ts_sec", F.col("ts").cast("long"))
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.col("ts_sec").alias("ts"), F.round("value", 2).alias("purchase_value")
     )
@@ -1777,11 +1784,16 @@ def st09_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ST09_SQL = """
+-- Pre-1970 rows are excluded: Structured Streaming initializes the
+-- watermark to epoch 0, so a pre-1970 event time is late-on-arrival
+-- and every stateful operator drops it (documented engine semantic;
+-- the --tsextremes sweep makes it visible).
 WITH err AS (
   SELECT event_id AS err_event_id, user_id, ts AS start_ts
-  FROM events WHERE event_type = 'error'
+  FROM events WHERE event_type = 'error' AND ts >= TIMESTAMP '1970-01-01'
 ),
-clk AS (SELECT event_id AS click_event_id, user_id, ts FROM events WHERE event_type = 'click')
+clk AS (SELECT event_id AS click_event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND ts >= TIMESTAMP '1970-01-01')
 SELECT err.err_event_id, err.user_id, clk.click_event_id
 FROM err LEFT JOIN clk
   ON err.user_id = clk.user_id
@@ -2413,7 +2425,7 @@ def w10_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     ride along as arg-min/arg-max state."""
     e = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     ord_key = (
-        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)") * F.lit(10_000_000)
+        F.col("ts").cast("long") * F.lit(10_000_000)
         + F.col("event_id")
     )
     pre = e.select(
@@ -3812,7 +3824,7 @@ def sq01_session_transitions(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.unix_timestamp("ts").alias("ep"),
+        F.col("ts").cast("long").alias("ep"),
     ).filter(F.col("ep").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ep", "event_id")
     t = (
@@ -4816,7 +4828,7 @@ def aj02_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     purchase and replays the nearest tie rule."""
     from pyp_etl_pipeline_spark.operators.asof import asof_join  # noqa: PLC0415
 
-    e = load_table(spark, sf, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    e = load_table(spark, sf, "events").withColumn("ts_sec", F.col("ts").cast("long"))
     p = e.filter((F.col("event_type") == "purchase") & F.col("ts_sec").isNotNull()).select(
         "user_id", "event_id", F.col("ts_sec").alias("ts")
     ).distinct()

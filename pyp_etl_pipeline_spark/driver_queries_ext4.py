@@ -604,7 +604,7 @@ def dr01_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
     base = e.select(
         "event_type",
-        (F.unix_timestamp("ts") >= _DR01_SPLIT_EPOCH).alias("is_cur"),
+        (F.col("ts").cast("long") >= _DR01_SPLIT_EPOCH).alias("is_cur"),
         F.least(
             F.lit(_DR01_BINS - 1),
             F.greatest(F.lit(0), F.floor(F.col("value") / _DR01_BIN_W).cast("int")),
@@ -917,7 +917,7 @@ def st11_streaming_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
     staged = stream.select(
         "event_type",
-        (F.unix_timestamp("ts") >= _DR01_SPLIT_EPOCH).alias("is_cur"),
+        (F.col("ts").cast("long") >= _DR01_SPLIT_EPOCH).alias("is_cur"),
         F.least(
             F.lit(_DR01_BINS - 1),
             F.greatest(F.lit(0), F.floor(F.col("value") / _DR01_BIN_W).cast("int")),

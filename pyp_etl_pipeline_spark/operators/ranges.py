@@ -34,10 +34,12 @@ from pyspark.sql import functions as F
 
 
 def _epoch(c: Column) -> Column:
-    # whole-second truncation on BOTH sides keeps bin assignment
-    # consistent; the exact predicate below still compares full-precision
-    # timestamps
-    return F.unix_timestamp(c)
+    # whole-second FLOOR on BOTH sides keeps bin assignment consistent;
+    # the exact predicate below still compares full-precision timestamps.
+    # cast(ts AS long) floors like DuckDB floor(epoch(ts)) even for
+    # pre-1970 timestamps, where unix_timestamp() truncates toward zero
+    # (caught by the --tsextremes sweep).
+    return c.cast("long")
 
 
 def interval_join(

@@ -64,7 +64,7 @@ def sliding_agg(
     window starts then aggregate — identical to F.window(ts, size, slide)
     but with a portable BIGINT epoch window_start."""
     n = size_s // slide_s
-    epoch = F.unix_timestamp(F.col(ts_col))
+    epoch = F.col(ts_col).cast("long")  # floor-to-second (sign-safe; unix_timestamp truncates pre-1970)
     anchor = F.floor(epoch / slide_s) * slide_s
     starts = F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda i: anchor - i * slide_s)
     return (
@@ -108,7 +108,7 @@ def sessionize(
         if rest:
             order.append(F.xxhash64(F.struct(*[F.col(c) for c in rest])).asc())
     w = Window.partitionBy(user_col).orderBy(*order)
-    epoch = F.unix_timestamp(F.col(ts_col))
+    epoch = F.col(ts_col).cast("long")  # floor-to-second (sign-safe; unix_timestamp truncates pre-1970)
     gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     sess = df.withColumn("__new", is_new).withColumn(

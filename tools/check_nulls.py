@@ -169,6 +169,42 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                     f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
                 )
         return
+    if mode == "tsextremes":
+        # shift ~2.5% of events.ts and orders.o_orderdate back 100 years
+        # (NEGATIVE epoch seconds) and another ~2.5% forward 100 years:
+        # the time-domain analog of --negatives. Spark's window()/
+        # date_trunc FLOOR negative epochs while DuckDB `//` (and Spark
+        # DIV) truncate toward zero, so any twin that rebuilds a window
+        # start as `(epoch // width) * width` lands one full bucket late
+        # for pre-1970 rows. Web-scale corpora carry garbage timestamps
+        # (epoch-0 defaults, unit mixups) routinely; the driver data is
+        # all-2024 so the class is otherwise invisible. Streaming replays
+        # stay deterministic because each table is ONE parquet file ==
+        # one micro-batch (watermark only advances after it).
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            if t == "events":
+                con.execute(
+                    f"""COPY (SELECT * REPLACE (
+                        CASE WHEN hash(event_id) % 40 = 3 THEN ts - INTERVAL 100 YEAR
+                             WHEN hash(event_id) % 40 = 21 THEN ts + INTERVAL 100 YEAR
+                             ELSE ts END AS ts)
+                        FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            elif t == "orders":
+                con.execute(
+                    f"""COPY (SELECT * REPLACE (
+                        CASE WHEN hash(o_orderkey) % 40 = 5 THEN o_orderdate - INTERVAL 100 YEAR
+                             WHEN hash(o_orderkey) % 40 = 27 THEN o_orderdate + INTERVAL 100 YEAR
+                             ELSE o_orderdate END AS o_orderdate)
+                        FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+                )
+        return
     if mode == "scramble":
         # rewrite every table with rows in md5-of-row-key order — the
         # file order a 1000-executor writer actually produces is
@@ -249,10 +285,21 @@ def main() -> int:
         mode = "longdocs"
     elif "--negatives" in args:
         mode = "negatives"
+    elif "--tsextremes" in args:
+        mode = "tsextremes"
     args = [
         a
         for a in args
-        if a not in ("--empty", "--dupes", "--scramble", "--unicode", "--longdocs", "--negatives")
+        if a
+        not in (
+            "--empty",
+            "--dupes",
+            "--scramble",
+            "--unicode",
+            "--longdocs",
+            "--negatives",
+            "--tsextremes",
+        )
     ]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
