@@ -2890,10 +2890,15 @@ WHERE rn = 1
 def ml01_linear_trend(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed closed-form OLS (y = a + b*x): per event type, the
     value trend over hours-since-corpus-start, via the normal equations
-    on EXACT integer moments — x in whole hours (small ints), y in
-    centi units, so n/Sx/Sy/Sxy/Sxx are overflow-safe int64 sums
-    (map-side combined, order-independent); only the final two
-    divisions run in doubles, on identical integers in both engines.
+    on EXACT integer moments — x in whole hours, y in centi units, so
+    n/Sx/Sy/Sxy/Sxx are overflow-safe int64 sums (map-side combined,
+    order-independent; Sxx stays under 2^63 for |x| <= 2e6 hours ==
+    a ±230-year span at up to ~2e6 rows per event type). The
+    normal-equation COMBINATION (n*Sxy - Sx*Sy etc.) runs in doubles:
+    as pure int64 it overflows once x spans centuries (n*Sxx ~ 1e21 at
+    sf0.1 under --tsextremes — the ARITHMETIC_OVERFLOW ANSI class),
+    while the double expression is the literally-identical IEEE op
+    sequence in both engines, so the hash contract holds.
     The corpus start rides as a broadcast 1-row min. This is the
     trend-fitting shape that scales: one agg pass, no matrix library,
     exact at any partitioning."""
@@ -2917,9 +2922,11 @@ def ml01_linear_trend(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
         )
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = F.when(den == 0, F.lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(num / den)
     intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
     return m.select(
         "event_type",
@@ -2942,11 +2949,15 @@ m AS (
   FROM (SELECT event_type, (ep - ep0) // 3600 AS x, yc FROM e CROSS JOIN t0)
   GROUP BY 1
 )
+-- the normal-equation combination runs in DOUBLES on both engines
+-- (identical IEEE op sequence): as int64 it overflows once x spans
+-- centuries, and DuckDB's silent HUGEINT widening would diverge from
+-- Spark's ANSI overflow (the --tsextremes class).
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       round(CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
-             ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END, 6) AS slope_centi_per_h,
-       round((sy::DOUBLE - (CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
-             ELSE (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END) * sx::DOUBLE) / n, 4) AS intercept_centi
+       round(CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) = 0 THEN 0.0
+             ELSE (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) END, 6) AS slope_centi_per_h,
+       round((sy::DOUBLE - (CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) = 0 THEN 0.0
+             ELSE (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) END) * sx::DOUBLE) / n, 4) AS intercept_centi
 FROM m
 """
 
@@ -3151,11 +3162,17 @@ def st05_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ST05_SQL = """
+-- Pre-1970 rows are excluded on BOTH sides: Structured Streaming
+-- initializes the watermark to epoch 0, so a pre-1970 event time is
+-- late-on-arrival and dropped before it can join (documented engine
+-- semantic; surfaced by --tsextremes at sf0.1, where such pairs first
+-- exist).
 WITH err AS (
   SELECT event_id AS err_event_id, user_id, ts AS start_ts
-  FROM events WHERE event_type = 'error'
+  FROM events WHERE event_type = 'error' AND ts >= TIMESTAMP '1970-01-01'
 ),
-clk AS (SELECT event_id AS click_event_id, user_id, ts FROM events WHERE event_type = 'click')
+clk AS (SELECT event_id AS click_event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND ts >= TIMESTAMP '1970-01-01')
 SELECT err.err_event_id, err.user_id, clk.click_event_id
 FROM err JOIN clk
   ON clk.user_id = err.user_id
@@ -3671,6 +3688,8 @@ _DRIVER_PRIORITY = [
     "w04_lag_delta",
     "aj01_asof_purchase_view",
     "st09_stream_stream_left_join",
+    "st05_stream_stream_join",
+    "tx18_zipf_fit",
     "w10_ohlc_bars",
     "sq01_session_transitions",
     "aj02_asof_directions",
@@ -3708,11 +3727,11 @@ _DRIVER_PRIORITY = [
     "q05_sql_interface",
     "rv01_review_workflow",
     "sp02_stratified_sample",
-    "st01_streaming_tumbling",
-    "st03_stateful_running_totals",
     # ---- end of the 50-slot round-10 driver window ----
+    "st01_streaming_tumbling",
     # backfill order for future windows: rest of the r5 tier first, then
     # r6, r7, r8 (r9-fresh entries follow in REGISTRY insertion order).
+    "st03_stateful_running_totals",
     "t01_sanitize_collapse",
     "t02_variant_normalize",
     "t05_capital_case",

@@ -947,8 +947,10 @@ def tx18_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     sanity check (natural text ~ slope -1; synthetic/templated corpora
     flatten). ml01's exact-integer-moment recipe applied to micro-floored
     logs: each (x, y) pair is floored to integer micro FIRST, the five
-    OLS moments are int64 sums (order-independent), and only the final
-    normal-equation divisions run in doubles on identical integers.
+    OLS moments are int64 sums (order-independent), and the
+    normal-equation combination + divisions run in doubles as the
+    literally-identical IEEE sequence in both engines (int64
+    combination overflows once a token count reaches ~1e12).
     Top-100 via TakeOrderedAndProject (never a full-vocab window)."""
     from pyp_etl_pipeline_spark.operators.textan import whitespace_tokens  # noqa: PLC0415
     from pyspark.sql import Window  # noqa: PLC0415
@@ -974,11 +976,18 @@ def tx18_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sxx"),
         F.sum(F.col("ym") * F.col("ym")).cast("long").alias("syy"),
     )
-    num = F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n_points") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num.cast("double") / den.cast("double")
-    r2 = (num.cast("double") * num.cast("double")) / (den.cast("double") * deny.cast("double"))
+    # the normal-equation combination runs in DOUBLES (identical IEEE
+    # sequence in the twin): as int64, sy*sy reaches ~7.8e18 once a
+    # token's count hits 1e12 (ln*1e6 micro logs) — the ml01
+    # ARITHMETIC_OVERFLOW class, one corpus-order-of-magnitude away.
+    nd = F.col("n_points").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    slope = num / den
+    r2 = (num * num) / (den * deny)
     return m.select(
         "n_points",
         F.when(den != 0, F.floor(slope * 1000000)).cast("long").alias("zipf_slope_micro"),
@@ -1008,14 +1017,19 @@ m AS (
          CAST(sum(ym * ym) AS BIGINT) AS syy
   FROM pts
 )
+-- the combination runs in DOUBLES on both engines (identical IEEE
+-- sequence): as int64 sy*sy overflows once a token count reaches 1e12
+-- (the ml01 ARITHMETIC_OVERFLOW class; DuckDB would widen to HUGEINT
+-- silently and diverge).
 SELECT n_points,
-       CASE WHEN n_points * sxx - sx * sx <> 0
-            THEN CAST(floor(CAST(n_points * sxy - sx * sy AS DOUBLE)
-                            / CAST(n_points * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+       CASE WHEN n_points::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+            THEN CAST(floor((n_points::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / (n_points::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * 1000000) AS BIGINT)
        END AS zipf_slope_micro,
-       CASE WHEN n_points * sxx - sx * sx <> 0 AND n_points * syy - sy * sy <> 0
-            THEN CAST(floor(CAST(n_points * sxy - sx * sy AS DOUBLE) * CAST(n_points * sxy - sx * sy AS DOUBLE)
-                            / (CAST(n_points * sxx - sx * sx AS DOUBLE) * CAST(n_points * syy - sy * sy AS DOUBLE))
+       CASE WHEN n_points::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+             AND n_points::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE <> 0
+            THEN CAST(floor((n_points::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) * (n_points::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / ((n_points::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * (n_points::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
                             * 1000000) AS BIGINT)
        END AS r2_micro
 FROM m
