@@ -184,3 +184,58 @@ def sql_exact_avg(e: str, scale: int = 4) -> str:
     b = f"(abs({s}) + count({e}) * {down // 2})"
     q = _sql_int_div(b, d)
     return f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} / {float(10 ** scale)} AS DOUBLE)"
+
+# ---------------------------------------------------------------------------
+# Wide (decimal-backed) variants — the >= sf1e4 path.
+#
+# The long-backed ``exact_sum`` is exact while |sum| < 9e18 micro-units.
+# Per-GROUP money sums stay far inside that at any realistic scale, but a
+# GLOBAL money total does not: TPC-H revenue is ~2.2e11 units at sf1, so
+# ~2.2e16 units = 2.2e22 micro at sf1e5 (100 TB) — Spark raises
+# ARITHMETIC_OVERFLOW (ANSI) while DuckDB widens to HUGEINT silently.
+# These variants keep the per-row micro conversion bit-identical (same
+# query contract, same hashes on in-domain data) but aggregate the micro
+# longs into DECIMAL(38,0) — exact to 1e38 micro = 1e32 units — and do the
+# half-away rounding in decimal space. Cost: a decimal sum is ~2.6x a long
+# sum ON THE AGGREGATE (measured round 3); use them for global/coarse-group
+# money totals when the target scale exceeds ~sf1e3, keep the long path
+# for per-key aggregation. Output stays DOUBLE like the narrow variants
+# (a total past 2^53 micro is no longer exactly representable as a double,
+# but both engines run the identical final division, so the oracle
+# contract holds — same engine-agreement clause as ``_int_div``).
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(38,0)"
+
+
+def exact_sum_wide(c: Column | str, scale: int = 2) -> Column:
+    """Order-independent rounded sum, exact to |sum| < 1e38 micro-units.
+    Same per-row micro rounding as ``exact_sum``; decimal aggregation."""
+    if not (0 <= scale <= 4 or scale >= 6):
+        raise ValueError("scale 5 unsupported (see _round_scaled)")
+    s = F.sum(_micro(_col(c)).cast(_DEC))
+    if scale >= 6:
+        return (s / F.lit(10**6).cast(_DEC)).cast("double")
+    down = 10 ** (6 - scale)
+    # decimal integer floor-divide: strip the remainder, then divide —
+    # all exact in decimal space (pmod of non-negative decimals).
+    a = F.abs(s) + F.lit(down // 2).cast(_DEC)
+    q = (a - F.pmod(a, F.lit(down).cast(_DEC))) / F.lit(down).cast(_DEC)
+    signed = F.when(s < 0, -q).otherwise(q)
+    return (signed / F.lit(float(10**scale))).cast("double")
+
+
+def sql_exact_sum_wide(e: str, scale: int = 2) -> str:
+    """DuckDB twin of ``exact_sum_wide`` (HUGEINT sum is exact to 1e38)."""
+    if not (0 <= scale <= 4 or scale >= 6):
+        raise ValueError("scale 5 unsupported (see _round_scaled)")
+    s = f"sum(CAST({_sql_micro(e)} AS HUGEINT))"
+    if scale >= 6:
+        return f"CAST({s} / CAST(1000000 AS HUGEINT) AS DOUBLE)"
+    down = 10 ** (6 - scale)
+    a = f"(abs({s}) + CAST({down // 2} AS HUGEINT))"
+    q = f"(({a} - ({a} % CAST({down} AS HUGEINT))) / CAST({down} AS HUGEINT))"
+    return (
+        f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} "
+        f"/ {float(10 ** scale)} AS DOUBLE)"
+    )

@@ -115,3 +115,31 @@ def test_incremental_state_merge_equals_single_pass(spark):
     m321 = incremental.merge_states(s3, incremental.merge_states(s2, s1))
     assert sorted(map(tuple, incremental.finalize_state(m123).collect())) == direct
     assert sorted(map(tuple, incremental.finalize_state(m321).collect())) == direct
+
+
+def test_wide_variants_match_narrow_in_domain(spark):
+    vals = [123.456789, -0.005, 99999999.99, -123456.78, 0.000001, 3.14159265]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for scale in (0, 2, 4, 6):
+        row = df.agg(
+            A.exact_sum("v", scale).alias("narrow"),
+            A.exact_sum_wide("v", scale).alias("wide"),
+        ).collect()[0]
+        assert row["narrow"] == row["wide"], scale
+
+
+def test_wide_sum_exact_beyond_long_and_twin_agrees(spark):
+    """2000 rows at the per-row domain max: the micro sum is ~1.84e22 —
+    past int64 — so the narrow path raises ANSI ARITHMETIC_OVERFLOW
+    while the wide path matches DuckDB's HUGEINT twin exactly (the
+    >= sf1e4 global-money-total scenario from SCALE.md)."""
+    big = spark.range(2000).select((F.lit(9.2e12) + F.col("id").cast("double")).alias("v"))
+    got = big.agg(A.exact_sum_wide("v").alias("s")).collect()[0]["s"]
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT " + A.sql_exact_sum_wide("v") + " AS s FROM "
+        "(SELECT 9.2e12 + CAST(range AS DOUBLE) AS v FROM range(2000))"
+    ).fetchone()[0]
+    assert got == want
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        big.agg(A.exact_sum("v").alias("s")).collect()
