@@ -3728,9 +3728,12 @@ _DRIVER_PRIORITY = [
     "rv01_review_workflow",
     "sp02_stratified_sample",
     # ---- end of the 50-slot round-10 driver window ----
+    # backfill order for future windows: gt01 is NEW this round (no
+    # driver evidence yet — lead the r11 window with it), then the rest
+    # of the r5 tier, then r6, r7, r8 (r9-fresh entries follow in
+    # REGISTRY insertion order).
+    "gt01_grand_total_wide",
     "st01_streaming_tumbling",
-    # backfill order for future windows: rest of the r5 tier first, then
-    # r6, r7, r8 (r9-fresh entries follow in REGISTRY insertion order).
     "st03_stateful_running_totals",
     "t01_sanitize_collapse",
     "t02_variant_normalize",

@@ -1511,3 +1511,45 @@ GROUP BY 1
 """
 
 QUERIES4["tx19_token_entropy"] = (tx19_token_entropy, _tx19_sql())
+
+
+# --------------------------------------------------------------------------
+# gt01: grand money totals through the WIDE (decimal-backed) aggregate
+# --------------------------------------------------------------------------
+
+def gt01_grand_total_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level money totals per return flag — the aggregate class
+    whose magnitude scales WITH the corpus (SCALE.md round-10 note):
+    at sf1e5 the grand revenue total is ~2.2e22 micro-units, past
+    int64, so this query runs `exact_sum_wide` (DECIMAL(38,0)
+    aggregation, exact to 1e32 units, HUGEINT twin) instead of the
+    per-key long path the rest of the registry uses. Three coarse
+    groups — one map-side-combined shuffle, no skew exposure."""
+    from pyp_etl_pipeline_spark.functions.aggregates import exact_sum_wide  # noqa: PLC0415
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        exact_sum_wide("l_extendedprice").alias("gross"),
+        exact_sum_wide("disc_price").alias("revenue"),
+    )
+
+
+def _gt01_sql() -> str:
+    from pyp_etl_pipeline_spark.functions.aggregates import sql_exact_sum_wide
+
+    return f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {sql_exact_sum_wide("l_extendedprice")} AS gross,
+       {sql_exact_sum_wide("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
+QUERIES4["gt01_grand_total_wide"] = (gt01_grand_total_wide, _gt01_sql())
