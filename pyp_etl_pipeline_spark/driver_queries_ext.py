@@ -3226,8 +3226,13 @@ def zo01_zorder_cells(spark: SparkSession, sf: str) -> DataFrame:
     algebra, certified bit-for-bit by the twin)."""
     from pyp_etl_pipeline_spark.operators import export  # noqa: PLC0415
 
+    # zvalue's documented domain is NON-NEGATIVE dimensions; refund/
+    # credit orders (negative totals — the --negatives class) clamp to
+    # bucket 0 so they cluster with the smallest prices instead of
+    # wrapping to the top of the z-range via two's-complement bits.
     o = load_table(spark, sf, "orders").select(
-        "o_custkey", F.floor(F.col("o_totalprice") / 1000).cast("long").alias("pb")
+        "o_custkey",
+        F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / 1000)).cast("long").alias("pb"),
     )
     z = export.zvalue("o_custkey", "pb", bits=12)
     return (
@@ -3248,7 +3253,8 @@ def _zo01_sql() -> str:
 
     zv = sql_zvalue("o_custkey", "pb", bits=12)
     return f"""
-WITH o AS (SELECT o_custkey, CAST(floor(o_totalprice / 1000) AS BIGINT) AS pb FROM orders),
+WITH o AS (SELECT o_custkey,
+                  greatest(0, CAST(floor(o_totalprice / 1000) AS BIGINT)) AS pb FROM orders),
 z AS (SELECT o_custkey, pb, {zv} AS z FROM o)
 SELECT z // 16384 AS z_cell, count(*) AS n_orders,
        min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
@@ -3733,6 +3739,13 @@ _DRIVER_PRIORITY = [
     # of the r5 tier, then r6, r7, r8 (r9-fresh entries follow in
     # REGISTRY insertion order).
     "gt01_grand_total_wide",
+    # zo01 (negative-bucket clamp) and js01 (strict json_type twin
+    # guard) changed this round, but both changes are no-ops on the
+    # driver's clean data — hashes provably unchanged — so they
+    # backfill ahead of the stale tier instead of displacing r10
+    # window slots.
+    "zo01_zorder_cells",
+    "js01_json_extract_rollup",
     "st01_streaming_tumbling",
     "st03_stateful_running_totals",
     "t01_sanitize_collapse",

@@ -1832,9 +1832,18 @@ JS01_SQL = """
 WITH x AS (
   -- json_valid guard: DuckDB json_extract RAISES on malformed/empty
   -- input while Spark's from_json reads it as NULL (the operator's
-  -- tolerant-reader contract; empty-string sweep, r8)
+  -- tolerant-reader contract; empty-string sweep, r8).
+  -- json_type guard (--badjson sweep, r10): the schema'd from_json is
+  -- STRICT — only JSON integer tokens parse as k BIGINT; 1.5, "7",
+  -- 1e3 all read NULL in Spark, while json_extract_string + TRY_CAST
+  -- would coerce them (2, 7, 1000). DuckDB types non-negative
+  -- integers UBIGINT (TRY_CAST nulls the > LONG_MAX tail, matching
+  -- Spark's overflow-to-null). Duplicate keys are RFC-8259-undefined
+  -- (Spark keeps the LAST, DuckDB's yyjson the FIRST) — out of the
+  -- data contract, never injected.
   SELECT event_type,
          CASE WHEN json_valid(props)
+               AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
               THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )

@@ -142,13 +142,15 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                 )
         return
     if mode == "negatives":
-        # flip the SIGN of ~5% of events.value and customer.c_acctbal
-        # (deterministic hash pick): certifies sign-safety of every
-        # floor/DIV/ratio formula pair — floor(-x*1e6) vs CAST, DuckDB
-        # `//` vs Spark DIV on negative operands, z-scores/quantiles/
-        # winsorizing with negative tails. Real pipelines carry refunds,
-        # corrections, and signed deltas; the driver data is all-positive
-        # so this class is otherwise invisible.
+        # flip the SIGN of ~5% of events.value, customer.c_acctbal and
+        # orders.o_totalprice (deterministic hash pick): certifies
+        # sign-safety of every floor/DIV/ratio formula pair —
+        # floor(-x*1e6) vs CAST, DuckDB `//` vs Spark DIV on negative
+        # operands, z-scores/quantiles/winsorizing with negative tails,
+        # price-bucket floors and bit-algebra (Morton) keys on negative
+        # buckets. Real pipelines carry refunds, corrections, and signed
+        # deltas; the driver data is all-positive so this class is
+        # otherwise invisible.
         for t in TABLES:
             src_file = f"{src}/{t}.parquet"
             dst_file = f"{dst}/{t}.parquet"
@@ -162,6 +164,45 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                 con.execute(
                     f"""COPY (SELECT * REPLACE (
                         CASE WHEN hash(c_custkey) % 20 = 15 THEN -c_acctbal ELSE c_acctbal END AS c_acctbal)
+                        FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            elif t == "orders":
+                con.execute(
+                    f"""COPY (SELECT * REPLACE (
+                        CASE WHEN hash(o_orderkey) % 20 = 3 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice)
+                        FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+                )
+        return
+    if mode == "badjson":
+        # overwrite ~7% of events.props with MESSY-but-realistic JSON: a
+        # semi-structured 100 TB feed carries type drift (floats,
+        # stringified numbers, scientific notation), tombstone 'null's,
+        # arrays, JSON5-ish garbage, and out-of-range integers. The
+        # schema'd from_json engine contract reads every one of these as
+        # NULL k (strict integer token or nothing) — the twin must too:
+        # an unguarded json_extract_string + TRY_CAST silently COERCES
+        # 1.5 -> 2, '"7"' -> 7, 1e3 -> 1000 (caught live in r10).
+        # Duplicate keys stay out: RFC-8259-undefined, engines disagree
+        # by design (Jackson last-wins, yyjson first-wins).
+        variants = [
+            '{"k": 1.5}', '{"k": "7"}', '{"k": 1e3}', 'null', '{k:1}',
+            '[1, 2]', '{"k": 99999999999999999999}', '{"k": true}',
+        ]
+        whens = " ".join(
+            f"WHEN hash(event_id) % 100 = {i} THEN '{v}'"
+            for i, v in enumerate(variants)
+        )
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            if t == "events":
+                con.execute(
+                    f"""COPY (SELECT * REPLACE (
+                        CASE {whens} ELSE props END AS props)
                         FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"""
                 )
             else:
@@ -287,6 +328,8 @@ def main() -> int:
         mode = "negatives"
     elif "--tsextremes" in args:
         mode = "tsextremes"
+    elif "--badjson" in args:
+        mode = "badjson"
     args = [
         a
         for a in args
@@ -299,6 +342,7 @@ def main() -> int:
             "--longdocs",
             "--negatives",
             "--tsextremes",
+            "--badjson",
         )
     ]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
