@@ -347,11 +347,19 @@ def main() -> int:
     ]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     filters = args[1:] if args and os.path.isdir(args[0]) else args
-    dst = f"/tmp/spark_graft_sf{mode}"
+    # per-process dir: concurrent sweeps of the SAME family (e.g. an
+    # sf0.001 chain and an sf0.1 chain) must not rebuild each other's
+    # copy mid-gate; removed on exit (same rationale as scratch_path).
+    dst = f"/tmp/spark_graft_sf{mode}_{os.getpid()}"
     build_nulled_dir(src, dst, mode)
     print(f"{mode}-injected copy of {src} at {dst}; running gate...", flush=True)
     cmd = [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), dst, *filters]
-    return subprocess.call(cmd)
+    try:
+        return subprocess.call(cmd)
+    finally:
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
 
 
 if __name__ == "__main__":
