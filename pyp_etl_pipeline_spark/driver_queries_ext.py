@@ -3662,90 +3662,24 @@ REGISTRY.update(_ext4.QUERIES4)
 # check keeps aging. Duplicates further down are harmless: dict
 # insertion keeps the FIRST occurrence's position.
 _DRIVER_PRIORITY = [
-    # round-10 rotation — the driver gate samples the FIRST 50 registry
-    # entries (VERDICT r9 items 1-2).
-    # (a) code or twin changed AFTER the last driver row hashed it:
-    #     hy01/ev03 (LEFT SEMI + unique embeddings, a52ef8e, last row r8),
-    #     st07 (twin micros fix e3b35fb, last row r6), dd09 (ANSI long
-    #     cast in the candidate filter, this round, last row r9), and
-    #     mm01 (byte_stat0/1 rename of the plumbing stats, this round),
-    #     w09 (twin halving step floor-corrected for negative sums —
-    #     --negatives family catch, this round; takes the slot ann03
-    #     would have had: changed code outranks stale-evidence backfill).
-    "w09_ewma_value",
-    "hy01_hybrid_rrf_fusion",
-    "ev03_rank_agreement",
-    "st07_streaming_sessions",
-    "dd09_containment_pairs",
-    "mm01_media_features",
-    # (a2) the --tsextremes epoch-floor sweep (this round) touched the
-    #     engine side of every query that converted timestamps to epoch
-    #     seconds via unix_timestamp (truncates pre-1970) instead of
-    #     cast-to-long (floors), plus the st04/st07/st09 twins that now
-    #     mirror the watermark's epoch-0 late-drop floor and the a12/st02
-    #     twins' `//`→floor-division. Identity on the driver's all-2024
-    #     data, but the driver has never hashed the shipping code.
-    "st06_streaming_upsert",
-    "ml01_linear_trend",
-    "w08_funnel_analysis",
-    "a12_cohort_retention",
-    "st04_streaming_dedup",
-    "st02_streaming_sliding",
-    "w04_lag_delta",
-    "aj01_asof_purchase_view",
-    "st09_stream_stream_left_join",
-    "st05_stream_stream_join",
-    "tx18_zipf_fit",
-    "w10_ohlc_bars",
-    "sq01_session_transitions",
-    "aj02_asof_directions",
-    "dr01_psi_drift",
-    "st11_streaming_psi_drift",
-    "rj01_interval_join",
-    "w02_sliding_1h_15m",
-    "w03_sessionize_30m",
-    # (b) the r5-stale evidence tier (the oldest green rows in the
-    #     ledger; j13 is the heaviest plan in PLANS.md, so it leads).
-    #     Changed code displaced 10 of the 40 into the next round's
-    #     backfill — changed code outranks stale-evidence backfill.
-    "j13_reject_payload",
-    "a08_percentile_summary",
-    "dd02_ngram_jaccard_pairs",
-    "e01_explode_multivalue",
-    "e02_explode_dedup",
-    "f01_sentinel_nulls",
-    "f02_row_validation",
-    "flagship_band_rollup",
-    "j01_exact_resolution",
-    "j02_fuzzy_topk",
-    "j02b_typo_fallback",
-    "j04_penalty_bands",
-    "j07_alternatives",
-    "j08_semantic_guard",
-    "j09_merge_actions",
-    "j10_dim_lookup_or_create",
-    "j11_offerings_derivation",
-    "j12_canonical_backfill",
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_region_revenue",
-    "q04_mktsegment_summary",
-    "q05_sql_interface",
-    "rv01_review_workflow",
-    "sp02_stratified_sample",
-    # ---- end of the 50-slot round-10 driver window ----
-    # backfill order for future windows: gt01 is NEW this round (no
-    # driver evidence yet — lead the r11 window with it), then the rest
-    # of the r5 tier, then r6, r7, r8 (r9-fresh entries follow in
-    # REGISTRY insertion order).
+    # round-11 rotation — the driver gate samples the FIRST 50 registry
+    # entries (VERDICT r10 items 1 and 3). Entries are UNIQUE by
+    # construction now (ADVICE r10: dead duplicate rows misrepresented
+    # the backfill order); test_driver_priority_unique pins it.
+    # (a) changed code / zero evidence first:
+    #     gt01 landed r10 AFTER the gate window was fixed (no driver row
+    #     ever) and its HUGEINT twin switched to exact integer division
+    #     THIS round (ADVICE r10 high); zo01 (negative-bucket clamp) and
+    #     js01 (strict json_type twin guard) changed post-r10-gate in
+    #     1b926b7; a01 composes the r10-reworked resolve chain (own
+    #     evidence r9); dd02 gains fan-out-based strategy auto-select
+    #     this round (VERDICT r10 item 4).
     "gt01_grand_total_wide",
-    # zo01 (negative-bucket clamp) and js01 (strict json_type twin
-    # guard) changed this round, but both changes are no-ops on the
-    # driver's clean data — hashes provably unchanged — so they
-    # backfill ahead of the stale tier instead of displacing r10
-    # window slots.
     "zo01_zorder_cells",
     "js01_json_extract_rollup",
+    "a01_band_summary",
+    "dd02_ngram_jaccard_pairs",
+    # (b) the r5-stale evidence tier (oldest rows in the ledger):
     "st01_streaming_tumbling",
     "st03_stateful_running_totals",
     "t01_sanitize_collapse",
@@ -3754,12 +3688,15 @@ _DRIVER_PRIORITY = [
     "u01_union_kinds",
     "u02_idarray_union",
     "w01_tumbling_hourly",
+    # (c) the r6 tier, minus bk01/q06 (the two lowest-risk plain-join/
+    #     plain-SQL queries; window holds 50 and changed code displaced
+    #     5 slots) — they LEAD the r12 backfill below:
     "a09_event_pivot",
     "a11_cube_summary",
     "ann01_cosine_topk",
     "ann02_lsh_topk",
+    "ann03_ivf_topk",
     "ann04_kmeans_clusters",
-    "bk01_bucketed_join",
     "cd01_snapshot_diff",
     "ck01_document_chunks",
     "dc02_decontaminate_spans",
@@ -3773,7 +3710,6 @@ _DRIVER_PRIORITY = [
     "j14_scd2_history",
     "j15_live_uid_fallback",
     "j16_point_in_time_status",
-    "ml01_linear_trend",
     "mm02_media_decode",
     "mm03_jpeg_decode",
     "mm05_mp4_metadata",
@@ -3783,11 +3719,8 @@ _DRIVER_PRIORITY = [
     "pp01_pretraining_pipeline",
     "px01_pii_scrub",
     "px02_pseudonymization",
-    "q06_large_volume_customers",
-    "rj01_interval_join",
     "sd01_semantic_dedup",
     "sk01_salted_join",
-    "st05_stream_stream_join",
     "tx07_gopher_rules",
     "tx08_html_extract",
     "tx09_token_topk",
@@ -3795,7 +3728,12 @@ _DRIVER_PRIORITY = [
     "tx12_ngram_novelty",
     "tx13_pmi_collocations",
     "w07_rolling_30d_revenue",
-    "w08_funnel_analysis",
+    # ---- end of the 50-slot round-11 driver window ----
+    # backfill order for future windows: the two deferred r6 rows, then
+    # the r7 and r8 tiers; r9/r10-fresh entries follow in REGISTRY
+    # insertion order.
+    "bk01_bucketed_join",
+    "q06_large_volume_customers",
     "a13_hll_distinct",
     "ad01_traffic_anomalies",
     "bf01_bloom_decontaminate",
@@ -3807,7 +3745,6 @@ _DRIVER_PRIORITY = [
     "gf01_gap_fill",
     "ia01_incremental_rollup",
     "ii01_inverted_index",
-    "js01_json_extract_rollup",
     "mm07_mjpeg_frames",
     "mm08_hadamard_spectrum",
     "mm09_image_dhash",
@@ -3829,12 +3766,8 @@ _DRIVER_PRIORITY = [
     "u06_multiset_ops",
     "w05_ntile_quartiles",
     "w06_group_zscores",
-    "w09_ewma_value",
-    "w10_ohlc_bars",
     "ws01_weighted_sample",
     "wz01_winsorized_stats",
-    "zo01_zorder_cells",
-    "aj02_asof_directions",
     "ann05_pq_topk",
     "ann06_ivfpq_topk",
     "ann07_ivfpq_refine_topk",
@@ -3870,7 +3803,6 @@ _DRIVER_PRIORITY = [
     "rp01_corpus_datacard",
     "sa01_skew_audit",
     "sp03_group_safe_split",
-    "sq01_session_transitions",
     "tk03_vocab_coverage",
     "tk04_vocab_coverage_curve",
     "tx17_url_normalize",

@@ -195,30 +195,55 @@ def sql_exact_avg(e: str, scale: int = 4) -> str:
 # ARITHMETIC_OVERFLOW (ANSI) while DuckDB widens to HUGEINT silently.
 # These variants keep the per-row micro conversion bit-identical (same
 # query contract, same hashes on in-domain data) but aggregate the micro
-# longs into DECIMAL(38,0) — exact to 1e38 micro = 1e32 units — and do the
-# half-away rounding in decimal space. Cost: a decimal sum is ~2.6x a long
-# sum ON THE AGGREGATE (measured round 3); use them for global/coarse-group
-# money totals when the target scale exceeds ~sf1e3, keep the long path
-# for per-key aggregation. Output stays DOUBLE like the narrow variants
-# (a total past 2^53 micro is no longer exactly representable as a double,
-# but both engines run the identical final division, so the oracle
-# contract holds — same engine-agreement clause as ``_int_div``).
+# longs into DECIMAL(38,0) and do the half-away rounding in integer
+# (decimal/HUGEINT) space, so the ONLY double rounding on either engine
+# is the final correctly-rounded int->double cast followed by one
+# identical IEEE division by 10^scale. Cost: a decimal sum is ~2.6x a
+# long sum ON THE AGGREGATE (measured round 3); use them for global/
+# coarse-group money totals when the target scale exceeds ~sf1e3, keep
+# the long path for per-key aggregation. Output stays DOUBLE like the
+# narrow variants (a total past 2^53 micro is no longer exactly
+# representable as a double; the rounded quotient's nearest double is
+# what both engines return, identically).
+#
+# Domain bound (scale <= 4): Spark's decimal(38,0)/decimal(38,0)
+# division yields decimal(38,6), capping the integer quotient at 1e32
+# output steps — so the wide path is exact for |sum| up to about
+# 1e32 * 10^(6-scale) micro-units (1e36 micro = 1e30 units at the
+# default scale=2), NOT the full 1e38 the decimal(38,0) sum itself can
+# hold; past that Spark raises (quotient overflow / abs(s)+half-step
+# overflow near the 1e38 edge) rather than returning a wrong number.
+# At 100 TB (sf1e5) global revenue is ~2.2e22 micro — 14 orders of
+# magnitude of headroom. scale >= 6 divides exactly at full 1e38 range.
 # ---------------------------------------------------------------------------
 
 _DEC = "decimal(38,0)"
 
 
 def exact_sum_wide(c: Column | str, scale: int = 2) -> Column:
-    """Order-independent rounded sum, exact to |sum| < 1e38 micro-units.
-    Same per-row micro rounding as ``exact_sum``; decimal aggregation."""
+    """Order-independent rounded sum, exact (true half-away rounding) to
+    |sum| < ~1e32 * 10^(6-scale) micro-units — see the domain-bound note
+    above. Same per-row micro rounding as ``exact_sum``; decimal
+    aggregation; one int->double cast + one division at the very end."""
     if not (0 <= scale <= 4 or scale >= 6):
         raise ValueError("scale 5 unsupported (see _round_scaled)")
     s = F.sum(_micro(_col(c)).cast(_DEC))
     if scale >= 6:
-        return (s / F.lit(10**6).cast(_DEC)).cast("double")
+        # No rounding step exists at micro-or-finer scales. Cast the
+        # exact integer micro sum to double (correctly rounded), then
+        # one IEEE division — the twin mirrors both steps exactly.
+        # (An exact decimal division here would be correctly rounded to
+        # the true value, but DuckDB has no exact decimal division —
+        # its `/` on HUGEINT/DECIMAL is float division — so the twin
+        # could drift 1 ulp. Identical cast+divide on both engines is
+        # the portable contract; deviation from the TRUE value is
+        # <= 1 ulp only past 2^53 micro.)
+        return (s.cast("double") / F.lit(float(10**6))).cast("double")
     down = 10 ** (6 - scale)
     # decimal integer floor-divide: strip the remainder, then divide —
-    # all exact in decimal space (pmod of non-negative decimals).
+    # all exact in decimal space (pmod of non-negative decimals). The
+    # quotient is an integral decimal(38,6); dividing it by the double
+    # literal casts it to double (correctly rounded) first.
     a = F.abs(s) + F.lit(down // 2).cast(_DEC)
     q = (a - F.pmod(a, F.lit(down).cast(_DEC))) / F.lit(down).cast(_DEC)
     signed = F.when(s < 0, -q).otherwise(q)
@@ -226,16 +251,21 @@ def exact_sum_wide(c: Column | str, scale: int = 2) -> Column:
 
 
 def sql_exact_sum_wide(e: str, scale: int = 2) -> str:
-    """DuckDB twin of ``exact_sum_wide`` (HUGEINT sum is exact to 1e38)."""
+    """DuckDB twin of ``exact_sum_wide``. The quotient uses HUGEINT
+    INTEGER division (``//``) — DuckDB's ``/`` on HUGEINT is FLOAT
+    division, which would round the >2^53 numerator to double BEFORE
+    dividing and drift 1 ulp from Spark's exact decimal quotient (ADVICE
+    r10, verified empirically). With ``//`` the only double rounding is
+    the same final CAST + / 10^scale Spark performs."""
     if not (0 <= scale <= 4 or scale >= 6):
         raise ValueError("scale 5 unsupported (see _round_scaled)")
     s = f"sum(CAST({_sql_micro(e)} AS HUGEINT))"
     if scale >= 6:
-        return f"CAST({s} / CAST(1000000 AS HUGEINT) AS DOUBLE)"
+        return f"(CAST({s} AS DOUBLE) / {float(10 ** 6)})"
     down = 10 ** (6 - scale)
     a = f"(abs({s}) + CAST({down // 2} AS HUGEINT))"
-    q = f"(({a} - ({a} % CAST({down} AS HUGEINT))) / CAST({down} AS HUGEINT))"
+    q = f"(({a} - ({a} % CAST({down} AS HUGEINT))) // CAST({down} AS HUGEINT))"
     return (
-        f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * {q} "
-        f"/ {float(10 ** scale)} AS DOUBLE)"
+        f"(CAST((CASE WHEN {s} < 0 THEN -{q} ELSE {q} END) AS DOUBLE) "
+        f"/ {float(10 ** scale)})"
     )

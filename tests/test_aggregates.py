@@ -143,3 +143,43 @@ def test_wide_sum_exact_beyond_long_and_twin_agrees(spark):
     assert got == want
     with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
         big.agg(A.exact_sum("v").alias("s")).collect()
+
+
+def test_wide_twin_sweep_past_2pow53(spark):
+    """ADVICE r10 (high): the old twin used DuckDB `/` on HUGEINT —
+    FLOAT division, rounding the >2^53 numerator to double BEFORE the
+    divide — and drifted 1 ulp from Spark's exact decimal quotient on
+    ~3/8 random datasets just past int64 micro. Sweep many random
+    magnitudes spanning 2^53..~1e22 micro and require bit-exact
+    agreement at every supported scale (incl. the scale>=6 branch,
+    whose old twin float-divided the raw HUGEINT sum)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    datasets = []
+    for mag in (2.0e9, 9.1e9, 4.0e10, 7.7e11, 9.0e12):  # per-row unit scale
+        for _ in range(3):
+            n = rng.randint(3, 40)
+            vals = [
+                rng.uniform(0.1, mag) * (1 if rng.random() < 0.85 else -1)
+                for _ in range(n)
+            ]
+            datasets.append(vals)
+
+    con = duckdb.connect()
+    for i, vals in enumerate(datasets):
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        agg = df.agg(
+            *[A.exact_sum_wide("v", sc).alias(f"s{sc}") for sc in (0, 2, 4, 6)]
+        ).collect()[0]
+        con.execute("CREATE OR REPLACE TABLE sweep_t (v DOUBLE)")
+        con.executemany("INSERT INTO sweep_t VALUES (?)", [(v,) for v in vals])
+        duck = con.execute(
+            "SELECT "
+            + ", ".join(
+                f"{A.sql_exact_sum_wide('v', sc)} AS s{sc}" for sc in (0, 2, 4, 6)
+            )
+            + " FROM sweep_t"
+        ).fetchone()
+        for j, sc in enumerate((0, 2, 4, 6)):
+            assert agg[f"s{sc}"] == duck[j], (i, sc, agg[f"s{sc}"], duck[j])

@@ -32,6 +32,19 @@ def test_registry_shapes():
     assert all(isinstance(s, str) and "select" in s.lower() for s in o.values())
 
 
+def test_driver_priority_unique_and_resolvable():
+    """ADVICE r10: duplicate _DRIVER_PRIORITY names are harmless for
+    ordering (dict keeps the first occurrence) but misrepresent the
+    documented backfill order — ban them, and ban dangling names that
+    silently drop out of the window."""
+    from pyp_etl_pipeline_spark import driver_queries_ext as d
+
+    dupes = [n for n in set(d._DRIVER_PRIORITY) if d._DRIVER_PRIORITY.count(n) > 1]
+    assert not dupes, dupes
+    dangling = [n for n in d._DRIVER_PRIORITY if n not in d.REGISTRY]
+    assert not dangling, dangling
+
+
 @pytest.mark.slow
 def test_spark_oracle_column_names_align(spark, sf_dir):
     """Schema-only pass: Spark .columns vs DuckDB described columns, PLUS

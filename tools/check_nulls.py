@@ -178,7 +178,8 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                 )
         return
     if mode == "badjson":
-        # overwrite ~7% of events.props with MESSY-but-realistic JSON: a
+        # overwrite ~8% of events.props (8 variants, hash % 100 in 0..7)
+        # with MESSY-but-realistic JSON: a
         # semi-structured 100 TB feed carries type drift (floats,
         # stringified numbers, scientific notation), tombstone 'null's,
         # arrays, JSON5-ish garbage, and out-of-range integers. The
