@@ -80,6 +80,31 @@ def test_prefix_filter_variant_identical(docs):
     assert base == pref
 
 
+def test_strategy_auto_select(spark, docs, monkeypatch):
+    """prefix_filter=None picks the strategy from the plan-time size
+    statistic: a small PARQUET input (known stats) stays on the count
+    path, shrinking the threshold to zero flips the same call to the
+    prefix path, and a memory-table input (stats unknown = MaxValue)
+    conservatively takes the scale-safe prefix path. Results are
+    identical either way (test_prefix_filter_variant_identical)."""
+    def plan_of(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = dedup.shingle_pairs_jaccard(pq, threshold=0.2)  # auto
+    assert "array_intersect" not in plan_of(small)  # count path chosen
+    assert dedup._estimated_input_bytes(pq) < dedup.PREFIX_AUTO_BYTES
+
+    monkeypatch.setattr(dedup, "PREFIX_AUTO_BYTES", 0)
+    flipped = dedup.shingle_pairs_jaccard(pq, threshold=0.2)  # auto
+    assert "array_intersect" in plan_of(flipped)  # prefix verify stage
+    monkeypatch.undo()
+
+    # memory-table (LogicalRDD) stats are unknown -> assume huge -> prefix
+    assert dedup._estimated_input_bytes(docs) > dedup.PREFIX_AUTO_BYTES
+    assert "array_intersect" in plan_of(dedup.shingle_pairs_jaccard(docs, threshold=0.2))
+
+
 def test_incremental_minhash_matches_full_recompute(spark):
     """Batch-vs-index pairs must equal the full-corpus recompute
     restricted to pairs touching the batch — running incrementally loses
