@@ -3673,12 +3673,16 @@ _DRIVER_PRIORITY = [
     #     js01 (strict json_type twin guard) changed post-r10-gate in
     #     1b926b7; a01 composes the r10-reworked resolve chain (own
     #     evidence r9); dd02 gains fan-out-based strategy auto-select
-    #     this round (VERDICT r10 item 4).
+    #     this round (VERDICT r10 item 4); mm15 is NEW this round (H.264
+    #     SPS metadata, VERDICT r10 item 8) — a new query never again
+    #     waits a round for driver evidence (the gt01 lesson).
     "gt01_grand_total_wide",
     "zo01_zorder_cells",
     "js01_json_extract_rollup",
     "a01_band_summary",
     "dd02_ngram_jaccard_pairs",
+    "mm15_h264_sps_metadata",
+    "mm16_mp4_avcc_qa",
     # (b) the r5-stale evidence tier (oldest rows in the ledger):
     "st01_streaming_tumbling",
     "st03_stateful_running_totals",
@@ -3688,11 +3692,10 @@ _DRIVER_PRIORITY = [
     "u01_union_kinds",
     "u02_idarray_union",
     "w01_tumbling_hourly",
-    # (c) the r6 tier, minus bk01/q06 (the two lowest-risk plain-join/
-    #     plain-SQL queries; window holds 50 and changed code displaced
-    #     5 slots) — they LEAD the r12 backfill below:
-    "a09_event_pivot",
-    "a11_cube_summary",
+    # (c) the r6 tier, minus bk01/q06/a09/a11 (the four lowest-risk
+    #     plain-join/plain-SQL/pivot/cube queries; the window holds 50
+    #     and changed-or-new code displaced 7 slots) — they LEAD the
+    #     r12 backfill below:
     "ann01_cosine_topk",
     "ann02_lsh_topk",
     "ann03_ivf_topk",
@@ -3729,11 +3732,13 @@ _DRIVER_PRIORITY = [
     "tx13_pmi_collocations",
     "w07_rolling_30d_revenue",
     # ---- end of the 50-slot round-11 driver window ----
-    # backfill order for future windows: the two deferred r6 rows, then
-    # the r7 and r8 tiers; r9/r10-fresh entries follow in REGISTRY
+    # backfill order for future windows: the three deferred r6 rows,
+    # then the r7 and r8 tiers; r9/r10-fresh entries follow in REGISTRY
     # insertion order.
     "bk01_bucketed_join",
     "q06_large_volume_customers",
+    "a09_event_pivot",
+    "a11_cube_summary",
     "a13_hll_distinct",
     "ad01_traffic_anomalies",
     "bf01_bloom_decontaminate",

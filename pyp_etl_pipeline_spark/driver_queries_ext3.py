@@ -1841,9 +1841,18 @@ WITH x AS (
   -- Spark's overflow-to-null). Duplicate keys are RFC-8259-undefined
   -- (Spark keeps the LAST, DuckDB's yyjson the FIRST) — out of the
   -- data contract, never injected.
+  -- VALID-PLACEHOLDER idiom (--empty at sf0.1, r11): `json_valid(p)
+  -- AND json_type(p, ...)` is NOT a safe guard — over a parquet scan
+  -- DuckDB evaluates the conjuncts without short-circuit and
+  -- json_type RAISES on the '' rows json_valid would have masked
+  -- (the same AND passes on a memory table, so only the sf0.1 family
+  -- run caught it). Route the invalid rows to the literal 'null'
+  -- document instead: json_type('null', '$.k') is NULL -> k NULL,
+  -- and json_type never sees malformed input on ANY plan shape.
   SELECT event_type,
-         CASE WHEN json_valid(props)
-               AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+         CASE WHEN json_type(CASE WHEN json_valid(props) THEN props
+                                  ELSE 'null' END,
+                             '$.k') IN ('BIGINT', 'UBIGINT')
               THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
