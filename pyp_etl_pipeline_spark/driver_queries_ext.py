@@ -3683,6 +3683,9 @@ _DRIVER_PRIORITY = [
     "dd02_ngram_jaccard_pairs",
     "mm15_h264_sps_metadata",
     "mm16_mp4_avcc_qa",
+    "qa01_daily_quota_ledger",
+    "xl01_xlsx_roundtrip",
+    "cv01_csv_roundtrip",
     # (b) the r5-stale evidence tier (oldest rows in the ledger):
     "st01_streaming_tumbling",
     "st03_stateful_running_totals",
@@ -3692,23 +3695,23 @@ _DRIVER_PRIORITY = [
     "u01_union_kinds",
     "u02_idarray_union",
     "w01_tumbling_hourly",
-    # (c) the r6 tier, minus bk01/q06/a09/a11 (the four lowest-risk
-    #     plain-join/plain-SQL/pivot/cube queries; the window holds 50
-    #     and changed-or-new code displaced 7 slots) — they LEAD the
+    # (c) the r6 tier, minus the seven lowest-risk deferrals
+    #     (bk01/q06/a09/a11/cd01/ck01/dq01 — plain join/SQL/pivot/cube/
+    #     diff/chunk/report shapes); the window holds 50 and changed-or-
+    #     new code displaced 10 slots: 5 re-certs + 5 NEW oracle queries
+    #     (mm15/mm16/qa01/xl01/cv01 — a new query never waits a round
+    #     for driver evidence, the gt01 lesson). The deferrals LEAD the
     #     r12 backfill below:
     "ann01_cosine_topk",
     "ann02_lsh_topk",
     "ann03_ivf_topk",
     "ann04_kmeans_clusters",
-    "cd01_snapshot_diff",
-    "ck01_document_chunks",
     "dc02_decontaminate_spans",
     "dd03_minhash_lsh_pairs",
     "dd04_dup_clusters",
     "dd05_incremental_minhash",
     "dd06_span_dedup",
     "dd07_neardup_dedup",
-    "dq01_expectation_report",
     "ex01_shard_stats",
     "j14_scd2_history",
     "j15_live_uid_fallback",
@@ -3732,13 +3735,16 @@ _DRIVER_PRIORITY = [
     "tx13_pmi_collocations",
     "w07_rolling_30d_revenue",
     # ---- end of the 50-slot round-11 driver window ----
-    # backfill order for future windows: the three deferred r6 rows,
+    # backfill order for future windows: the seven deferred r6 rows,
     # then the r7 and r8 tiers; r9/r10-fresh entries follow in REGISTRY
     # insertion order.
     "bk01_bucketed_join",
     "q06_large_volume_customers",
     "a09_event_pivot",
     "a11_cube_summary",
+    "cd01_snapshot_diff",
+    "ck01_document_chunks",
+    "dq01_expectation_report",
     "a13_hll_distinct",
     "ad01_traffic_anomalies",
     "bf01_bloom_decontaminate",

@@ -1705,3 +1705,206 @@ FROM documents
 """
 
 QUERIES4["mm16_mp4_avcc_qa"] = (mm16_mp4_avcc_qa, MM16_SQL)
+
+
+# --------------------------------------------------------------------------
+# qa01: daily byte-quota ledger (A6's quota accounting, data-plane)
+# --------------------------------------------------------------------------
+
+_QA01_LIMIT = 192  # bytes/day, scaled so every sf mixes accepts+rejects
+_QA01_WARN = 0.8  # DailyQuota.warn_fraction (reference: warn at 80%)
+
+
+def qa01_daily_quota_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-plane mirror of ``operators/quota.DailyQuota`` (reference
+    5 GB/day hard stop, warn at 80% — limit scaled to the test corpus):
+    each event is a write batch of ``octet_length(props)`` bytes; within
+    a day, batches land in (ts, event_id) order and a batch is accepted
+    iff the running byte total stays within the limit. Byte totals are
+    non-negative, so cumulative-sum <= limit IS the hard-stop semantics
+    (first overflow rejects everything after). The running sum uses the
+    default RANGE frame, so full-row duplicate batches (--dupes: ties on
+    BOTH order keys) share one cumulative value and one verdict on both
+    engines — at-least-once ingest consumes quota per copy, order-tie
+    ambiguity impossible by construction. Day buckets use the
+    epoch-floor contract (cast-to-long + floor-of-double-division), so
+    pre-1970 timestamps land one bucket correctly on both engines."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf, "events")
+    ts_s = F.col("ts").cast("long")
+    day = F.floor(ts_s / F.lit(86400.0)).cast("long")
+    nb = F.coalesce(F.octet_length("props"), F.lit(0))
+    b = e.select(day.alias("day"), ts_s.alias("ts_s"), "event_id", nb.alias("nb"))
+    w = Window.partitionBy("day").orderBy("ts_s", "event_id")
+    c = b.withColumn("cum", F.sum("nb").over(w))
+    acc = F.col("cum") <= _QA01_LIMIT
+    out = c.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum(acc.cast("int")).cast("long").alias("n_accepted"),
+        F.sum((~acc).cast("int")).cast("long").alias("n_rejected"),
+        F.sum("nb").cast("long").alias("bytes_total"),
+        F.coalesce(F.sum(F.when(acc, F.col("nb"))), F.lit(0)).cast("long").alias("bytes_accepted"),
+    )
+    state = (
+        F.when(F.col("bytes_total") > _QA01_LIMIT, "exceeded")
+        .when(F.col("bytes_total") >= F.lit(_QA01_WARN * _QA01_LIMIT), "warning")
+        .otherwise("ok")
+    )
+    return out.withColumn("day_state", state)
+
+
+QA01_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id,
+         COALESCE(strlen(props), 0) AS nb  -- strlen = BYTES in DuckDB (unicode contract)
+  FROM events
+),
+c AS (
+  SELECT day, nb,
+         sum(nb) OVER (PARTITION BY day ORDER BY ts_s, event_id) AS cum
+  FROM b
+),
+g AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(CASE WHEN cum <= {_QA01_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+         CAST(sum(CASE WHEN cum <= {_QA01_LIMIT} THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+         CAST(sum(nb) AS BIGINT) AS bytes_total,
+         CAST(COALESCE(sum(CASE WHEN cum <= {_QA01_LIMIT} THEN nb END), 0) AS BIGINT) AS bytes_accepted
+  FROM c GROUP BY 1
+)
+SELECT *,
+       CASE WHEN bytes_total > {_QA01_LIMIT} THEN 'exceeded'
+            WHEN bytes_total >= {_QA01_WARN * _QA01_LIMIT!r} THEN 'warning'
+            ELSE 'ok' END AS day_state
+FROM g
+"""
+
+QUERIES4["qa01_daily_quota_ledger"] = (qa01_daily_quota_ledger, QA01_SQL)
+
+
+# --------------------------------------------------------------------------
+# xl01: xlsx upload round-trip through the distributed Excel reader
+# --------------------------------------------------------------------------
+
+def xl01_xlsx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Physical Excel ingest round-trip (converts the S2-S4 file-source
+    tier from pytest-only to oracle-certified): the customer table is
+    written to a REAL .xlsx (stdlib OOXML writer, inline strings —
+    ``sources/xlsx.write_xlsx``), then read back through the
+    DISTRIBUTED stdlib parser (``ingest.read_excel_distributed``:
+    per-task row-range streaming on executors, upload-path + magic-byte
+    validation included), cast out of the all-string contract, and
+    aggregated per market segment against an analytic twin over the
+    original parquet. The hash certifies the whole loop: XML escaping,
+    gap-cell None round-trip, '' vs NULL distinction, float repr
+    fidelity (repr -> cast is exact), short-row padding, and the
+    row-range task split. The driver-side collect writes the UPLOAD
+    fixture — upload-sized by definition (the reference's S3 is a
+    browser upload); the certified operator is the distributed read."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.functions.aggregates import micro_col  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.sources.ingest import read_excel_distributed  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.sources.xlsx import write_xlsx  # noqa: PLC0415
+
+    d = scratch_path("xl01_upload")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    fpath = os.path.join(d, "customers.xlsx")
+    rows = (
+        load_table(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    data = sorted(
+        (
+            [
+                str(r["c_custkey"]),
+                r["c_mktsegment"],
+                None if r["c_acctbal"] is None else repr(float(r["c_acctbal"])),
+            ]
+            for r in rows
+        ),
+        key=lambda x: x[0],
+    )
+    write_xlsx(fpath, ["c_custkey", "c_mktsegment", "c_acctbal"], data)
+
+    back = read_excel_distributed(spark, fpath, rows_per_task=512)
+    return back.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(micro_col(F.col("c_acctbal").cast("double"))).cast("long").alias("bal_micro"),
+        F.min(F.col("c_custkey").cast("long")).alias("min_key"),
+        F.max(F.col("c_custkey").cast("long")).alias("max_key"),
+    )
+
+
+XL01_SQL = """
+SELECT c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS bal_micro,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY 1
+"""
+
+QUERIES4["xl01_xlsx_roundtrip"] = (xl01_xlsx_roundtrip, XL01_SQL)
+
+
+# --------------------------------------------------------------------------
+# cv01: CSV report-sink -> upload-reader round-trip (S2 + S10/S11)
+# --------------------------------------------------------------------------
+
+def cv01_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Physical CSV round-trip closing the loop between the REPORT SINK
+    (S10/S11, ``reports.write_report_csv``) and the all-string UPLOAD
+    READER (S1 encoding detection + S2 ``ingest.read_csv_upload``): the
+    customer table is written through the sink, read back as strings,
+    cast, and aggregated per market segment against an analytic twin
+    over the original parquet. CSV is a LOSSY text format by contract —
+    unquoted empty is NULL (so '' collapses to NULL) and the writer
+    trims leading/trailing whitespace — and the twin mirrors exactly
+    that documented loss (`NULLIF(TRIM(seg), '')`), so the hash
+    certifies the real S2 semantics, quoting/escaping, and the double
+    shortest-repr rendering (write -> cast back is exact)."""
+    import glob  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.functions.aggregates import micro_col  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.sources.ingest import read_csv_upload  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.sources.reports import write_report_csv  # noqa: PLC0415
+
+    d = scratch_path("cv01_report")
+    shutil.rmtree(d, ignore_errors=True)
+    write_report_csv(
+        load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        d,
+    )
+    csv_files = sorted(glob.glob(f"{d}/*.csv"))
+    back = read_csv_upload(spark, csv_files[0] if csv_files else d)
+    return back.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(micro_col(F.col("c_acctbal").cast("double"))).cast("long").alias("bal_micro"),
+        F.min(F.col("c_custkey").cast("long")).alias("min_key"),
+        F.max(F.col("c_custkey").cast("long")).alias("max_key"),
+    )
+
+
+CV01_SQL = """
+SELECT NULLIF(TRIM(c_mktsegment), '') AS seg,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS bal_micro,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY 1
+"""
+
+QUERIES4["cv01_csv_roundtrip"] = (cv01_csv_roundtrip, CV01_SQL)

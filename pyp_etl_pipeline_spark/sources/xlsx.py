@@ -251,3 +251,93 @@ def parse_xlsx(path: str, sheet: int | str = 0) -> tuple[list[str], list[list[st
     width = len(headers)
     data = [r[:width] + [None] * (width - len(r)) for r in rows[1:]]
     return headers, data
+
+
+# ------------------------------------------------------------------ writer
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_XLSX_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_XLSX_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+_XLSX_WORKBOOK_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def write_xlsx(path: str, headers: list[str], rows: list[list[str | None]]) -> None:
+    """Minimal valid OOXML writer (stdlib zipfile; the S3 upload-fixture
+    counterpart of the reader above). Every value is written as an
+    inline string — no sharedStrings part, no styles — which both this
+    module's parser and any spreadsheet application read back verbatim.
+    ``None`` cells are OMITTED (the reader's gap-cell contract returns
+    them as None); empty strings round-trip as empty strings. Upload-
+    sized files only, like the reference's openpyxl writer usage — the
+    DISTRIBUTED half of the contract is the reader."""
+    import io  # noqa: PLC0415
+
+    def row_xml(r_idx: int, values: list[str | None]) -> str:
+        cells = []
+        for c_idx, v in enumerate(values):
+            if v is None:
+                continue
+            col = ""
+            n = c_idx
+            while True:
+                col = chr(ord("A") + n % 26) + col
+                n = n // 26 - 1
+                if n < 0:
+                    break
+            # xml:space="preserve" keeps leading/trailing whitespace and
+            # empty strings intact through conformant parsers
+            cells.append(
+                f'<c r="{col}{r_idx}" t="inlineStr">'
+                f'<is><t xml:space="preserve">{_xml_escape(str(v))}</t></is></c>'
+            )
+        return f'<row r="{r_idx}">{"".join(cells)}</row>'
+
+    buf = io.StringIO()
+    buf.write(
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+    )
+    buf.write(row_xml(1, list(headers)))
+    for i, values in enumerate(rows):
+        buf.write(row_xml(i + 2, values))
+    buf.write("</sheetData></worksheet>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        z.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        z.writestr("xl/workbook.xml", _XLSX_WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", buf.getvalue())

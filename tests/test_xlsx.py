@@ -223,3 +223,46 @@ def test_read_excel_distributed_header_only_sheet(spark, tmp_path):
     df = ingest.read_excel_distributed(spark, str(p))
     assert df.columns == ["only"]
     assert df.count() == 0
+
+
+def test_write_xlsx_round_trip(tmp_path):
+    """The stdlib writer's output must read back VERBATIM through the
+    stdlib parser: XML escapes, gap cells (None omitted -> None),
+    empty-string cells (xml:space preserved), padded whitespace, and
+    >26-column names (AA...)."""
+    from pyp_etl_pipeline_spark.sources.xlsx import parse_xlsx, write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    rows = [
+        ["1", "BUILDING", "1234.56"],
+        ["2", None, "-7.25"],
+        ["3", "", "0.1"],
+        ["4", "a<b&c>d", "9e99"],
+        ["5", "  pad  ", ""],
+    ]
+    write_xlsx(p, ["k", "seg", "bal"], rows)
+    hdr, back = parse_xlsx(p)
+    assert hdr == ["k", "seg", "bal"]
+    assert back == rows
+
+    wide = str(tmp_path / "wide.xlsx")
+    headers = [f"c{i}" for i in range(30)]
+    row = [str(i) for i in range(30)]
+    write_xlsx(wide, headers, [row])
+    hdr2, back2 = parse_xlsx(wide)
+    assert hdr2 == headers
+    assert back2 == [row]
+
+
+def test_write_xlsx_reads_through_distributed_reader(spark, tmp_path):
+    from pyp_etl_pipeline_spark.sources.ingest import read_excel_distributed
+    from pyp_etl_pipeline_spark.sources.xlsx import write_xlsx
+
+    p = str(tmp_path / "d.xlsx")
+    rows = [[str(i), f"v{i}" if i % 3 else None] for i in range(100)]
+    write_xlsx(p, ["id", "val"], rows)
+    got = sorted(
+        (r["id"], r["val"])
+        for r in read_excel_distributed(spark, p, rows_per_task=7).collect()
+    )
+    assert got == sorted((a, b) for a, b in rows)
