@@ -187,7 +187,19 @@ def read_excel_distributed(
     if not tasks:
         return spark.createDataFrame([], schema)
 
+    # worker-side import bootstrap: executors of a BARE session launched
+    # from a foreign cwd (the driver's plain session) don't have the repo
+    # on sys.path, and the module import inside the closure resolves
+    # by reference — capture the path as a string and insert it first
+    # (the same contract every mapInPandas codec here follows; the r11
+    # plain-session gate caught xl01 failing without it)
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
     def parse_slices(batches):  # pragma: no cover — runs on executors
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         import pandas as pd  # noqa: PLC0415
 
         from pyp_etl_pipeline_spark.sources.xlsx import read_rows_slice as slice_fn  # noqa: PLC0415
