@@ -247,6 +247,90 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                     f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
                 )
         return
+    if mode == "skewhot":
+        # POWER-LAW HOT KEYS under NEW ids (r11): replicate the hottest
+        # user's events x200, one document's text x60, the busiest
+        # customer's orders (and their lineitems) x50, and one embedding
+        # x30 — each copy gets a FRESH primary key, so unlike --dupes
+        # these rows are legitimately DISTINCT and cannot be collapsed
+        # by the idempotent-ingest distinct. What this certifies: (a)
+        # hot-key skew does not change CORRECTNESS (both engines see the
+        # same data; group sizes just explode), and (b) every ranking /
+        # top-k / ntile whose order key now has massive VALUE TIES still
+        # breaks them by a total order (ids) — at 100 TB boilerplate
+        # docs and power-law users make both conditions the norm, while
+        # the driver's uniform synthetic data never exercises them.
+        offs = 1_000_000_000_000
+        for t in TABLES:
+            src_file = f"{src}/{t}.parquet"
+            dst_file = f"{dst}/{t}.parquet"
+            if t == "events":
+                con.execute(
+                    f"""COPY (
+                        SELECT * FROM read_parquet('{src_file}')
+                        UNION ALL
+                        SELECT e.* REPLACE (e.event_id + (r.k + 1) * {offs} AS event_id)
+                        FROM read_parquet('{src_file}') e, range(200) r(k)
+                        WHERE e.user_id = (
+                          SELECT user_id FROM read_parquet('{src_file}')
+                          GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 1)
+                    ) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            elif t == "documents":
+                con.execute(
+                    f"""COPY (
+                        SELECT * FROM read_parquet('{src_file}')
+                        UNION ALL
+                        SELECT d.* REPLACE (
+                          (SELECT max(doc_id) FROM read_parquet('{src_file}'))
+                          + 1 + r.k AS doc_id)
+                        FROM read_parquet('{src_file}') d, range(60) r(k)
+                        WHERE d.doc_id = (SELECT min(doc_id) FROM read_parquet('{src_file}'))
+                    ) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            elif t == "orders":
+                con.execute(
+                    f"""COPY (
+                        SELECT * FROM read_parquet('{src_file}')
+                        UNION ALL
+                        SELECT o.* REPLACE (o.o_orderkey + (r.k + 1) * {offs} AS o_orderkey)
+                        FROM read_parquet('{src_file}') o, range(50) r(k)
+                        WHERE o.o_custkey = (
+                          SELECT o_custkey FROM read_parquet('{src_file}')
+                          GROUP BY 1 ORDER BY count(*) DESC, o_custkey LIMIT 1)
+                    ) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            elif t == "lineitem":
+                con.execute(
+                    f"""COPY (
+                        SELECT * FROM read_parquet('{src_file}')
+                        UNION ALL
+                        SELECT l.* REPLACE (l.l_orderkey + (r.k + 1) * {offs} AS l_orderkey)
+                        FROM read_parquet('{src_file}') l, range(50) r(k)
+                        WHERE l.l_orderkey IN (
+                          SELECT o_orderkey FROM read_parquet('{src}/orders.parquet')
+                          WHERE o_custkey = (
+                            SELECT o_custkey FROM read_parquet('{src}/orders.parquet')
+                            GROUP BY 1 ORDER BY count(*) DESC, o_custkey LIMIT 1))
+                    ) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            elif t == "embeddings":
+                con.execute(
+                    f"""COPY (
+                        SELECT * FROM read_parquet('{src_file}')
+                        UNION ALL
+                        SELECT e.* REPLACE (
+                          (SELECT max(vec_id) FROM read_parquet('{src_file}'))
+                          + 1 + r.k AS vec_id)
+                        FROM read_parquet('{src_file}') e, range(30) r(k)
+                        WHERE e.vec_id = (SELECT min(vec_id) FROM read_parquet('{src_file}'))
+                    ) TO '{dst_file}' (FORMAT PARQUET)"""
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)"
+                )
+        return
     if mode == "scramble":
         # rewrite every table with rows in md5-of-row-key order — the
         # file order a 1000-executor writer actually produces is
@@ -331,6 +415,8 @@ def main() -> int:
         mode = "tsextremes"
     elif "--badjson" in args:
         mode = "badjson"
+    elif "--skewhot" in args:
+        mode = "skewhot"
     args = [
         a
         for a in args
@@ -344,6 +430,7 @@ def main() -> int:
             "--negatives",
             "--tsextremes",
             "--badjson",
+            "--skewhot",
         )
     ]
     src = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
