@@ -122,3 +122,27 @@ def test_bench_query_names_resolve():
     assert not missing, f"bench names not in registry: {missing}"
     dupes = [n for n in set(bench.EXTENDED) if bench.EXTENDED.count(n) > 1]
     assert not dupes, f"duplicate bench entries: {dupes}"
+
+
+def test_rotate_window_tool_is_consistent():
+    """tools/rotate_window.py proposes the next driver window from the
+    evidence ledger; its output must be duplicate-free, cover every
+    registry query, and put zero-evidence queries inside the 50-slot
+    window (the gt01 lesson, automated)."""
+    import re
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/rotate_window.py"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+        timeout=300,
+    ).stdout
+    names = re.findall(r'^    "(\w+)",', out, flags=re.M)
+    from pyp_etl_pipeline_spark import driver_queries_ext as d
+
+    assert len(names) == len(set(names))
+    assert set(names) == set(d.REGISTRY)
+    window = names[:50]
+    no_evidence = [n for n in names if f'"{n}",  # evidence r—' in out]
+    assert all(n in window for n in no_evidence)
