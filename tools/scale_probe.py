@@ -134,7 +134,17 @@ def main() -> int:
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         print(name, out[name], flush=True)
 
-    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+    # MERGE into the existing file (same contract as refresh_anchor's
+    # partial refresh): a filtered run must not clobber rows it did not
+    # re-measure — the r11 full run silently dropped the dd02 strategy-
+    # calibration rows before this landed.
+    path = os.path.join(REPO, "BENCH_SF1.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev.update(out)
+        out = prev
+    with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"metric": "scale_probe_10x", "queries": out}))
     return 0
