@@ -260,6 +260,11 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
         # breaks them by a total order (ids) — at 100 TB boilerplate
         # docs and power-law users make both conditions the norm, while
         # the driver's uniform synthetic data never exercises them.
+        # Rows are written in md5-of-key order: appended copies would
+        # otherwise land in ascending-key file order and Spark's STABLE
+        # sort makes tie order accidentally match an id tiebreak — the
+        # teeth test (o01 with its tiebreak removed) passed by that
+        # luck until the scramble broke the correlation.
         offs = 1_000_000_000_000
         for t in TABLES:
             src_file = f"{src}/{t}.parquet"
@@ -267,6 +272,7 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
             if t == "events":
                 con.execute(
                     f"""COPY (
+                        SELECT * FROM (
                         SELECT * FROM read_parquet('{src_file}')
                         UNION ALL
                         SELECT e.* REPLACE (e.event_id + (r.k + 1) * {offs} AS event_id)
@@ -274,11 +280,13 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                         WHERE e.user_id = (
                           SELECT user_id FROM read_parquet('{src_file}')
                           GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 1)
+                        ) ORDER BY md5(CAST(event_id AS VARCHAR))
                     ) TO '{dst_file}' (FORMAT PARQUET)"""
                 )
             elif t == "documents":
                 con.execute(
                     f"""COPY (
+                        SELECT * FROM (
                         SELECT * FROM read_parquet('{src_file}')
                         UNION ALL
                         SELECT d.* REPLACE (
@@ -286,11 +294,13 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                           + 1 + r.k AS doc_id)
                         FROM read_parquet('{src_file}') d, range(60) r(k)
                         WHERE d.doc_id = (SELECT min(doc_id) FROM read_parquet('{src_file}'))
+                        ) ORDER BY md5(CAST(doc_id AS VARCHAR))
                     ) TO '{dst_file}' (FORMAT PARQUET)"""
                 )
             elif t == "orders":
                 con.execute(
                     f"""COPY (
+                        SELECT * FROM (
                         SELECT * FROM read_parquet('{src_file}')
                         UNION ALL
                         SELECT o.* REPLACE (o.o_orderkey + (r.k + 1) * {offs} AS o_orderkey)
@@ -298,11 +308,13 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                         WHERE o.o_custkey = (
                           SELECT o_custkey FROM read_parquet('{src_file}')
                           GROUP BY 1 ORDER BY count(*) DESC, o_custkey LIMIT 1)
+                        ) ORDER BY md5(CAST(o_orderkey AS VARCHAR))
                     ) TO '{dst_file}' (FORMAT PARQUET)"""
                 )
             elif t == "lineitem":
                 con.execute(
                     f"""COPY (
+                        SELECT * FROM (
                         SELECT * FROM read_parquet('{src_file}')
                         UNION ALL
                         SELECT l.* REPLACE (l.l_orderkey + (r.k + 1) * {offs} AS l_orderkey)
@@ -312,11 +324,13 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                           WHERE o_custkey = (
                             SELECT o_custkey FROM read_parquet('{src}/orders.parquet')
                             GROUP BY 1 ORDER BY count(*) DESC, o_custkey LIMIT 1))
+                        ) ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
                     ) TO '{dst_file}' (FORMAT PARQUET)"""
                 )
             elif t == "embeddings":
                 con.execute(
                     f"""COPY (
+                        SELECT * FROM (
                         SELECT * FROM read_parquet('{src_file}')
                         UNION ALL
                         SELECT e.* REPLACE (
@@ -324,6 +338,7 @@ def build_nulled_dir(src: str, dst: str, mode: str = "null") -> None:
                           + 1 + r.k AS vec_id)
                         FROM read_parquet('{src_file}') e, range(30) r(k)
                         WHERE e.vec_id = (SELECT min(vec_id) FROM read_parquet('{src_file}'))
+                        ) ORDER BY md5(CAST(vec_id AS VARCHAR))
                     ) TO '{dst_file}' (FORMAT PARQUET)"""
                 )
             else:
