@@ -30,6 +30,12 @@ from pyp_etl_pipeline_spark.session import get_spark  # noqa: E402
 # comparable to the round-1 anchor (warm + single timed pass each;
 # reported under "extended", not summed into "value").
 EXTENDED = [
+    # round-11 additions: H.264 metadata tier, quota ledger, ingest round-trips
+    "mm15_h264_sps_metadata",
+    "mm16_mp4_avcc_qa",
+    "qa01_daily_quota_ledger",
+    "xl01_xlsx_roundtrip",
+    "cv01_csv_roundtrip",
     "dd04_dup_clusters",
     "dc01_decontaminate",
     "sp01_hash_split",
