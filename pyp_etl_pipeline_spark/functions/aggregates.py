@@ -198,7 +198,9 @@ def sql_exact_avg(e: str, scale: int = 4) -> str:
 # longs into DECIMAL(38,0) and do the half-away rounding in integer
 # (decimal/HUGEINT) space, so the ONLY double rounding on either engine
 # is the final correctly-rounded int->double cast followed by one
-# identical IEEE division by 10^scale. Cost: a decimal sum is ~2.6x a
+# identical IEEE division by 10^scale. ("Correctly rounded" needs care
+# on the twin side: DuckDB's direct HUGEINT->DOUBLE cast is NOT — see
+# _sql_hugeint_to_double.) Cost: a decimal sum is ~2.6x a
 # long sum ON THE AGGREGATE (measured round 3); use them for global/
 # coarse-group money totals when the target scale exceeds ~sf1e3, keep
 # the long path for per-key aggregation. Output stays DOUBLE like the
@@ -250,22 +252,34 @@ def exact_sum_wide(c: Column | str, scale: int = 2) -> Column:
     return (signed / F.lit(float(10**scale))).cast("double")
 
 
+def _sql_hugeint_to_double(x: str) -> str:
+    """Correctly-rounded HUGEINT->DOUBLE. DuckDB's direct
+    CAST(HUGEINT AS DOUBLE) is NOT correctly rounded past 2^64 (~2% of
+    random 2^64..2^80 values land 1 ulp off the nearest double — ADVICE
+    r11, re-verified empirically: 371/20000 direct-cast mismatches vs
+    Python/Spark correct rounding, 0 via this route). Round-tripping
+    through VARCHAR uses DuckDB's correctly-rounded decimal-string
+    parser (fast_float), matching Java BigDecimal/Python exactly."""
+    return f"CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_exact_sum_wide(e: str, scale: int = 2) -> str:
     """DuckDB twin of ``exact_sum_wide``. The quotient uses HUGEINT
     INTEGER division (``//``) — DuckDB's ``/`` on HUGEINT is FLOAT
     division, which would round the >2^53 numerator to double BEFORE
     dividing and drift 1 ulp from Spark's exact decimal quotient (ADVICE
-    r10, verified empirically). With ``//`` the only double rounding is
-    the same final CAST + / 10^scale Spark performs."""
+    r10, verified empirically) — and the final int->double cast goes
+    through VARCHAR because the direct HUGEINT cast is not correctly
+    rounded past 2^64 (ADVICE r11; see ``_sql_hugeint_to_double``).
+    With both, the only double rounding is the same correctly-rounded
+    final cast + / 10^scale Spark performs."""
     if not (0 <= scale <= 4 or scale >= 6):
         raise ValueError("scale 5 unsupported (see _round_scaled)")
     s = f"sum(CAST({_sql_micro(e)} AS HUGEINT))"
     if scale >= 6:
-        return f"(CAST({s} AS DOUBLE) / {float(10 ** 6)})"
+        return f"({_sql_hugeint_to_double(s)} / {float(10 ** 6)})"
     down = 10 ** (6 - scale)
     a = f"(abs({s}) + CAST({down // 2} AS HUGEINT))"
     q = f"(({a} - ({a} % CAST({down} AS HUGEINT))) // CAST({down} AS HUGEINT))"
-    return (
-        f"(CAST((CASE WHEN {s} < 0 THEN -{q} ELSE {q} END) AS DOUBLE) "
-        f"/ {float(10 ** scale)})"
-    )
+    signed = f"(CASE WHEN {s} < 0 THEN -{q} ELSE {q} END)"
+    return f"({_sql_hugeint_to_double(signed)} / {float(10 ** scale)})"

@@ -154,8 +154,14 @@ class _BitReader:
     def __init__(self, data: bytes) -> None:
         self._d = data
         self._pos = 0
+        self._nbits = len(data) * 8
 
     def u(self, n: int) -> int:
+        # Bounds-checked: a truncated/corrupt NAL raises the module's
+        # documented ValueError contract, not an opaque IndexError that
+        # fails a whole mapInPandas stage (ADVICE r11).
+        if self._pos + n > self._nbits:
+            raise ValueError("truncated NAL")
         v = 0
         for _ in range(n):
             byte = self._d[self._pos >> 3]
@@ -278,12 +284,20 @@ def sps_parse(payload: bytes) -> dict:
     }
 
 
-def sps_features(df: DataFrame) -> DataFrame:
+_SPS_NULL = {"profile_idc": None, "level_idc": None, "width": None, "height": None, "fps": None}
+
+
+def sps_features(df: DataFrame, permissive: bool = False) -> DataFrame:
     """DataFrame operator: (media_id long, payload binary) -> parsed SPS
     metadata. Arrow-batched ``mapInPandas`` like every codec here —
     partition-preserving, no shuffle; at 100 TB this is a map-only stage
     over the blob column (and the payload slice an ingest tier feeds it
-    is the first few hundred bytes of each stream, not the full video)."""
+    is the first few hundred bytes of each stream, not the full video).
+
+    ``permissive=True`` is the corpus-scale mode (ADVICE r11): a corrupt
+    or truncated payload yields NULL fields plus an ``error`` column
+    instead of failing the whole stage — one bad blob in a billion must
+    not kill the job."""
     import os  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
@@ -295,25 +309,36 @@ def sps_features(df: DataFrame) -> DataFrame:
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
-        from pyp_etl_pipeline_spark.multimodal.h264 import sps_parse  # noqa: PLC0415
+        from pyp_etl_pipeline_spark.multimodal.h264 import _SPS_NULL, sps_parse  # noqa: PLC0415
 
         for pdf in batches:
-            rows = [sps_parse(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "profile_idc": [r["profile_idc"] for r in rows],
-                    "level_idc": [r["level_idc"] for r in rows],
-                    "width": [r["width"] for r in rows],
-                    "height": [r["height"] for r in rows],
-                    "fps": [r["fps"] for r in rows],
-                }
-            )
+            rows, errs = [], []
+            for p in pdf["payload"]:
+                if permissive:
+                    try:
+                        rows.append(sps_parse(bytes(p)))
+                        errs.append(None)
+                    except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                        rows.append(dict(_SPS_NULL))
+                        errs.append(f"{type(exc).__name__}: {exc}")
+                else:
+                    rows.append(sps_parse(bytes(p)))
+            out = {
+                "media_id": pdf["media_id"],
+                "profile_idc": [r["profile_idc"] for r in rows],
+                "level_idc": [r["level_idc"] for r in rows],
+                "width": [r["width"] for r in rows],
+                "height": [r["height"] for r in rows],
+                "fps": [r["fps"] for r in rows],
+            }
+            if permissive:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        op,
-        "media_id long, profile_idc int, level_idc int, width int, height int, fps double",
-    )
+    schema = "media_id long, profile_idc int, level_idc int, width int, height int, fps double"
+    if permissive:
+        schema += ", error string"
+    return df.mapInPandas(op, schema)
 
 
 # ---------------------------------------------------- avcC-in-MP4 (mm16)
@@ -376,10 +401,16 @@ def avcc_parse(rec: bytes) -> dict:
     pos = 6
     sps = None
     for _ in range(n_sps):
+        if pos + 2 > len(rec):
+            raise ValueError("truncated avcC record")
         (ln,) = struct.unpack(">H", rec[pos : pos + 2])
+        if pos + 2 + ln > len(rec):
+            raise ValueError("truncated avcC record")
         if sps is None:
             sps = rec[pos + 2 : pos + 2 + ln]
         pos += 2 + ln
+    if pos >= len(rec):
+        raise ValueError("truncated avcC record")
     n_pps = rec[pos]
     if sps is None:
         raise ValueError("avcC carries no SPS")
@@ -527,10 +558,17 @@ def mp4_avcc_extract(payload: bytes) -> dict:
     }
 
 
-def avc_container_features(df: DataFrame) -> DataFrame:
+_AVC_NULL = {
+    "container_width": None, "container_height": None, "duration_ms": None,
+    "profile_idc": None, "level_idc": None, "width": None, "height": None, "fps": None,
+}
+
+
+def avc_container_features(df: DataFrame, permissive: bool = False) -> DataFrame:
     """DataFrame operator: (media_id long, payload binary MP4) ->
     container + stream metadata with a dims_match QA flag. Arrow-batched
-    ``mapInPandas``, map-only — same 100 TB shape as ``sps_features``."""
+    ``mapInPandas``, map-only — same 100 TB shape as ``sps_features``,
+    including its ``permissive`` corpus-scale quarantine mode."""
     import os  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
@@ -542,31 +580,48 @@ def avc_container_features(df: DataFrame) -> DataFrame:
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
-        from pyp_etl_pipeline_spark.multimodal.h264 import mp4_avcc_extract  # noqa: PLC0415
+        from pyp_etl_pipeline_spark.multimodal.h264 import _AVC_NULL, mp4_avcc_extract  # noqa: PLC0415
 
         for pdf in batches:
-            rows = [mp4_avcc_extract(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "container_width": [r["container_width"] for r in rows],
-                    "container_height": [r["container_height"] for r in rows],
-                    "duration_ms": [r["duration_ms"] for r in rows],
-                    "profile_idc": [r["profile_idc"] for r in rows],
-                    "level_idc": [r["level_idc"] for r in rows],
-                    "width": [r["width"] for r in rows],
-                    "height": [r["height"] for r in rows],
-                    "fps": [r["fps"] for r in rows],
-                    "dims_match": [
+            rows, errs = [], []
+            for p in pdf["payload"]:
+                if permissive:
+                    try:
+                        rows.append(mp4_avcc_extract(bytes(p)))
+                        errs.append(None)
+                    except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                        rows.append(dict(_AVC_NULL))
+                        errs.append(f"{type(exc).__name__}: {exc}")
+                else:
+                    rows.append(mp4_avcc_extract(bytes(p)))
+            out = {
+                "media_id": pdf["media_id"],
+                "container_width": [r["container_width"] for r in rows],
+                "container_height": [r["container_height"] for r in rows],
+                "duration_ms": [r["duration_ms"] for r in rows],
+                "profile_idc": [r["profile_idc"] for r in rows],
+                "level_idc": [r["level_idc"] for r in rows],
+                "width": [r["width"] for r in rows],
+                "height": [r["height"] for r in rows],
+                "fps": [r["fps"] for r in rows],
+                "dims_match": [
+                    None
+                    if r["width"] is None
+                    else (
                         r["container_width"] == r["width"]
                         and r["container_height"] == r["height"]
-                        for r in rows
-                    ],
-                }
-            )
+                    )
+                    for r in rows
+                ],
+            }
+            if permissive:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        op,
+    schema = (
         "media_id long, container_width int, container_height int, duration_ms double, "
-        "profile_idc int, level_idc int, width int, height int, fps double, dims_match boolean",
+        "profile_idc int, level_idc int, width int, height int, fps double, dims_match boolean"
     )
+    if permissive:
+        schema += ", error string"
+    return df.mapInPandas(op, schema)

@@ -32,13 +32,32 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
-def latest_evidence() -> dict[str, int]:
+def latest_evidence() -> tuple[dict[str, int], set[str]]:
+    """(latest GREEN round per query, queries whose MOST RECENT row is
+    not green). Only rows with rows/schema/hash all true and no err
+    count as evidence (ADVICE r11: a failed latest row must lead the
+    next window, not be deferred as 'freshest')."""
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    latest_any: dict[str, tuple[int, bool]] = {}
+    for f in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for name in json.load(open(f)):
-            latest[name] = rnd
-    return latest
+        for name, row in json.load(open(f)).items():
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and bool(row.get("hash_match"))
+                and not row.get("err")
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+            prev = latest_any.get(name, (0, True))
+            if rnd >= prev[0]:
+                latest_any[name] = (rnd, green)
+    red = {n for n, (_, green) in latest_any.items() if not green}
+    return latest, red
 
 
 def main() -> int:
@@ -53,15 +72,21 @@ def main() -> int:
 
     from pyp_etl_pipeline_spark.driver_queries_ext import REGISTRY  # noqa: PLC0415
 
-    latest = latest_evidence()
+    latest, red = latest_evidence()
     names = list(REGISTRY)
     unknown = [n for n in changed if n not in REGISTRY]
     if unknown:
         print(f"ERROR: --changed names not in REGISTRY: {unknown}", file=sys.stderr)
         return 2
 
-    new_queries = sorted(n for n in names if n not in latest and n not in changed)
-    head = changed + new_queries
+    # forced head: changed code, then queries whose latest driver row
+    # FAILED, then zero-evidence (new) queries — all must re-certify
+    # before any staleness backfill.
+    red_live = sorted(n for n in red if n in REGISTRY and n not in changed)
+    new_queries = sorted(
+        n for n in names if n not in latest and n not in changed and n not in red_live
+    )
+    head = changed + red_live + new_queries
     backfill = sorted(
         (n for n in names if n not in head and n in latest),
         key=lambda n: (latest[n], n),
@@ -70,19 +95,27 @@ def main() -> int:
     window, tail = order[:WINDOW], order[WINDOW:]
 
     print(f"# proposed window ({len(window)} slots): "
-          f"{len(changed)} changed + {len(new_queries)} new + "
-          f"{WINDOW - len(head)} stalest-first backfill")
+          f"{len(changed)} changed + {len(red_live)} red-latest + "
+          f"{len(new_queries)} new + "
+          f"{max(0, WINDOW - len(head))} stalest-first backfill")
     for n in window:
-        print(f'    "{n}",  # evidence r{latest.get(n, 0) or "—"}')
+        mark = " RED-LATEST" if n in red_live else ""
+        print(f'    "{n}",  # evidence r{latest.get(n, 0) or "—"}{mark}')
     print("    # ---- end of the 50-slot driver window ----")
     for n in tail:
         print(f'    "{n}",')
     stale = {}
+    no_evidence = [n for n in tail if n not in latest]
     for n in tail:
-        stale.setdefault(latest[n], []).append(n)
+        if n in latest:
+            stale.setdefault(latest[n], []).append(n)
     oldest = min(stale) if stale else None
-    print(f"# tail: {len(tail)} queries; oldest deferred evidence tier: "
-          f"r{oldest} ({len(stale.get(oldest, []))} queries)", file=sys.stderr)
+    msg = (f"# tail: {len(tail)} queries; oldest deferred evidence tier: "
+           f"r{oldest} ({len(stale.get(oldest, []))} queries)")
+    if no_evidence:
+        msg += (f"; WARNING: {len(no_evidence)} zero-evidence queries deferred "
+                f"past the window: {no_evidence}")
+    print(msg, file=sys.stderr)
     return 0
 
 
