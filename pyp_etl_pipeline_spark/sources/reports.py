@@ -15,10 +15,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_report_csv(df: DataFrame, out_dir: str, single_file: bool = True) -> None:
-    """S10: audit CSV (header, overwrite)."""
+def write_report_csv(
+    df: DataFrame, out_dir: str, single_file: bool = True, encoding: str | None = None
+) -> None:
+    """S10: audit CSV (header, overwrite). ``encoding`` must be a name
+    Spark's CSV charset whitelist accepts (e.g. ``iso-8859-1`` for a
+    latin-1 report a legacy consumer requires); default is utf-8."""
     w = df.coalesce(1) if single_file else df
-    w.write.mode("overwrite").option("header", True).csv(out_dir)
+    writer = w.write.mode("overwrite").option("header", True)
+    if encoding is not None:
+        writer = writer.option("encoding", encoding)
+    writer.csv(out_dir)
 
 
 def write_error_report(errors: DataFrame, out_dir: str, row_col: str = "row_id", error_col: str = "error") -> None:

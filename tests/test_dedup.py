@@ -85,24 +85,34 @@ def test_strategy_auto_select(spark, docs, monkeypatch):
     statistic: a small PARQUET input (known stats) stays on the count
     path, shrinking the threshold to zero flips the same call to the
     prefix path, and a memory-table input (stats unknown = MaxValue)
-    conservatively takes the scale-safe prefix path. Results are
-    identical either way (test_prefix_filter_variant_identical)."""
+    now resolves via a bounded row probe (VERDICT r11 item 5): a small
+    memory table lands on the count path instead of silently paying the
+    4x-slower prefix path, while a probe-capped relation still takes
+    the scale-safe prefix path. Results are identical either way
+    (test_prefix_filter_variant_identical)."""
     def plan_of(df):
         return df._jdf.queryExecution().optimizedPlan().toString()
 
     pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     small = dedup.shingle_pairs_jaccard(pq, threshold=0.2)  # auto
     assert "array_intersect" not in plan_of(small)  # count path chosen
-    assert dedup._estimated_input_bytes(pq) < dedup.PREFIX_AUTO_BYTES
+    assert not dedup._prefix_auto(pq)
 
     monkeypatch.setattr(dedup, "PREFIX_AUTO_BYTES", 0)
     flipped = dedup.shingle_pairs_jaccard(pq, threshold=0.2)  # auto
     assert "array_intersect" in plan_of(flipped)  # prefix verify stage
     monkeypatch.undo()
 
-    # memory-table (LogicalRDD) stats are unknown -> assume huge -> prefix
-    assert dedup._estimated_input_bytes(docs) > dedup.PREFIX_AUTO_BYTES
+    # memory-table (LogicalRDD) stats are unknown = MaxValue; the row
+    # probe proves `docs` small -> count path (the r11 footgun fixed)
+    assert not dedup._prefix_auto(docs)
+    assert "array_intersect" not in plan_of(dedup.shingle_pairs_jaccard(docs, threshold=0.2))
+
+    # a memory table AT the probe cap is not provably small -> prefix
+    monkeypatch.setattr(dedup, "_PROBE_ROWS", 3)
+    assert dedup._prefix_auto(docs)
     assert "array_intersect" in plan_of(dedup.shingle_pairs_jaccard(docs, threshold=0.2))
+    monkeypatch.undo()
 
 
 def test_incremental_minhash_matches_full_recompute(spark):

@@ -29,6 +29,22 @@ def test_detect_encoding_latin1(tmp_path):
     assert ingest.detect_encoding(str(p)) == "latin-1"
 
 
+def test_read_csv_upload_nonutf8_branch(spark, tmp_path):
+    """Round 12 regression: detect_encoding returns the PYTHON codec
+    name 'latin-1', which Spark 4's CSV charset whitelist rejects —
+    read_csv_upload must normalize it to iso-8859-1 or the whole S1
+    fallback branch raises INVALID_PARAMETER_VALUE.CHARSET. Certifies
+    byte-exact accent round-trip through the auto-detected read, and
+    the explicit-encoding path through the same normalization."""
+    p = tmp_path / "legacy.csv"
+    p.write_bytes("name,city\nCaf\xe9,K\xf6ln\n\xc9lan,Z\xfcrich\n".encode("latin-1"))
+    df = ingest.read_csv_upload(spark, str(p))  # auto-detect -> latin-1
+    rows = {r["name"]: r["city"] for r in df.collect()}
+    assert rows == {"Café": "Köln", "Élan": "Zürich"}
+    df2 = ingest.read_csv_upload(spark, str(p), encoding="cp1252")
+    assert {r["name"] for r in df2.collect()} == {"Café", "Élan"}
+
+
 def test_validate_upload_path_rejects():
     with pytest.raises(ValueError):
         ingest.validate_upload_path("/tmp/evil.exe")
