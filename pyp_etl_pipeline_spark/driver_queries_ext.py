@@ -3662,125 +3662,67 @@ REGISTRY.update(_ext4.QUERIES4)
 # check keeps aging. Duplicates further down are harmless: dict
 # insertion keeps the FIRST occurrence's position.
 _DRIVER_PRIORITY = [
-    # round-11 rotation — the driver gate samples the FIRST 50 registry
-    # entries (VERDICT r10 items 1 and 3). Entries are UNIQUE by
-    # construction now (ADVICE r10: dead duplicate rows misrepresented
-    # the backfill order); test_driver_priority_unique pins it.
-    # (a) changed code / zero evidence first:
-    #     gt01 landed r10 AFTER the gate window was fixed (no driver row
-    #     ever) and its HUGEINT twin switched to exact integer division
-    #     THIS round (ADVICE r10 high); zo01 (negative-bucket clamp) and
-    #     js01 (strict json_type twin guard) changed post-r10-gate in
-    #     1b926b7; a01 composes the r10-reworked resolve chain (own
-    #     evidence r9); dd02 gains fan-out-based strategy auto-select
-    #     this round (VERDICT r10 item 4); mm15 is NEW this round (H.264
-    #     SPS metadata, VERDICT r10 item 8) — a new query never again
-    #     waits a round for driver evidence (the gt01 lesson).
-    "gt01_grand_total_wide",
-    "zo01_zorder_cells",
-    "js01_json_extract_rollup",
-    "a01_band_summary",
-    "dd02_ngram_jaccard_pairs",
-    "mm15_h264_sps_metadata",
-    "mm16_mp4_avcc_qa",
-    "qa01_daily_quota_ledger",
-    "xl01_xlsx_roundtrip",
-    "cv01_csv_roundtrip",
-    # (b) the r5-stale evidence tier (oldest rows in the ledger):
-    "st01_streaming_tumbling",
-    "st03_stateful_running_totals",
-    "t01_sanitize_collapse",
-    "t02_variant_normalize",
-    "t05_capital_case",
-    "u01_union_kinds",
-    "u02_idarray_union",
-    "w01_tumbling_hourly",
-    # (c) the r6 tier, minus the seven lowest-risk deferrals
-    #     (bk01/q06/a09/a11/cd01/ck01/dq01 — plain join/SQL/pivot/cube/
-    #     diff/chunk/report shapes); the window holds 50 and changed-or-
-    #     new code displaced 10 slots: 5 re-certs + 5 NEW oracle queries
-    #     (mm15/mm16/qa01/xl01/cv01 — a new query never waits a round
-    #     for driver evidence, the gt01 lesson). The deferrals LEAD the
-    #     r12 backfill below:
-    "ann01_cosine_topk",
-    "ann02_lsh_topk",
-    "ann03_ivf_topk",
-    "ann04_kmeans_clusters",
-    "dc02_decontaminate_spans",
-    "dd03_minhash_lsh_pairs",
-    "dd04_dup_clusters",
-    "dd05_incremental_minhash",
-    "dd06_span_dedup",
-    "dd07_neardup_dedup",
-    "ex01_shard_stats",
-    "j14_scd2_history",
-    "j15_live_uid_fallback",
-    "j16_point_in_time_status",
-    "mm02_media_decode",
-    "mm03_jpeg_decode",
-    "mm05_mp4_metadata",
-    "mm06_audio_features",
-    "mx01_corpus_mixture",
-    "nd01_embed_neardup",
-    "pp01_pretraining_pipeline",
-    "px01_pii_scrub",
-    "px02_pseudonymization",
-    "sd01_semantic_dedup",
-    "sk01_salted_join",
-    "tx07_gopher_rules",
-    "tx08_html_extract",
-    "tx09_token_topk",
-    "tx10_tfidf_topk",
-    "tx12_ngram_novelty",
-    "tx13_pmi_collocations",
-    "w07_rolling_30d_revenue",
-    # ---- end of the 50-slot round-11 driver window ----
-    # backfill order for future windows: the seven deferred r6 rows,
-    # then the r7 and r8 tiers; r9/r10-fresh entries follow in REGISTRY
-    # insertion order.
-    "bk01_bucketed_join",
-    "q06_large_volume_customers",
-    "a09_event_pivot",
-    "a11_cube_summary",
-    "cd01_snapshot_diff",
-    "ck01_document_chunks",
-    "dq01_expectation_report",
-    "a13_hll_distinct",
-    "ad01_traffic_anomalies",
-    "bf01_bloom_decontaminate",
-    "bm01_bm25_rank",
-    "cms01_heavy_hitters",
-    "cp01_compaction_plan",
-    "ep01_epoch_shuffle",
-    "ev01_linkage_eval",
-    "gf01_gap_fill",
-    "ia01_incremental_rollup",
-    "ii01_inverted_index",
-    "mm07_mjpeg_frames",
-    "mm08_hadamard_spectrum",
-    "mm09_image_dhash",
-    "mm10_image_neardup_pairs",
-    "mm11_audio_fingerprint_groups",
-    "o08_keyset_pagination",
-    "pf01_table_profile",
-    "pp02_multimodal_curation",
-    "qt01_histogram_quantiles",
-    "st08_stream_static_enrich",
-    "tc01_triangle_census",
-    "tk01_bpe_vocab",
-    "tk02_wordpiece_segment",
-    "tx11_quality_percentile_gate",
-    "tx14_bigram_logprob",
-    "tx15_readability",
-    "tx16_heldout_logprob",
-    "u05_status_set_ops",
-    "u06_multiset_ops",
-    "w05_ntile_quartiles",
-    "w06_group_zscores",
-    "ws01_weighted_sample",
-    "wz01_winsorized_stats",
-    "ann05_pq_topk",
-    "ann06_ivfpq_topk",
+    # round-12 rotation — generated by tools/rotate_window.py (paste,
+    # don't hand-edit; the uniqueness/resolvability test pins the
+    # invariants). Head: 6 changed-code re-certs (gt01 wide-twin VARCHAR
+    # cast fix; xl01 bounded fixture collect; cv01 sink signature; mm15/
+    # mm16 h264 bounds-check + permissive mode; dd02 unknown-stats row
+    # probe) + 1 NEW query (cv02, the S1 non-utf8 branch — a new query
+    # never waits a round for driver evidence). Backfill: the whole r6
+    # tier (VERDICT r11 item 1), then the whole r7 tier, then two r8
+    # rows — oldest deferred evidence after this window is r8.
+    "gt01_grand_total_wide",  # evidence r11
+    "xl01_xlsx_roundtrip",  # evidence r11
+    "cv01_csv_roundtrip",  # evidence r11
+    "mm15_h264_sps_metadata",  # evidence r11
+    "mm16_mp4_avcc_qa",  # evidence r11
+    "dd02_ngram_jaccard_pairs",  # evidence r11
+    "cv02_csv_nonutf8_roundtrip",  # evidence r—
+    "a09_event_pivot",  # evidence r6
+    "a11_cube_summary",  # evidence r6
+    "bk01_bucketed_join",  # evidence r6
+    "cd01_snapshot_diff",  # evidence r6
+    "ck01_document_chunks",  # evidence r6
+    "dq01_expectation_report",  # evidence r6
+    "q06_large_volume_customers",  # evidence r6
+    "a13_hll_distinct",  # evidence r7
+    "ad01_traffic_anomalies",  # evidence r7
+    "bf01_bloom_decontaminate",  # evidence r7
+    "bm01_bm25_rank",  # evidence r7
+    "cms01_heavy_hitters",  # evidence r7
+    "cp01_compaction_plan",  # evidence r7
+    "ep01_epoch_shuffle",  # evidence r7
+    "ev01_linkage_eval",  # evidence r7
+    "gf01_gap_fill",  # evidence r7
+    "ia01_incremental_rollup",  # evidence r7
+    "ii01_inverted_index",  # evidence r7
+    "mm07_mjpeg_frames",  # evidence r7
+    "mm08_hadamard_spectrum",  # evidence r7
+    "mm09_image_dhash",  # evidence r7
+    "mm10_image_neardup_pairs",  # evidence r7
+    "mm11_audio_fingerprint_groups",  # evidence r7
+    "o08_keyset_pagination",  # evidence r7
+    "pf01_table_profile",  # evidence r7
+    "pp02_multimodal_curation",  # evidence r7
+    "qt01_histogram_quantiles",  # evidence r7
+    "st08_stream_static_enrich",  # evidence r7
+    "tc01_triangle_census",  # evidence r7
+    "tk01_bpe_vocab",  # evidence r7
+    "tk02_wordpiece_segment",  # evidence r7
+    "tx11_quality_percentile_gate",  # evidence r7
+    "tx14_bigram_logprob",  # evidence r7
+    "tx15_readability",  # evidence r7
+    "tx16_heldout_logprob",  # evidence r7
+    "u05_status_set_ops",  # evidence r7
+    "u06_multiset_ops",  # evidence r7
+    "w05_ntile_quartiles",  # evidence r7
+    "w06_group_zscores",  # evidence r7
+    "ws01_weighted_sample",  # evidence r7
+    "wz01_winsorized_stats",  # evidence r7
+    "ann05_pq_topk",  # evidence r8
+    "ann06_ivfpq_topk",  # evidence r8
+    # ---- end of the 50-slot round-12 driver window ----
+    # backfill order for future windows (stalest-first):
     "ann07_ivfpq_refine_topk",
     "bfs01_reach_levels",
     "br01_boolean_retrieval",
@@ -3818,6 +3760,142 @@ _DRIVER_PRIORITY = [
     "tk04_vocab_coverage_curve",
     "tx17_url_normalize",
     "uv01_unpivot_part_attrs",
+    "a02_member_rollup",
+    "a03_push_summary",
+    "a05_error_summary_24h",
+    "a07_status_priority_rollup",
+    "a10_length_histogram",
+    "ab01_ab_test_readout",
+    "ann08_int8_topk",
+    "cd02_apply_changefeed",
+    "dc01_decontaminate",
+    "dd01_exact_dup_histogram",
+    "dd10_exact_substring_spans",
+    "dm01_label_centroid_cosine",
+    "dp01_noisy_counts",
+    "e03_crosslink_dedup",
+    "ex02_export_roundtrip",
+    "ex03_jsonl_roundtrip",
+    "f03_name_email_validation",
+    "f05_country_whitelist",
+    "fm01_orc_roundtrip",
+    "hh01_threshold_heavy_hitters",
+    "ka02_l_diversity",
+    "ks01_keep_best_per_cluster",
+    "mm04_frame_sample_plan",
+    "o01_topk_orders_per_customer",
+    "o04_latest_order_per_customer",
+    "o07_distinct_sorted_filters",
+    "p01_header_mapping",
+    "pt01_partition_pruned_rollup",
+    "q09_priority_with_returns",
+    "q10_returned_revenue_topk",
+    "se01_schema_evolution",
+    "sh01_simhash_pairs",
+    "sp01_hash_split",
+    "st10_streaming_materialized_rollup",
+    "t03_punct_lower_key",
+    "t09_masking",
+    "tx01_quality_features",
+    "tx02_token_counts",
+    "tx03_language_id",
+    "tx04_fingerprints",
+    "tx05_repetition",
+    "tx06_unigram_logprob",
+    "tx19_token_entropy",
+    "a08_percentile_summary",
+    "a12_cohort_retention",
+    "aj01_asof_purchase_view",
+    "aj02_asof_directions",
+    "dd09_containment_pairs",
+    "dr01_psi_drift",
+    "e01_explode_multivalue",
+    "e02_explode_dedup",
+    "ev03_rank_agreement",
+    "f01_sentinel_nulls",
+    "f02_row_validation",
+    "flagship_band_rollup",
+    "hy01_hybrid_rrf_fusion",
+    "j01_exact_resolution",
+    "j02_fuzzy_topk",
+    "j02b_typo_fallback",
+    "j04_penalty_bands",
+    "j07_alternatives",
+    "j08_semantic_guard",
+    "j09_merge_actions",
+    "j10_dim_lookup_or_create",
+    "j11_offerings_derivation",
+    "j12_canonical_backfill",
+    "j13_reject_payload",
+    "ml01_linear_trend",
+    "mm01_media_features",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_region_revenue",
+    "q04_mktsegment_summary",
+    "q05_sql_interface",
+    "rj01_interval_join",
+    "rv01_review_workflow",
+    "sp02_stratified_sample",
+    "sq01_session_transitions",
+    "st02_streaming_sliding",
+    "st04_streaming_dedup",
+    "st05_stream_stream_join",
+    "st06_streaming_upsert",
+    "st07_streaming_sessions",
+    "st09_stream_stream_left_join",
+    "st11_streaming_psi_drift",
+    "tx18_zipf_fit",
+    "w02_sliding_1h_15m",
+    "w03_sessionize_30m",
+    "w04_lag_delta",
+    "w08_funnel_analysis",
+    "w09_ewma_value",
+    "w10_ohlc_bars",
+    "a01_band_summary",
+    "ann01_cosine_topk",
+    "ann02_lsh_topk",
+    "ann03_ivf_topk",
+    "ann04_kmeans_clusters",
+    "dc02_decontaminate_spans",
+    "dd03_minhash_lsh_pairs",
+    "dd04_dup_clusters",
+    "dd05_incremental_minhash",
+    "dd06_span_dedup",
+    "dd07_neardup_dedup",
+    "ex01_shard_stats",
+    "j14_scd2_history",
+    "j15_live_uid_fallback",
+    "j16_point_in_time_status",
+    "js01_json_extract_rollup",
+    "mm02_media_decode",
+    "mm03_jpeg_decode",
+    "mm05_mp4_metadata",
+    "mm06_audio_features",
+    "mx01_corpus_mixture",
+    "nd01_embed_neardup",
+    "pp01_pretraining_pipeline",
+    "px01_pii_scrub",
+    "px02_pseudonymization",
+    "qa01_daily_quota_ledger",
+    "sd01_semantic_dedup",
+    "sk01_salted_join",
+    "st01_streaming_tumbling",
+    "st03_stateful_running_totals",
+    "t01_sanitize_collapse",
+    "t02_variant_normalize",
+    "t05_capital_case",
+    "tx07_gopher_rules",
+    "tx08_html_extract",
+    "tx09_token_topk",
+    "tx10_tfidf_topk",
+    "tx12_ngram_novelty",
+    "tx13_pmi_collocations",
+    "u01_union_kinds",
+    "u02_idarray_union",
+    "w01_tumbling_hourly",
+    "w07_rolling_30d_revenue",
+    "zo01_zorder_cells",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},
