@@ -30,8 +30,10 @@ from pyp_etl_pipeline_spark.session import get_spark  # noqa: E402
 # comparable to the round-1 anchor (warm + single timed pass each;
 # reported under "extended", not summed into "value").
 EXTENDED = [
-    # round-12 additions: non-utf8 CSV branch certification
+    # round-12 additions: non-utf8 CSV branch, HEVC metadata tier
     "cv02_csv_nonutf8_roundtrip",
+    "mm17_hevc_sps_metadata",
+    "mm18_mp4_hvcc_qa",
     # round-11 additions: H.264 metadata tier, quota ledger, ingest round-trips
     "mm15_h264_sps_metadata",
     "mm16_mp4_avcc_qa",

@@ -3667,10 +3667,11 @@ _DRIVER_PRIORITY = [
     # invariants). Head: 6 changed-code re-certs (gt01 wide-twin VARCHAR
     # cast fix; xl01 bounded fixture collect; cv01 sink signature; mm15/
     # mm16 h264 bounds-check + permissive mode; dd02 unknown-stats row
-    # probe) + 1 NEW query (cv02, the S1 non-utf8 branch — a new query
-    # never waits a round for driver evidence). Backfill: the whole r6
-    # tier (VERDICT r11 item 1), then the whole r7 tier, then two r8
-    # rows — oldest deferred evidence after this window is r8.
+    # probe) + 3 NEW queries (cv02 non-utf8 S1 branch; mm17/mm18 HEVC
+    # metadata tier — a new query never waits a round for driver
+    # evidence). Backfill: the whole r6 tier (VERDICT r11 item 1) plus
+    # the whole r7 tier (7 + 34 = the 41 remaining slots exactly);
+    # oldest deferred evidence after this window is r8.
     "gt01_grand_total_wide",  # evidence r11
     "xl01_xlsx_roundtrip",  # evidence r11
     "cv01_csv_roundtrip",  # evidence r11
@@ -3678,6 +3679,8 @@ _DRIVER_PRIORITY = [
     "mm16_mp4_avcc_qa",  # evidence r11
     "dd02_ngram_jaccard_pairs",  # evidence r11
     "cv02_csv_nonutf8_roundtrip",  # evidence r—
+    "mm17_hevc_sps_metadata",  # evidence r—
+    "mm18_mp4_hvcc_qa",  # evidence r—
     "a09_event_pivot",  # evidence r6
     "a11_cube_summary",  # evidence r6
     "bk01_bucketed_join",  # evidence r6
@@ -3719,10 +3722,10 @@ _DRIVER_PRIORITY = [
     "w06_group_zscores",  # evidence r7
     "ws01_weighted_sample",  # evidence r7
     "wz01_winsorized_stats",  # evidence r7
-    "ann05_pq_topk",  # evidence r8
-    "ann06_ivfpq_topk",  # evidence r8
     # ---- end of the 50-slot round-12 driver window ----
     # backfill order for future windows (stalest-first):
+    "ann05_pq_topk",
+    "ann06_ivfpq_topk",
     "ann07_ivfpq_refine_topk",
     "bfs01_reach_levels",
     "br01_boolean_retrieval",

@@ -1708,6 +1708,161 @@ QUERIES4["mm16_mp4_avcc_qa"] = (mm16_mp4_avcc_qa, MM16_SQL)
 
 
 # --------------------------------------------------------------------------
+# mm17: HEVC SPS metadata parse (full §7.3.2.2.1 bit-parse, metadata-only)
+# --------------------------------------------------------------------------
+
+def mm17_hevc_sps_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL HEVC SPS metadata decode — the H.265 half of the video
+    metadata tier (VERDICT r11 item 8; mm15 is the H.264 half): per
+    doc_id a spec-shaped Annex-B SPS NAL is synthesized
+    (``multimodal/h265.hevc_sps_encode`` — profile_tier_level,
+    conformance window restoring non-multiple-of-8 dims, VUI timing,
+    emulation prevention), then ``hevc_sps_features`` bit-parses the
+    actual bytes back. The twin computes every value analytically from
+    doc_id, so exp-Golomb drift anywhere in the §7.3.2.2.1 walk, a
+    conformance-window unit bug (4:2:0 crops in chroma units), or a
+    missed emulation strip breaks the hash. Pixel decode stays behind
+    the plugin seam; see tests/test_h265.py for the hand-assembled
+    spec golden covering the RPS/PCM/scaling-list branches."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.multimodal.h265 import hevc_sps_features  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.h265 import hevc_sps_encode  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = [
+                hevc_sps_encode(
+                    16 + (int(i) % 952) * 2,
+                    16 + (int(i) % 532) * 2,
+                    profile_idc=1 + int(i) % 2,
+                    level_idc=30 + int(i) % 124,
+                    fps=24 + int(i) % 37,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return hevc_sps_features(media).select(
+        "media_id",
+        "profile_idc",
+        "tier",
+        "level_idc",
+        "width",
+        "height",
+        "bit_depth",
+        F.round("fps", 4).alias("fps"),
+    )
+
+
+MM17_SQL = """
+SELECT doc_id AS media_id,
+  (1 + doc_id % 2)::INT AS profile_idc,
+  0::INT AS tier,
+  (30 + doc_id % 124)::INT AS level_idc,
+  (16 + (doc_id % 952) * 2)::INT AS width,
+  (16 + (doc_id % 532) * 2)::INT AS height,
+  8::INT AS bit_depth,
+  round((24 + doc_id % 37)::DOUBLE, 4) AS fps
+FROM documents
+"""
+
+QUERIES4["mm17_hevc_sps_metadata"] = (mm17_hevc_sps_metadata, MM17_SQL)
+
+
+# --------------------------------------------------------------------------
+# mm18: hvcC-in-MP4 container-vs-stream QA (HEVC mirror of mm16)
+# --------------------------------------------------------------------------
+
+def mm18_mp4_hvcc_qa(spark: SparkSession, sf: str) -> DataFrame:
+    """How HEVC actually arrives in a lake: an hvc1 sample entry whose
+    hvcC record (ISO/IEC 14496-15 §8.3.3.1 — per-NAL-type ARRAYS, unlike
+    avcC's flat lists) carries the SPS. Per doc_id a complete ISO-BMFF
+    file is synthesized (``multimodal/h265.mp4_hevc_encode``), then
+    ``hevc_container_features`` walks the real box tree, parses the
+    hvcC arrays to the SPS, bit-parses it, and cross-validates container
+    display dims (tkhd) against stream coded-minus-crop dims — every
+    7th doc is synthesized with inflated display dims, the corruption
+    the ``dims_match`` QA flag exists to catch. Fully analytic twin."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.multimodal.h265 import hevc_container_features  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.h265 import mp4_hevc_encode  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 + (i % 952) * 2, 16 + (i % 532) * 2
+                payloads.append(
+                    mp4_hevc_encode(
+                        w,
+                        h,
+                        1 + i % 600000,
+                        profile_idc=1 + i % 2,
+                        level_idc=30 + i % 124,
+                        fps=24 + i % 37,
+                        display_width=w + 2 if i % 7 == 0 else None,
+                        display_height=h + 2 if i % 7 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return hevc_container_features(media).select(
+        "media_id",
+        "container_width",
+        "container_height",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        "profile_idc",
+        "level_idc",
+        "width",
+        "height",
+        "bit_depth",
+        F.round("fps", 4).alias("fps"),
+        "dims_match",
+    )
+
+
+MM18_SQL = """
+SELECT doc_id AS media_id,
+  (16 + (doc_id % 952) * 2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::INT AS container_width,
+  (16 + (doc_id % 532) * 2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::INT AS container_height,
+  round((1 + doc_id % 600000)::DOUBLE, 4) AS duration_ms,
+  (1 + doc_id % 2)::INT AS profile_idc,
+  (30 + doc_id % 124)::INT AS level_idc,
+  (16 + (doc_id % 952) * 2)::INT AS width,
+  (16 + (doc_id % 532) * 2)::INT AS height,
+  8::INT AS bit_depth,
+  round((24 + doc_id % 37)::DOUBLE, 4) AS fps,
+  (doc_id % 7 <> 0) AS dims_match
+FROM documents
+"""
+
+QUERIES4["mm18_mp4_hvcc_qa"] = (mm18_mp4_hvcc_qa, MM18_SQL)
+
+
+# --------------------------------------------------------------------------
 # qa01: daily byte-quota ledger (A6's quota accounting, data-plane)
 # --------------------------------------------------------------------------
 
