@@ -34,6 +34,9 @@ EXTENDED = [
     "cv02_csv_nonutf8_roundtrip",
     "mm17_hevc_sps_metadata",
     "mm18_mp4_hvcc_qa",
+    "xl02_xlsx_sidecar_roundtrip",
+    "mm19_av1_seq_metadata",
+    "mm20_mp4_av1c_qa",
     # round-11 additions: H.264 metadata tier, quota ledger, ingest round-trips
     "mm15_h264_sps_metadata",
     "mm16_mp4_avcc_qa",

@@ -3667,11 +3667,11 @@ _DRIVER_PRIORITY = [
     # invariants). Head: 6 changed-code re-certs (gt01 wide-twin VARCHAR
     # cast fix; xl01 bounded fixture collect; cv01 sink signature; mm15/
     # mm16 h264 bounds-check + permissive mode; dd02 unknown-stats row
-    # probe) + 3 NEW queries (cv02 non-utf8 S1 branch; mm17/mm18 HEVC
-    # metadata tier — a new query never waits a round for driver
-    # evidence). Backfill: the whole r6 tier (VERDICT r11 item 1) plus
-    # the whole r7 tier (7 + 34 = the 41 remaining slots exactly);
-    # oldest deferred evidence after this window is r8.
+    # probe) + 6 NEW queries (cv02 non-utf8 S1 branch; mm17/mm18 HEVC
+    # tier; mm19/mm20 AV1 tier; xl02 xlsx sidecar seek path — a new
+    # query never waits a round for driver evidence). Backfill: the
+    # whole r6 tier (VERDICT r11 item 1) then the r7 tier stalest-first;
+    # 3 r7 rows defer to r13 (w06/ws01/wz01).
     "gt01_grand_total_wide",  # evidence r11
     "xl01_xlsx_roundtrip",  # evidence r11
     "cv01_csv_roundtrip",  # evidence r11
@@ -3681,6 +3681,9 @@ _DRIVER_PRIORITY = [
     "cv02_csv_nonutf8_roundtrip",  # evidence r—
     "mm17_hevc_sps_metadata",  # evidence r—
     "mm18_mp4_hvcc_qa",  # evidence r—
+    "mm19_av1_seq_metadata",  # evidence r—
+    "mm20_mp4_av1c_qa",  # evidence r—
+    "xl02_xlsx_sidecar_roundtrip",  # evidence r—
     "a09_event_pivot",  # evidence r6
     "a11_cube_summary",  # evidence r6
     "bk01_bucketed_join",  # evidence r6
@@ -3719,11 +3722,11 @@ _DRIVER_PRIORITY = [
     "u05_status_set_ops",  # evidence r7
     "u06_multiset_ops",  # evidence r7
     "w05_ntile_quartiles",  # evidence r7
-    "w06_group_zscores",  # evidence r7
-    "ws01_weighted_sample",  # evidence r7
-    "wz01_winsorized_stats",  # evidence r7
     # ---- end of the 50-slot round-12 driver window ----
     # backfill order for future windows (stalest-first):
+    "w06_group_zscores",
+    "ws01_weighted_sample",
+    "wz01_winsorized_stats",
     "ann05_pq_topk",
     "ann06_ivfpq_topk",
     "ann07_ivfpq_refine_topk",

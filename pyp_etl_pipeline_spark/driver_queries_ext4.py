@@ -1863,6 +1863,169 @@ QUERIES4["mm18_mp4_hvcc_qa"] = (mm18_mp4_hvcc_qa, MM18_SQL)
 
 
 # --------------------------------------------------------------------------
+# mm19: AV1 sequence-header metadata parse (OBU framing + §5.5 bit-parse)
+# --------------------------------------------------------------------------
+
+def mm19_av1_seq_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL AV1 sequence-header decode — the third leg of the video
+    metadata tier (H.264 mm15, HEVC mm17): per doc_id a spec-shaped
+    temporal unit (temporal delimiter + sequence header OBU with leb128
+    size fields — AV1 has no start codes and no emulation prevention)
+    is synthesized (``multimodal/av1.av1_sequence_header_encode``), then
+    ``av1_seq_features`` walks the OBU framing and bit-parses the §5.5
+    layout back (profile/level/tier, variable-width dimension fields,
+    color_config-derived bit depth and subsampling, timing-info fps).
+    Analytic twin: any leb128/operating-point/color-config drift breaks
+    the hash. See tests/test_av1.py for the hand-assembled spec golden
+    covering multi-op tables, decoder model, and reduced headers."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.multimodal.av1 import av1_seq_features  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.av1 import (  # noqa: PLC0415
+            av1_sequence_header_encode,
+        )
+
+        for pdf in batches:
+            payloads = [
+                av1_sequence_header_encode(
+                    1 + int(i) % 1903,
+                    1 + int(i) % 1063,
+                    seq_profile=int(i) % 3,
+                    seq_level_idx=8 + int(i) % 24,
+                    seq_tier=int(i) % 2,
+                    fps=24 + int(i) % 37,
+                    high_bitdepth=int(i) % 5 == 0,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return av1_seq_features(media).select(
+        "media_id",
+        "seq_profile",
+        "seq_level_idx",
+        "seq_tier",
+        "width",
+        "height",
+        "bit_depth",
+        "chroma_sub_x",
+        "chroma_sub_y",
+        F.round("fps", 4).alias("fps"),
+    )
+
+
+MM19_SQL = """
+SELECT doc_id AS media_id,
+  (doc_id % 3)::INT AS seq_profile,
+  (8 + doc_id % 24)::INT AS seq_level_idx,
+  (doc_id % 2)::INT AS seq_tier,
+  (1 + doc_id % 1903)::INT AS width,
+  (1 + doc_id % 1063)::INT AS height,
+  (CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 8 END)::INT AS bit_depth,
+  (CASE doc_id % 3 WHEN 1 THEN 0 ELSE 1 END)::INT AS chroma_sub_x,
+  (CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END)::INT AS chroma_sub_y,
+  round((24 + doc_id % 37)::DOUBLE, 4) AS fps
+FROM documents
+"""
+
+QUERIES4["mm19_av1_seq_metadata"] = (mm19_av1_seq_metadata, MM19_SQL)
+
+
+# --------------------------------------------------------------------------
+# mm20: av1C-in-MP4 container-vs-stream QA (AV1 mirror of mm16/mm18)
+# --------------------------------------------------------------------------
+
+def mm20_mp4_av1c_qa(spark: SparkSession, sf: str) -> DataFrame:
+    """How AV1 arrives in a lake: an av01 sample entry whose av1C box
+    (AV1CodecConfigurationRecord: 4-byte fixed prefix + configOBUs)
+    carries the sequence header. Per doc_id a complete ISO-BMFF file is
+    synthesized (``multimodal/av1.mp4_av1_encode``), then
+    ``av1_container_features`` walks the real box tree, parses the
+    record AND its embedded sequence header, and cross-validates BOTH
+    container display dims vs stream dims (every 7th doc inflated) and
+    the record's profile/level prefix vs the stream's own values
+    (``record_matches`` — muxers get this wrong in real corpora).
+    Fully analytic twin."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.multimodal.av1 import av1_container_features  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.av1 import mp4_av1_encode  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 + (i % 952) * 2, 16 + (i % 532) * 2
+                payloads.append(
+                    mp4_av1_encode(
+                        w,
+                        h,
+                        1 + i % 600000,
+                        seq_profile=i % 3,
+                        seq_level_idx=8 + i % 24,
+                        fps=24 + i % 37,
+                        display_width=w + 2 if i % 7 == 0 else None,
+                        display_height=h + 2 if i % 7 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return av1_container_features(media).select(
+        "media_id",
+        "container_width",
+        "container_height",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        "seq_profile",
+        "seq_level_idx",
+        "width",
+        "height",
+        F.round("fps", 4).alias("fps"),
+        "record_matches",
+        "dims_match",
+    )
+
+
+MM20_SQL = """
+SELECT doc_id AS media_id,
+  (16 + (doc_id % 952) * 2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::INT AS container_width,
+  (16 + (doc_id % 532) * 2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::INT AS container_height,
+  round((1 + doc_id % 600000)::DOUBLE, 4) AS duration_ms,
+  (doc_id % 3)::INT AS seq_profile,
+  (8 + doc_id % 24)::INT AS seq_level_idx,
+  (16 + (doc_id % 952) * 2)::INT AS width,
+  (16 + (doc_id % 532) * 2)::INT AS height,
+  round((24 + doc_id % 37)::DOUBLE, 4) AS fps,
+  TRUE AS record_matches,
+  (doc_id % 7 <> 0) AS dims_match
+FROM documents
+"""
+
+QUERIES4["mm20_mp4_av1c_qa"] = (mm20_mp4_av1c_qa, MM20_SQL)
+
+
+# --------------------------------------------------------------------------
 # qa01: daily byte-quota ledger (A6's quota accounting, data-plane)
 # --------------------------------------------------------------------------
 
@@ -2022,6 +2185,62 @@ GROUP BY 1
 """
 
 QUERIES4["xl01_xlsx_roundtrip"] = (xl01_xlsx_roundtrip, XL01_SQL)
+
+
+def xl02_xlsx_sidecar_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The SIDECAR strategy of ``read_excel_distributed``, oracle-
+    certified end-to-end (round 12's linear large-sheet path: one driver
+    pass decompresses the worksheet XML while byte-indexing ``<row``
+    boundaries, executor tasks SEEK to their range —
+    ``xlsx.extract_sheet_sidecar``/``read_rows_sidecar``). Same fixture
+    and aggregate as xl01, forced onto the seek path with
+    ``sidecar_threshold=0``; the shared analytic twin makes the hash
+    certify byte-identical output across the two physical strategies —
+    range splitting, header-drop in range 0, fragment re-parse, and the
+    offset index itself."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.driver_queries_ext import scratch_path  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.functions.aggregates import micro_col  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.sources.ingest import read_excel_distributed  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.sources.xlsx import write_xlsx  # noqa: PLC0415
+
+    d = scratch_path("xl02_upload")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    fpath = os.path.join(d, "customers.xlsx")
+    rows = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < _XL01_KEY_CAP)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    data = sorted(
+        (
+            [
+                str(r["c_custkey"]),
+                r["c_mktsegment"],
+                None if r["c_acctbal"] is None else repr(float(r["c_acctbal"])),
+            ]
+            for r in rows
+        ),
+        key=lambda x: x[0],
+    )
+    write_xlsx(fpath, ["c_custkey", "c_mktsegment", "c_acctbal"], data)
+
+    back = read_excel_distributed(
+        spark, fpath, rows_per_task=512, sidecar_threshold=0, sidecar_dir=d
+    )
+    return back.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(micro_col(F.col("c_acctbal").cast("double"))).cast("long").alias("bal_micro"),
+        F.min(F.col("c_custkey").cast("long")).alias("min_key"),
+        F.max(F.col("c_custkey").cast("long")).alias("max_key"),
+    )
+
+
+QUERIES4["xl02_xlsx_sidecar_roundtrip"] = (xl02_xlsx_sidecar_roundtrip, XL01_SQL)
 
 
 # --------------------------------------------------------------------------
