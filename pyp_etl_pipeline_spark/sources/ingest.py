@@ -174,6 +174,15 @@ def _process_sidecar_dir() -> str:
     return _SIDECAR_DIR
 
 
+def _sidecar_usable(master: str, sidecar_dir: str | None) -> bool:
+    """The default sidecar dir is a DRIVER-local tempdir; on a real
+    multi-node cluster executors cannot read it, so the seek path would
+    silently fail where the streaming path (which re-opens the
+    shared-storage xlsx itself) still works (ADVICE r12). Callers on a
+    cluster must pass a shared-storage ``sidecar_dir`` to opt in."""
+    return sidecar_dir is not None or master.startswith("local")
+
+
 def read_excel_distributed(
     spark: SparkSession,
     path: str,
@@ -239,6 +248,8 @@ def read_excel_distributed(
     sidecar = None
     with zipfile.ZipFile(path) as z:
         part_size = z.getinfo(part).file_size  # decompressed
+    if not _sidecar_usable(spark.sparkContext.master, sidecar_dir):
+        sidecar_threshold = None
     if sidecar_threshold is not None and part_size >= sidecar_threshold:
         sdir = sidecar_dir or _process_sidecar_dir()
         sidecar = os.path.join(

@@ -264,6 +264,14 @@ def extract_sheet_sidecar(
                 break
             out.write(chunk)
             buf += chunk
+            # locate </sheetData BEFORE counting this chunk's rows, so a
+            # hypothetical row-prefixed element after it (ADVICE r12) is
+            # never indexed — an offset past end_of_rows would yield a
+            # byte_start > byte_end range whose rows silently vanish
+            if end_of_rows is None:
+                k = buf.find(b"</sheetData")
+                if k >= 0:
+                    end_of_rows = base + k
             idx = 0
             while True:
                 j = buf.find(b"<row", idx)
@@ -271,16 +279,14 @@ def extract_sheet_sidecar(
                     break
                 if buf[j + 4 : j + 5] in (b" ", b">", b"/"):
                     abs_j = base + j
+                    if end_of_rows is not None and abs_j > end_of_rows:
+                        break
                     if abs_j > last_abs:
                         last_abs = abs_j
                         if n_rows % rows_per_range == 0:
                             row_offsets.append(abs_j)
                         n_rows += 1
                 idx = j + 4
-            if end_of_rows is None:
-                k = buf.find(b"</sheetData")
-                if k >= 0:
-                    end_of_rows = base + k
             # retain only the carry tail; advance base accordingly
             if len(buf) > overlap:
                 base += len(buf) - overlap
@@ -292,6 +298,12 @@ def extract_sheet_sidecar(
     ranges: list[tuple[int, int, int]] = []
     for i, off in enumerate(row_offsets):
         nxt = row_offsets[i + 1] if i + 1 < len(row_offsets) else end_of_rows
+        if off >= nxt:
+            # impossible in well-formed SpreadsheetML given the scan
+            # above; defensive backstop (ADVICE r12): signal "not a
+            # standard layout" so the caller takes the streaming path
+            # rather than silently dropping the range's rows
+            return 0, []
         ranges.append((i * rows_per_range, off, nxt))
     return n_rows, ranges
 

@@ -334,3 +334,56 @@ def test_sidecar_parse_work_is_linear(tmp_path):
     streaming_bytes = sum(be for _, _, be in ranges)  # each task reads from 0
     assert sidecar_bytes <= sheet_bytes  # touches each byte exactly once
     assert streaming_bytes > 7 * sheet_bytes  # the quadratic term it removes
+
+
+def test_sidecar_extract_ignores_rows_after_sheetdata_close(tmp_path):
+    """ADVICE r12: a row-prefixed token AFTER </sheetData> (hypothetical
+    in well-formed SpreadsheetML, but the scanner is byte-level) must not
+    be indexed — it would yield a range with byte_start > byte_end whose
+    rows silently vanish. Every range must stay byte_start < byte_end and
+    the last range must reproduce exactly the real tail rows."""
+    from pyp_etl_pipeline_spark.sources.xlsx import (
+        extract_sheet_sidecar,
+        read_rows_sidecar,
+    )
+
+    body = "".join(
+        f'<row r="{i + 1}"><c r="A{i + 1}" t="inlineStr"><is><t>v{i}</t></is></c></row>'
+        for i in range(25)
+    )
+    p = tmp_path / "trailing.xlsx"
+    _write_xlsx(p, [("Data", body)])
+    # splice a phantom <row> after </sheetData> (still inside <worksheet>)
+    with zipfile.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"]
+    assert b"</sheetData>" in sheet
+    parts["xl/worksheets/sheet1.xml"] = sheet.replace(
+        b"</sheetData>",
+        b'</sheetData><row r="99"><c r="A99"><v>9</v></c></row>',
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+
+    side = str(tmp_path / "trailing_sidecar.xml")
+    n_rows, ranges = extract_sheet_sidecar(
+        p, "xl/worksheets/sheet1.xml", side, rows_per_range=10
+    )
+    assert n_rows == 25  # phantom row NOT counted
+    assert [r[0] for r in ranges] == [0, 10, 20]
+    assert all(bs < be for _, bs, be in ranges)
+    tail = read_rows_sidecar(side, ranges[-1][1], ranges[-1][2], str(p))
+    assert [r[0] for r in tail] == [f"v{i}" for i in range(20, 25)]
+
+
+def test_sidecar_requires_shared_dir_off_local_master():
+    """ADVICE r12: the default sidecar dir is driver-local; a non-local
+    master without an explicit shared sidecar_dir must fall back to the
+    streaming strategy instead of writing a sidecar executors can't read."""
+    assert ingest._sidecar_usable("local[32]", None)
+    assert ingest._sidecar_usable("local-cluster[2,1,1024]", None)
+    assert not ingest._sidecar_usable("spark://host:7077", None)
+    assert not ingest._sidecar_usable("yarn", None)
+    assert not ingest._sidecar_usable("k8s://https://host", None)
+    assert ingest._sidecar_usable("yarn", "/shared/scratch")
