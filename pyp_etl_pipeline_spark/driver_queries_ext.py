@@ -3662,114 +3662,66 @@ REGISTRY.update(_ext4.QUERIES4)
 # check keeps aging. Duplicates further down are harmless: dict
 # insertion keeps the FIRST occurrence's position.
 _DRIVER_PRIORITY = [
-    # round-12 rotation — generated by tools/rotate_window.py (paste,
+    # round-13 rotation — generated by tools/rotate_window.py (paste,
     # don't hand-edit; the uniqueness/resolvability test pins the
-    # invariants). Head: 6 changed-code re-certs (gt01 wide-twin VARCHAR
-    # cast fix; xl01 bounded fixture collect; cv01 sink signature; mm15/
-    # mm16 h264 bounds-check + permissive mode; dd02 unknown-stats row
-    # probe) + 6 NEW queries (cv02 non-utf8 S1 branch; mm17/mm18 HEVC
-    # tier; mm19/mm20 AV1 tier; xl02 xlsx sidecar seek path — a new
-    # query never waits a round for driver evidence). Backfill: the
-    # whole r6 tier (VERDICT r11 item 1) then the r7 tier stalest-first;
-    # 3 r7 rows defer to r13 (w06/ws01/wz01).
-    "gt01_grand_total_wide",  # evidence r11
-    "xl01_xlsx_roundtrip",  # evidence r11
-    "cv01_csv_roundtrip",  # evidence r11
-    "mm15_h264_sps_metadata",  # evidence r11
-    "mm16_mp4_avcc_qa",  # evidence r11
-    "dd02_ngram_jaccard_pairs",  # evidence r11
-    "cv02_csv_nonutf8_roundtrip",  # evidence r—
-    "mm17_hevc_sps_metadata",  # evidence r—
-    "mm18_mp4_hvcc_qa",  # evidence r—
-    "mm19_av1_seq_metadata",  # evidence r—
-    "mm20_mp4_av1c_qa",  # evidence r—
-    "xl02_xlsx_sidecar_roundtrip",  # evidence r—
-    "a09_event_pivot",  # evidence r6
-    "a11_cube_summary",  # evidence r6
-    "bk01_bucketed_join",  # evidence r6
-    "cd01_snapshot_diff",  # evidence r6
-    "ck01_document_chunks",  # evidence r6
-    "dq01_expectation_report",  # evidence r6
-    "q06_large_volume_customers",  # evidence r6
-    "a13_hll_distinct",  # evidence r7
-    "ad01_traffic_anomalies",  # evidence r7
-    "bf01_bloom_decontaminate",  # evidence r7
-    "bm01_bm25_rank",  # evidence r7
-    "cms01_heavy_hitters",  # evidence r7
-    "cp01_compaction_plan",  # evidence r7
-    "ep01_epoch_shuffle",  # evidence r7
-    "ev01_linkage_eval",  # evidence r7
-    "gf01_gap_fill",  # evidence r7
-    "ia01_incremental_rollup",  # evidence r7
-    "ii01_inverted_index",  # evidence r7
-    "mm07_mjpeg_frames",  # evidence r7
-    "mm08_hadamard_spectrum",  # evidence r7
-    "mm09_image_dhash",  # evidence r7
-    "mm10_image_neardup_pairs",  # evidence r7
-    "mm11_audio_fingerprint_groups",  # evidence r7
-    "o08_keyset_pagination",  # evidence r7
-    "pf01_table_profile",  # evidence r7
-    "pp02_multimodal_curation",  # evidence r7
-    "qt01_histogram_quantiles",  # evidence r7
-    "st08_stream_static_enrich",  # evidence r7
-    "tc01_triangle_census",  # evidence r7
-    "tk01_bpe_vocab",  # evidence r7
-    "tk02_wordpiece_segment",  # evidence r7
-    "tx11_quality_percentile_gate",  # evidence r7
-    "tx14_bigram_logprob",  # evidence r7
-    "tx15_readability",  # evidence r7
-    "tx16_heldout_logprob",  # evidence r7
-    "u05_status_set_ops",  # evidence r7
-    "u06_multiset_ops",  # evidence r7
-    "w05_ntile_quartiles",  # evidence r7
-    # ---- end of the 50-slot round-12 driver window ----
-    # backfill order for future windows (stalest-first):
-    "w06_group_zscores",
-    "ws01_weighted_sample",
-    "wz01_winsorized_stats",
-    "ann05_pq_topk",
-    "ann06_ivfpq_topk",
-    "ann07_ivfpq_refine_topk",
-    "bfs01_reach_levels",
-    "br01_boolean_retrieval",
-    "cf01_cascade_filter",
-    "cu01_curriculum_schedule",
-    "dc03_semantic_decontaminate",
-    "dd08_dedup_savings",
-    "ev02_ann_recall",
-    "ev04_gate_calibration",
-    "ev05_gate_kappa",
-    "ev06_quality_auc",
-    "fh01_feature_hashing",
-    "gr01_pagerank",
-    "gr02_star_components",
-    "gs01_grouping_sets",
-    "hn01_hard_negatives",
-    "im01_class_weight_plan",
-    "ka01_k_anonymity",
-    "mk01_mlm_masking_plan",
-    "mm12_gif_decode",
-    "mm13_gif_animation_frames",
-    "mm14_resized_thumbs",
-    "mx02_token_budget_fill",
-    "mx03_temperature_mixture",
-    "pb01_padding_efficiency",
-    "pk01_sequence_packing",
-    "px03_pii_density",
-    "q07_promo_revenue_share",
-    "q08_idle_customers",
-    "qn01_int8_quantize",
-    "rp01_corpus_datacard",
-    "sa01_skew_audit",
-    "sp03_group_safe_split",
-    "tk03_vocab_coverage",
-    "tk04_vocab_coverage_curve",
-    "tx17_url_normalize",
-    "uv01_unpivot_part_attrs",
-    "a02_member_rollup",
-    "a03_push_summary",
-    "a05_error_summary_24h",
-    "a07_status_priority_rollup",
+    # invariants). Head: 2 NEW queries (mm21/mm22 VP9 tier — a new
+    # query never waits a round for driver evidence) + 2 changed-code
+    # re-certs (xl01/xl02: sidecar cluster-mode guard + post-sheetData
+    # scan stop). Backfill: the whole r7 tier (w06/ws01/wz01) then the
+    # r8 tier stalest-first per VERDICT r12 item 1; 4 r9 rows enter,
+    # the rest defer to r14.
+    # proposed window (50 slots): 4 changed + 0 red-latest + 0 new + 46 stalest-first backfill
+    "mm21_vp9_frame_metadata",  # evidence r—
+    "mm22_mp4_vpcc_qa",  # evidence r—
+    "xl01_xlsx_roundtrip",  # evidence r12
+    "xl02_xlsx_sidecar_roundtrip",  # evidence r12
+    "w06_group_zscores",  # evidence r7
+    "ws01_weighted_sample",  # evidence r7
+    "wz01_winsorized_stats",  # evidence r7
+    "ann05_pq_topk",  # evidence r8
+    "ann06_ivfpq_topk",  # evidence r8
+    "ann07_ivfpq_refine_topk",  # evidence r8
+    "bfs01_reach_levels",  # evidence r8
+    "br01_boolean_retrieval",  # evidence r8
+    "cf01_cascade_filter",  # evidence r8
+    "cu01_curriculum_schedule",  # evidence r8
+    "dc03_semantic_decontaminate",  # evidence r8
+    "dd08_dedup_savings",  # evidence r8
+    "ev02_ann_recall",  # evidence r8
+    "ev04_gate_calibration",  # evidence r8
+    "ev05_gate_kappa",  # evidence r8
+    "ev06_quality_auc",  # evidence r8
+    "fh01_feature_hashing",  # evidence r8
+    "gr01_pagerank",  # evidence r8
+    "gr02_star_components",  # evidence r8
+    "gs01_grouping_sets",  # evidence r8
+    "hn01_hard_negatives",  # evidence r8
+    "im01_class_weight_plan",  # evidence r8
+    "ka01_k_anonymity",  # evidence r8
+    "mk01_mlm_masking_plan",  # evidence r8
+    "mm12_gif_decode",  # evidence r8
+    "mm13_gif_animation_frames",  # evidence r8
+    "mm14_resized_thumbs",  # evidence r8
+    "mx02_token_budget_fill",  # evidence r8
+    "mx03_temperature_mixture",  # evidence r8
+    "pb01_padding_efficiency",  # evidence r8
+    "pk01_sequence_packing",  # evidence r8
+    "px03_pii_density",  # evidence r8
+    "q07_promo_revenue_share",  # evidence r8
+    "q08_idle_customers",  # evidence r8
+    "qn01_int8_quantize",  # evidence r8
+    "rp01_corpus_datacard",  # evidence r8
+    "sa01_skew_audit",  # evidence r8
+    "sp03_group_safe_split",  # evidence r8
+    "tk03_vocab_coverage",  # evidence r8
+    "tk04_vocab_coverage_curve",  # evidence r8
+    "tx17_url_normalize",  # evidence r8
+    "uv01_unpivot_part_attrs",  # evidence r8
+    "a02_member_rollup",  # evidence r9
+    "a03_push_summary",  # evidence r9
+    "a05_error_summary_24h",  # evidence r9
+    "a07_status_priority_rollup",  # evidence r9
+    # ---- end of the 50-slot driver window ----
     "a10_length_histogram",
     "ab01_ab_test_readout",
     "ann08_int8_topk",
@@ -3902,7 +3854,57 @@ _DRIVER_PRIORITY = [
     "w01_tumbling_hourly",
     "w07_rolling_30d_revenue",
     "zo01_zorder_cells",
+    "a09_event_pivot",
+    "a11_cube_summary",
+    "a13_hll_distinct",
+    "ad01_traffic_anomalies",
+    "bf01_bloom_decontaminate",
+    "bk01_bucketed_join",
+    "bm01_bm25_rank",
+    "cd01_snapshot_diff",
+    "ck01_document_chunks",
+    "cms01_heavy_hitters",
+    "cp01_compaction_plan",
+    "cv01_csv_roundtrip",
+    "cv02_csv_nonutf8_roundtrip",
+    "dd02_ngram_jaccard_pairs",
+    "dq01_expectation_report",
+    "ep01_epoch_shuffle",
+    "ev01_linkage_eval",
+    "gf01_gap_fill",
+    "gt01_grand_total_wide",
+    "ia01_incremental_rollup",
+    "ii01_inverted_index",
+    "mm07_mjpeg_frames",
+    "mm08_hadamard_spectrum",
+    "mm09_image_dhash",
+    "mm10_image_neardup_pairs",
+    "mm11_audio_fingerprint_groups",
+    "mm15_h264_sps_metadata",
+    "mm16_mp4_avcc_qa",
+    "mm17_hevc_sps_metadata",
+    "mm18_mp4_hvcc_qa",
+    "mm19_av1_seq_metadata",
+    "mm20_mp4_av1c_qa",
+    "o08_keyset_pagination",
+    "pf01_table_profile",
+    "pp02_multimodal_curation",
+    "q06_large_volume_customers",
+    "qt01_histogram_quantiles",
+    "st08_stream_static_enrich",
+    "tc01_triangle_census",
+    "tk01_bpe_vocab",
+    "tk02_wordpiece_segment",
+    "tx11_quality_percentile_gate",
+    "tx14_bigram_logprob",
+    "tx15_readability",
+    "tx16_heldout_logprob",
+    "u05_status_set_ops",
+    "u06_multiset_ops",
+    "w05_ntile_quartiles",
+    # tail: 180 queries; oldest deferred evidence tier: r9 (39 queries)
 ]
+
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY},
     **{k: v for k, v in REGISTRY.items() if k not in _DRIVER_PRIORITY},

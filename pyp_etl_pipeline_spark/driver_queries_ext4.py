@@ -2379,3 +2379,188 @@ GROUP BY 1
 """
 
 QUERIES4["cv02_csv_nonutf8_roundtrip"] = (cv02_csv_nonutf8_roundtrip, CV02_SQL)
+
+
+# --------------------------------------------------------------------------
+# mm21: VP9 keyframe uncompressed-header metadata parse (§6.2 bit-parse)
+# --------------------------------------------------------------------------
+
+def mm21_vp9_frame_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL VP9 keyframe-header decode — the fourth leg of the video
+    metadata tier (H.264 mm15, HEVC mm17, AV1 mm19): per doc_id a
+    spec-shaped keyframe uncompressed header is synthesized
+    (``multimodal/vp9.vp9_frame_header_encode`` — VP9 has no parameter
+    sets; stream config lives in every keyframe), then
+    ``vp9_frame_features`` bit-parses the §6.2 layout back
+    (profile-coupled bit depth and subsampling, the CS_RGB forced-4:4:4
+    branch, frame + render dimensions). Analytic twin: any
+    profile/color-config/frame-size drift breaks the hash. See
+    tests/test_vp9.py for the hand-assembled spec golden."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.multimodal.vp9 import vp9_frame_features  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.vp9 import (  # noqa: PLC0415
+            vp9_frame_header_encode,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                profile = i % 4
+                rgb = profile in (1, 3) and i % 11 == 0
+                w, h = 1 + i % 1903, 1 + i % 1063
+                payloads.append(
+                    vp9_frame_header_encode(
+                        w,
+                        h,
+                        profile=profile,
+                        bit_depth=(10 if i % 2 == 0 else 12) if profile >= 2 else 8,
+                        color_space=7 if rgb else 2,
+                        color_range=1 if rgb else i % 2,
+                        sub_x=(0 if rgb else i % 2) if profile in (1, 3) else None,
+                        sub_y=0 if profile in (1, 3) else None,
+                        render_width=w * 2 if i % 9 == 0 else None,
+                        render_height=h * 2 if i % 9 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return vp9_frame_features(media).select(
+        "media_id",
+        "profile",
+        "bit_depth",
+        "color_space",
+        "color_range",
+        "chroma_sub_x",
+        "chroma_sub_y",
+        "width",
+        "height",
+        "render_width",
+        "render_height",
+    )
+
+
+MM21_SQL = """
+SELECT doc_id AS media_id,
+  (doc_id % 4)::INT AS profile,
+  (CASE WHEN doc_id % 4 >= 2 THEN CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 12 END
+        ELSE 8 END)::INT AS bit_depth,
+  (CASE WHEN doc_id % 4 IN (1, 3) AND doc_id % 11 = 0 THEN 7 ELSE 2 END)::INT AS color_space,
+  (CASE WHEN doc_id % 4 IN (1, 3) AND doc_id % 11 = 0 THEN 1
+        ELSE doc_id % 2 END)::INT AS color_range,
+  (CASE WHEN doc_id % 4 IN (1, 3)
+        THEN CASE WHEN doc_id % 11 = 0 THEN 0 ELSE doc_id % 2 END
+        ELSE 1 END)::INT AS chroma_sub_x,
+  (CASE WHEN doc_id % 4 IN (1, 3) THEN 0 ELSE 1 END)::INT AS chroma_sub_y,
+  (1 + doc_id % 1903)::INT AS width,
+  (1 + doc_id % 1063)::INT AS height,
+  ((1 + doc_id % 1903) * CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END)::INT AS render_width,
+  ((1 + doc_id % 1063) * CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END)::INT AS render_height
+FROM documents
+"""
+
+QUERIES4["mm21_vp9_frame_metadata"] = (mm21_vp9_frame_metadata, MM21_SQL)
+
+
+# --------------------------------------------------------------------------
+# mm22: vpcC-in-MP4 container-vs-stream QA (VP9 mirror of mm16/mm18/mm20)
+# --------------------------------------------------------------------------
+
+def mm22_mp4_vpcc_qa(spark: SparkSession, sf: str) -> DataFrame:
+    """How VP9 arrives in a lake: a vp09 sample entry whose vpcC box
+    carries the VPCodecConfigurationRecord — which for VP9 holds NO init
+    data (codecInitializationDataSize == 0), so record-vs-stream QA must
+    read the first keyframe from mdat. Per doc_id a complete ISO-BMFF
+    file is synthesized (``multimodal/vp9.mp4_vp9_encode``), then
+    ``vp9_container_features`` walks the real box tree, parses record
+    AND mdat frame header, and cross-validates container display dims vs
+    coded dims (every 7th doc inflated) plus record fields vs the
+    stream's own header (``record_matches``). Fully analytic twin."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyp_etl_pipeline_spark.multimodal.binary_ops import REPO_ROOT  # noqa: PLC0415
+    from pyp_etl_pipeline_spark.multimodal.vp9 import vp9_container_features  # noqa: PLC0415
+
+    repo_root = REPO_ROOT
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import sys  # noqa: PLC0415
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from pyp_etl_pipeline_spark.multimodal.vp9 import mp4_vp9_encode  # noqa: PLC0415
+
+        levels = [10, 11, 20, 21, 30, 31, 40, 41, 50, 51, 52, 60, 61, 62]
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                profile = i % 4
+                w, h = 16 + (i % 952) * 2, 16 + (i % 532) * 2
+                payloads.append(
+                    mp4_vp9_encode(
+                        w,
+                        h,
+                        1 + i % 600000,
+                        profile=profile,
+                        level=levels[i % 14],
+                        bit_depth=(10 if i % 2 == 0 else 12) if profile >= 2 else 8,
+                        color_range=i % 2,
+                        display_width=w + 2 if i % 7 == 0 else None,
+                        display_height=h + 2 if i % 7 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return vp9_container_features(media).select(
+        "media_id",
+        "container_width",
+        "container_height",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        "profile",
+        "record_level",
+        "bit_depth",
+        "chroma_sub_x",
+        "chroma_sub_y",
+        "color_range",
+        "width",
+        "height",
+        "record_matches",
+        "dims_match",
+    )
+
+
+MM22_SQL = """
+SELECT doc_id AS media_id,
+  (16 + (doc_id % 952) * 2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::INT AS container_width,
+  (16 + (doc_id % 532) * 2 + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::INT AS container_height,
+  round((1 + doc_id % 600000)::DOUBLE, 4) AS duration_ms,
+  (doc_id % 4)::INT AS profile,
+  ([10, 11, 20, 21, 30, 31, 40, 41, 50, 51, 52, 60, 61, 62])[(doc_id % 14)::INT + 1]::INT AS record_level,
+  (CASE WHEN doc_id % 4 >= 2 THEN CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 12 END
+        ELSE 8 END)::INT AS bit_depth,
+  1::INT AS chroma_sub_x,
+  (CASE WHEN doc_id % 4 IN (1, 3) THEN 0 ELSE 1 END)::INT AS chroma_sub_y,
+  (doc_id % 2)::INT AS color_range,
+  (16 + (doc_id % 952) * 2)::INT AS width,
+  (16 + (doc_id % 532) * 2)::INT AS height,
+  TRUE AS record_matches,
+  (doc_id % 7 <> 0) AS dims_match
+FROM documents
+"""
+
+QUERIES4["mm22_mp4_vpcc_qa"] = (mm22_mp4_vpcc_qa, MM22_SQL)
