@@ -4,9 +4,10 @@ The battery CLAUDE.md documents, mechanized (the rotate_window lesson:
 hand-driven per-round rituals drift — encode them):
 
 1. stock oracle gate at sf0.1 (scale-dependent divergences),
-2. all ten injection families at sf0.1 (collision-sensitive families
-   need the bigger base; ordered most-catching-first),
-3. all ten families at sf0.001 (fast; catches anything size-independent).
+2. all ten relational injection families at sf0.1 (collision-sensitive
+   families need the bigger base; ordered most-catching-first), plus
+   the corrupt-media family (check_badmedia.py — binary-payload axis),
+3. the same eleven at sf0.001 (fast; catches anything size-independent).
 
 Each run's tail line (N pass, M weak, K fail) is parsed and recorded;
 any FAIL stops the battery immediately (fix, then re-run) unless
@@ -64,6 +65,7 @@ def main() -> int:
     keep_going = "--keep-going" in sys.argv
     gate = os.path.join("tools", "check_correctness.py")
     nulls = os.path.join("tools", "check_nulls.py")
+    badmedia = os.path.join("tools", "check_badmedia.py")
 
     plan: list[tuple[str, list[str]]] = []
     if not quick:
@@ -71,9 +73,11 @@ def main() -> int:
         for fam in FAMILIES:
             name = fam.lstrip("-") or "null"
             plan.append((f"sf0.1 {name}", [nulls, "/root/testdata/sf0.1", *([fam] if fam else [])]))
+        plan.append(("sf0.1 badmedia", [badmedia, "/root/testdata/sf0.1"]))
     for fam in FAMILIES:
         name = fam.lstrip("-") or "null"
         plan.append((f"sf0.001 {name}", [nulls, *([fam] if fam else [])]))
+    plan.append(("sf0.001 badmedia", [badmedia, "/root/testdata/sf0.001"]))
 
     results: dict[str, dict] = {}
     ok = True
