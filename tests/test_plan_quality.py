@@ -114,15 +114,23 @@ def test_no_row_python_eval_registry_wide(spark, sf_dir):
     MapInPandas / FlatMapGroupsInPandas) are the sanctioned Python escape
     hatch; BatchEvalPython is never acceptable. Plan-only (no execution),
     so this sweeps the whole registry cheaply. Streaming entries are
-    skipped: building their DataFrame drains a streaming query."""
+    skipped: building their DataFrame drains a streaming query.
+    Pre-localCheckpoint stage plans are captured too (VERDICT r12 item
+    3): the per-iteration building blocks of gr01/bfs01/tk01/cf01 are
+    exactly the plans that run the most times at scale, and lineage
+    truncation would otherwise hide them from this sweep."""
+    from pyp_etl_pipeline_spark.plan_audit import capture_checkpoint_plans
+
     streaming = {"st01_streaming_tumbling", "st02_streaming_sliding",
                  "st03_stateful_running_totals", "st04_streaming_dedup"}
     offenders = {}
     for name, (fn, _) in sorted(REGISTRY.items()):
         if name in streaming:
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        n = plan.count("BatchEvalPython")
+        stages: list[dict] = []
+        with capture_checkpoint_plans(stages):
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = sum(p.count("BatchEvalPython") for p in [plan, *(s["executed"] for s in stages)])
         if n:
             offenders[name] = n
     assert not offenders, f"row-at-a-time Python UDFs in plans: {offenders}"
@@ -146,14 +154,20 @@ def test_no_nondeterministic_expressions_registry_wide(spark, sf_dir):
         r"spark_partition_id\(|monotonically_increasing_id\(|\brand\(|"
         r"\brandn\(|\buuid\(|\bshuffle\(|input_file_name\("
     )
+    from pyp_etl_pipeline_spark.plan_audit import capture_checkpoint_plans
+
     streaming = {"st01_streaming_tumbling", "st02_streaming_sliding",
                  "st03_stateful_running_totals", "st04_streaming_dedup"}
     offenders = {}
     for name, (fn, _) in sorted(REGISTRY.items()):
         if name in streaming:
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
-        hits = sorted(set(banned.findall(plan)))
+        stages: list[dict] = []
+        with capture_checkpoint_plans(stages):
+            plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        hits = sorted(
+            {h for p in [plan, *(s["analyzed"] for s in stages)] for h in banned.findall(p)}
+        )
         if hits:
             offenders[name] = hits
     assert not offenders, f"nondeterministic expressions in plans: {offenders}"
