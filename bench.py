@@ -30,6 +30,9 @@ from pyp_etl_pipeline_spark.session import get_spark  # noqa: E402
 # comparable to the round-1 anchor (warm + single timed pass each;
 # reported under "extended", not summed into "value").
 EXTENDED = [
+    # round-13 additions: VP9 metadata tier
+    "mm21_vp9_frame_metadata",
+    "mm22_mp4_vpcc_qa",
     # round-12 additions: non-utf8 CSV branch, HEVC metadata tier
     "cv02_csv_nonutf8_roundtrip",
     "mm17_hevc_sps_metadata",
