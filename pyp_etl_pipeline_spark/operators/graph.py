@@ -50,12 +50,29 @@ def pagerank(
     # lazy chain would re-derive the edge list (scans + distincts) once
     # per consumer and nest rank lineage n_iter deep. localCheckpoint
     # materializes them across the cluster (distributed, not driver).
+    #
+    # The loop-invariant work is hoisted once: the out-degree join rides
+    # with the edge list (it never changes), so each iteration pays one
+    # edge-rank join + the contribution sum instead of two joins. Both
+    # hoisted relations are explicitly hash-partitioned BEFORE their
+    # checkpoint: a numbered repartition is exempt from AQE coalescing,
+    # so the stored RDD keeps full parallelism for every per-iteration
+    # scan (checkpointed RDDs report UnknownPartitioning to Catalyst —
+    # measured, plans/r13/gr01_* — so this buys parallel map sides, not
+    # exchange elimination). The count is conf-derived (scale-adaptive),
+    # not a constant.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_part, "node")
+        .localCheckpoint()
+    )
     ncnt = nodes.agg(F.count("*").alias("__n"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = e.join(deg, "src").repartition(n_part, "src").localCheckpoint()
     init = F.expr(f"CAST({MASS} AS BIGINT) DIV __n")
     pr = nodes.crossJoin(F.broadcast(ncnt)).select(
         "node", init.alias("pr"), init.alias("__base_unit")
@@ -63,8 +80,7 @@ def pagerank(
     keep = damping_pct
     for _ in range(n_iter):
         contrib = (
-            e.join(pr.select(F.col("node").alias("src"), "pr"), "src")
-            .join(deg, "src")
+            e_deg.join(pr.select(F.col("node").alias("src"), "pr"), "src")
             .select(F.col("dst").alias("node"), F.expr("pr DIV deg").alias("c"))
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
@@ -79,8 +95,8 @@ def pagerank(
                 ).alias("pr"),
                 F.expr(f"CAST({MASS} AS BIGINT) DIV __n").alias("__base_unit"),
             )
-            .localCheckpoint()
         )
+        pr = pr.localCheckpoint()
     return pr.select("node", "pr")
 
 
@@ -217,6 +233,12 @@ def bfs_levels(
         )
         if new.isEmpty():
             break
-        dist = dist.unionAll(new).localCheckpoint()
+        # the settled set is a UNION of per-hop checkpointed frontiers —
+        # each leg is already materialized, so re-checkpointing the union
+        # every hop (a full copy of the whole settled set, quadratic over
+        # the run) buys nothing: the per-hop anti-join scans the same
+        # checkpointed RDDs either way, and the union plan is max_hops
+        # legs deep at worst.
+        dist = dist.unionAll(new)
         frontier = new.select("node")
     return dist

@@ -418,9 +418,17 @@ def tfidf_topk(
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term")).filter(
         F.col("term") != ""
     )
-    tf = ex.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # one tokenize pass: tf is materialized once and both the document
+    # frequencies and the corpus doc count derive from it (the plan
+    # otherwise re-derived the tokenize 3x — tf, df and ndocs each
+    # re-scanned and re-exploded the corpus)
+    tf = (
+        ex.groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
-    ndocs = ex.agg(F.count_distinct("id").alias("ndocs"))
+    ndocs = tf.agg(F.count_distinct("id").alias("ndocs"))
     scored = (
         tf.join(dfreq, "term")
         .join(F.broadcast(ndocs))
@@ -467,8 +475,19 @@ def pmi_bigrams(
     """
     toks = F.split(normalized_text(text_col), " ")
     t = df.select(F.col(id_col).alias("id"), toks.alias("__t")).filter(F.size("__t") > 0)
-    uni = t.select(F.explode("__t").alias("w")).groupBy("w").agg(F.count("*").alias("n_w"))
-    big = (
+    # two tokenize passes total: the unigram and bigram count tables are
+    # each materialized once, and every other input derives from them —
+    # ua/ub/n_uni re-read the vocab table instead of re-exploding the
+    # corpus (3 extra passes before), and the corpus bigram total is the
+    # sum over the bigram table (sum of per-doc size-1 == total pair
+    # occurrences), saving a 5th pass
+    uni = (
+        t.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+        .localCheckpoint(eager=False)
+    )
+    big_all = (
         t.select(
             F.explode(
                 F.when(
@@ -486,12 +505,11 @@ def pmi_bigrams(
         .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= min_count)
+        .localCheckpoint(eager=False)
     )
+    big = big_all.filter(F.col("n_ab") >= min_count)
     n_uni = uni.agg(F.sum("n_w").alias("n_uni"))
-    n_big_total = (
-        t.select((F.greatest(F.size("__t") - 1, F.lit(0))).alias("nb")).agg(F.sum("nb").alias("n_big"))
-    )
+    n_big_total = big_all.agg(F.sum("n_ab").alias("n_big"))
     ua = uni.select(F.col("w").alias("a"), F.col("n_w").alias("n_a"))
     ub = uni.select(F.col("w").alias("b"), F.col("n_w").alias("n_b"))
     scored = (
@@ -546,7 +564,14 @@ def inverted_index(
         F.col(id_col).alias("doc_id"),
         F.explode(toks).alias("token"),
     ).filter(F.col("token") != "")
-    tf = t.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    # one tokenize pass: tf is materialized once; the df/total_tf prune
+    # relation and the posting-list build both read it back instead of
+    # re-exploding the corpus
+    tf = (
+        t.groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(
         F.count("*").alias("df"), F.sum("tf").alias("total_tf")
     )
@@ -585,8 +610,12 @@ def bm25_rank(
     document frequency is closest to n_docs/2 (ties by token asc): the
     mid-frequency band where BM25 actually discriminates.
 
-    Shape at 100 TB: tf/dl are one map-side-combinable aggregate over
-    the tokenized corpus; df and the query-term pick are
+    Shape at 100 TB: the corpus is tokenized ONCE — the (doc, term)
+    tf aggregate is ``localCheckpoint``-materialized and every other
+    input (dl = sum of tf per doc, df, the corpus stats) derives from
+    that far-smaller table instead of re-exploding the token stream
+    (the plan otherwise re-derived the tokenize 4x: tf, dl, df and
+    stats each re-scanned the corpus). df and the query-term pick are
     vocabulary-sized; the scoring join hits only postings of the few
     query terms (broadcast), so scan cost is O(matching postings), not
     O(corpus x vocabulary). Ranking is row_number + filter — the
@@ -599,8 +628,12 @@ def bm25_rank(
     t = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
     ).filter(F.col("token") != "")
-    tf = t.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
-    dl = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tf = (
+        t.groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
