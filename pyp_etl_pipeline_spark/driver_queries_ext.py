@@ -157,11 +157,8 @@ def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
         pairs.withColumn("__int", inter)
         .withColumn("__ra", rest_a)
         .withColumn("__rb", rest_b)
-        .withColumn("__lq", scoring.process_text("qname"))
-        .withColumn("__lc", scoring.process_text("cname"))
     )
     raw = scoring.token_set_ratio_from_parts(F.col("__int"), F.col("__ra"), F.col("__rb"))
-    lq, lc = F.col("__lq"), F.col("__lc")
     scored = pairs.withColumn("raw_score", raw)
     # Reference extract-limit shape (app/etl.py:1272): only the raw-score
     # top-10 per query exist downstream — process.extract(limit=10) is the
@@ -173,6 +170,17 @@ def _fuzzy_adjusted(spark: SparkSession, sf: str) -> DataFrame:
     raw_w = Window.partitionBy("qk").orderBy(F.desc("raw_score"), F.asc("cname"), F.asc("ck"))
     scored = scored.withColumn("raw_rnk", F.row_number().over(raw_w)).filter(F.col("raw_rnk") <= 10)
     is_best = F.col("raw_rnk") == 1
+    # default_process'd strings are consumed only by the cross-check and
+    # containment terms BELOW the raw top-10 filter — compute them here,
+    # on <= 10 rows per query, not per candidate pair: placed before the
+    # window they were evaluated for EVERY pair (2 regexp chains x 5M
+    # rows at sf0.1, confirmed in the executed plan) and the resulting
+    # strings rode the qk exchange (same result, r13 optimization).
+    scored = (
+        scored.withColumn("__lq", scoring.process_text("qname"))
+        .withColumn("__lc", scoring.process_text("cname"))
+    )
+    lq, lc = F.col("__lq"), F.col("__lc")
     scored = scored.withColumn("__rplain", F.when(is_best, scoring.ratio(lq, lc)))
     # containment_ratio = 100 on substring containment else plain ratio —
     # reuse the materialized plain ratio instead of a second levenshtein
