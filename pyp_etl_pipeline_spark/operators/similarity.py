@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -98,11 +99,30 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "pyp-lsh") -> list[list[fl
     return planes
 
 
+def _lit_double_array(vals) -> Column:
+    """array<double> constant via one parsed SQL string (the fast-literal
+    path — see ``_lit_long_array``). ``repr`` is the shortest decimal
+    that round-trips the double, and Spark's decimal->double cast is
+    correctly rounded, so every value is bit-exact; the one exception is
+    -0.0 (the parser reads ``-0.0`` as decimal and drops the sign), kept
+    exact via a string cast."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "CAST('-0.0' AS DOUBLE)"
+            if (v == 0.0 and math.copysign(1.0, v) < 0)
+            else f"CAST({v!r} AS DOUBLE)"
+            for v in vals
+        )
+        + ")"
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bucket id: bit p set iff dot(vec, plane_p) >= 0."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        pl = F.array(*[F.lit(v) for v in plane])
+        pl = _lit_double_array(plane)
         bucket = bucket + F.when(dot(vec, pl) >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     return bucket
 
@@ -366,14 +386,30 @@ def _micro_vec(c: Column) -> Column:
     return F.transform(c, lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"))
 
 
+def _sql_long_array(vals) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _lit_long_array(vals) -> Column:
+    """array<bigint> constant built by PARSING one SQL string instead of
+    converting elements one-by-one through py4j: ``F.lit(list)`` pays a
+    JVM round trip per element (~0.5 s for a 512-cell matrix, measured —
+    it dominated ANN query CONSTRUCTION time), while one ``F.expr`` call
+    ships the whole thing and Catalyst constant-folds it to the
+    identical Literal node (verified plan-identical)."""
+    return F.expr(_sql_long_array(vals))
+
+
 def _matrix_lit(centroids: list[list[int]]) -> Column:
     """The whole k x dim centroid table as ONE array<array<bigint>>
     Literal. The previous shape — k separate per-centroid expression
     trees, each carrying dim Literal nodes — made Catalyst ANALYSIS the
     dominant cost of every small fit job (512+ nodes per argmin, re-
     analyzed per job); a single Literal is O(1) nodes regardless of k
-    and dim, and the arithmetic moves into a ``transform`` over it."""
-    return F.lit([[int(v) for v in c] for c in centroids]).cast("array<array<bigint>>")
+    and dim, and the arithmetic moves into a ``transform`` over it.
+    Built via one parsed SQL string (see ``_lit_long_array``), which
+    constant-folds to the same Literal at a tenth of the py4j cost."""
+    return F.expr("array(" + ",".join(_sql_long_array(c) for c in centroids) + ")")
 
 
 def _sq_l2(xm: Column, cm: Column) -> Column:
@@ -385,7 +421,7 @@ def _sq_l2(xm: Column, cm: Column) -> Column:
 
 
 def _kmeans_dist(xm: Column, centroid: list[int]) -> Column:
-    return _sq_l2(xm, F.lit([int(v) for v in centroid]).cast("array<bigint>"))
+    return _sq_l2(xm, _lit_long_array(centroid))
 
 
 def _kmeans_argmin(xm: Column, centroids: list[list[int]]) -> Column:
@@ -401,7 +437,29 @@ def _kmeans_argmin(xm: Column, centroids: list[list[int]]) -> Column:
     )
 
 
-def _kmeans_argmin_fast(xm: Column, centroids: list[list[int]]) -> Column:
+def _sql_micro_vec(col_sql: str) -> str:
+    """SQL text of ``_micro_vec`` over an arbitrary SQL expression —
+    identical arithmetic (double cast, *1e6, +0.5 double, floor, long)."""
+    return f"transform({col_sql}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT))"
+
+
+def _sql_cand_fast(xm_sql: str, centroids: list[list[int]]) -> str:
+    """SQL text of the per-centroid shifted-distance candidate array:
+    transform(matrix, (c, j) -> struct(d', c)) with
+    d' = ||c||^2 - 2<x, c> — the ``_kmeans_argmin_fast`` body before the
+    ``array_min``. One parsed string instead of dozens of py4j calls
+    (the lambda builders were the residual construction cost after the
+    literal fix — ~1 s per ANN query, measured)."""
+    mat = "array(" + ",".join(_sql_long_array(c) for c in centroids) + ")"
+    norms = _sql_long_array(sum(int(v) * int(v) for v in c) for c in centroids)
+    return (
+        f"transform({mat}, (c, j) -> named_struct("
+        f"'d', element_at({norms}, j + 1) - 2 * aggregate(zip_with({xm_sql}, c, (a, b) -> a * b), 0L, (acc, x) -> acc + x), "
+        f"'c', CAST(j AS INT)))"
+    )
+
+
+def _kmeans_argmin_fast(xm: Column | str, centroids: list[list[int]]) -> Column:
     """Selection-identical to ``_kmeans_argmin`` (same winner, same tie
     rule) but with the row-constant ||x||^2 term of the squared L2
     dropped: d' = ||c||^2 - 2<x, c>. Subtracting the same value from
@@ -410,10 +468,14 @@ def _kmeans_argmin_fast(xm: Column, centroids: list[list[int]]) -> Column:
     subtract+square. The ||c||^2 terms ride as a second small array
     Literal indexed by cluster id. ONLY for call sites that consume
     ``["c"]`` — the d' values are shifted and must never be exposed
-    (``assign_clusters`` keeps the exact-distance variant)."""
-    norms = F.lit([int(sum(int(v) * int(v) for v in c)) for c in centroids]).cast(
-        "array<bigint>"
-    )
+    (``assign_clusters`` keeps the exact-distance variant).
+
+    ``xm`` may be a Column or a SQL expression STRING; the string form
+    builds the whole tree through one ``F.expr`` parse (the fast path —
+    hot callers construct these trees m+1 times per query)."""
+    if isinstance(xm, str):
+        return F.expr(f"array_min({_sql_cand_fast(xm, centroids)})")
+    norms = _lit_long_array(sum(int(v) * int(v) for v in c) for c in centroids)
     return F.array_min(
         F.transform(
             _matrix_lit(centroids),
@@ -500,7 +562,7 @@ def kmeans_fit(
                 f"kmeans_fit: ragged embeddings — seed lengths {len(bad)} vs {dim}"
             )
         for _ in range(n_iter):
-            assigned = v.withColumn("__a", _kmeans_argmin_fast(F.col("__xm"), centroids))
+            assigned = v.withColumn("__a", _kmeans_argmin_fast("__xm", centroids))
             comps = (
                 assigned.select(F.col("__a.c").alias("cluster"), F.posexplode("__xm").alias("i", "x"))
                 .groupBy("cluster", "i")
@@ -562,7 +624,7 @@ def semantic_dedup(
     v = vectors.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("__v"),
-        _kmeans_argmin_fast(_micro_vec(F.col(vec_col)), centroids)["c"].alias("cluster_id"),
+        _kmeans_argmin_fast(_sql_micro_vec(f"`{vec_col}`"), centroids)["c"].alias("cluster_id"),
     ).withColumn("__n", l2_norm(F.col("__v")))
     a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"), "cluster_id")
     b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"), "cluster_id")
@@ -655,7 +717,7 @@ def pq_fit(
             )
             codes = F.array(
                 *[
-                    _kmeans_argmin_fast(F.col(f"__sub{s}"), books[s])["c"]
+                    _kmeans_argmin_fast(f"__sub{s}", books[s])["c"]
                     for s in range(m)
                 ]
             )
@@ -746,10 +808,10 @@ def ivfpq_fit(
                 *[F.slice(F.col("__xm"), s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
             )
             codes = F.array(
-                *[_kmeans_argmin_fast(F.col(f"__sub{s}"), books[s])["c"] for s in range(m)]
+                *[_kmeans_argmin_fast(f"__sub{s}", books[s])["c"] for s in range(m)]
             )
             assigned = sliced.select(
-                _kmeans_argmin_fast(F.col("__xm"), centroids)["c"].alias("__cc"),
+                _kmeans_argmin_fast("__xm", centroids)["c"].alias("__cc"),
                 codes.alias("__codes"),
                 F.col("__xm"),
             )
@@ -812,15 +874,16 @@ def pq_encode(
     literals; one pass over the corpus, no shuffle, no join."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    xm_sql = _sql_micro_vec(f"`{vec_col}`")
     sliced = vectors.select(
         F.col(id_col).alias("id"),
         *[
-            F.slice(_micro_vec(F.col(vec_col)), s * dsub + 1, dsub).alias(f"__sub{s}")
+            F.expr(f"slice({xm_sql}, {s * dsub + 1}, {dsub})").alias(f"__sub{s}")
             for s in range(m)
         ],
     )
     codes = F.array(
-        *[_kmeans_argmin_fast(F.col(f"__sub{s}"), codebooks[s])["c"] for s in range(m)]
+        *[_kmeans_argmin_fast(f"__sub{s}", codebooks[s])["c"] for s in range(m)]
     )
     return sliced.select("id", codes.alias("codes"))
 
@@ -863,14 +926,9 @@ def pq_topk(
     qm = queries.select(
         F.col(query_id_col).alias("query_id"), _micro_vec(F.col(query_vec_col)).alias("__qm")
     )
-    sub_dist = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("__qm"), F.col("s") * dsub + 1, dsub),
-            F.col("cm"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    sub_dist = F.expr(
+        f"aggregate(zip_with(slice(__qm, s * {dsub} + 1, {dsub}), cm, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
     )
     # flat LUT ordered by (s, c): entry s*ksub + c — array_sort on
     # (s, c, d) structs makes the order explicit, not shuffle-dependent
@@ -885,12 +943,9 @@ def pq_topk(
     enc = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col).select(
         F.col("id").alias("neighbor_id"), "codes"
     )
-    adc = F.aggregate(
-        F.transform(
-            F.col("codes"), lambda c, i: F.element_at(F.col("__lut"), i * ksub + c + 1)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    adc = F.expr(
+        f"aggregate(transform(codes, (c, i) -> element_at(__lut, i * {ksub} + c + 1)), "
+        "0L, (acc, x) -> acc + x)"
     )
     scored = (
         enc.join(F.broadcast(luts))
@@ -939,17 +994,17 @@ def ivfpq_topk(
     dsub = len(codebooks[0][0])
     spark = vectors.sparkSession
 
-    xm = _micro_vec(F.col(vec_col))
+    xm_sql = _sql_micro_vec(f"`{vec_col}`")
     enc = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        _kmeans_argmin_fast(xm, coarse)["c"].alias("vcid"),
-        *[F.slice(xm, s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
+        _kmeans_argmin_fast(xm_sql, coarse)["c"].alias("vcid"),
+        *[F.expr(f"slice({xm_sql}, {s * dsub + 1}, {dsub})").alias(f"__sub{s}") for s in range(m)],
     )
     enc = enc.select(
         "neighbor_id",
         "vcid",
         F.array(
-            *[_kmeans_argmin_fast(F.col(f"__sub{s}"), codebooks[s])["c"] for s in range(m)]
+            *[_kmeans_argmin_fast(f"__sub{s}", codebooks[s])["c"] for s in range(m)]
         ).alias("codes"),
     )
 
@@ -958,42 +1013,21 @@ def ivfpq_topk(
     )
     # nprobe nearest coarse lists per query: d' = ||c||^2 - 2<q, c> (the
     # row-constant ||q||^2 dropped — ordering and ties preserved), over
-    # the single matrix Literal
-    coarse_norms = F.lit([int(sum(int(v) * int(v) for v in c)) for c in coarse]).cast(
-        "array<bigint>"
-    )
-    cand = F.transform(
-        _matrix_lit(coarse),
-        lambda c, j: F.struct(
-            (
-                F.element_at(coarse_norms, j + 1)
-                - 2
-                * F.aggregate(
-                    F.zip_with(F.col("__qm"), c, lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("d"),
-            j.cast("int").alias("c"),
-        ),
-    )
+    # the single matrix Literal (``_sql_cand_fast`` is that exact body)
     probes = qm.select(
         "query_id",
         F.explode(
-            F.transform(F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["c"])
+            F.expr(
+                f"transform(slice(array_sort({_sql_cand_fast('__qm', coarse)}), 1, {nprobe}), s -> s.c)"
+            )
         ).alias("vcid"),
     )
 
     cb_rows = [(s, c, codebooks[s][c]) for s in range(m) for c in range(ksub)]
     cb = spark.createDataFrame(cb_rows, "s int, c int, cm array<long>")
-    sub_dist = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("__qm"), F.col("s") * dsub + 1, dsub),
-            F.col("cm"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    sub_dist = F.expr(
+        f"aggregate(zip_with(slice(__qm, s * {dsub} + 1, {dsub}), cm, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
     )
     luts = (
         qm.join(F.broadcast(cb))
@@ -1001,12 +1035,9 @@ def ivfpq_topk(
         .groupBy("query_id")
         .agg(F.transform(F.array_sort(F.collect_list("e")), lambda e: e["d"]).alias("__lut"))
     )
-    adc = F.aggregate(
-        F.transform(
-            F.col("codes"), lambda c, i: F.element_at(F.col("__lut"), i * ksub + c + 1)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    adc = F.expr(
+        f"aggregate(transform(codes, (c, i) -> element_at(__lut, i * {ksub} + c + 1)), "
+        "0L, (acc, x) -> acc + x)"
     )
     scored = (
         enc.join(F.broadcast(probes), "vcid")
