@@ -2327,7 +2327,13 @@ def pp01_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .select("__w.doc_id", "__w.text", "__w.lang_guess")
     )
     bench = d.filter(F.col("doc_id") % 25 == 0)
-    corpus = d3.filter(F.col("doc_id") % 25 != 0)
+    # the survivor set feeds THREE traversals (decontaminate's shingle
+    # explode, its per-doc left-join base, and the final anti-join) —
+    # without a checkpoint each consumer re-runs the language gate +
+    # Gopher gate + fingerprint groupBy over the whole corpus (3 extra
+    # passes in the executed plan). Lazy localCheckpoint materializes it
+    # once INSIDE the timed action (r13 optimization; the wave-1 pattern).
+    corpus = d3.filter(F.col("doc_id") % 25 != 0).localCheckpoint(eager=False)
     # min_overlap=5: the synthetic corpus draws from a tiny vocabulary,
     # so single-3-gram collisions with the eval slice are ubiquitous —
     # the overlap threshold is the standard knob for that. Anti-join on
