@@ -775,11 +775,19 @@ def _star_components(edges: DataFrame, max_iterations: int, strict: bool) -> Dat
 
     Both operations preserve connectivity; the fixpoint is a forest of
     stars (node -> component minimum) reached in O(log n) rounds. The
-    convergence check is edge-set equality (both sides are distinct, so
-    a symmetric exceptAll-count); each round's result is
-    lazily ``localCheckpoint``-ed and materialized by that count, which
-    also truncates the per-iteration lineage exactly like the hashmin
-    loop."""
+    convergence check tests the star-forest property DIRECTLY — no node
+    appears as both a child (u) and a parent (v) — one semi-join count
+    over the new edge set, instead of the former symmetric
+    exceptAll-count set equality against the previous round (two
+    shuffle-heavy exceptAlls per round, and it could only see the
+    fixpoint one full round AFTER the star forest appeared). A star
+    forest is provably stable under both rewrites (safe early stop);
+    a non-forest that happened to equal its rewrite would raise loudly
+    under ``strict`` rather than mislabel (Kiveris et al. prove
+    fixpoints are exactly star forests, so the branch is theoretical).
+    Each round's result is lazily ``localCheckpoint``-ed and
+    materialized by that count, which also truncates the per-iteration
+    lineage exactly like the hashmin loop."""
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     # canonical orientation: one row per undirected edge, larger -> smaller
     e = (
@@ -811,10 +819,11 @@ def _star_components(edges: DataFrame, max_iterations: int, strict: bool) -> Dat
             .distinct()
             .localCheckpoint(eager=False)
         )
-        changed = small.exceptAll(e).unionByName(e.exceptAll(small)).count()
+        parents = small.select(F.col("v").alias("u")).distinct()
+        non_star = small.join(parents, "u", "left_semi").count()
         e = small
         rounds += 1
-        if changed == 0:
+        if non_star == 0:
             converged = True
     if not converged and strict:
         raise RuntimeError(

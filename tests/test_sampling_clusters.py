@@ -631,3 +631,17 @@ def test_heavy_hitters_numeric_item_column(spark):
     assert out == {7: 80, 11: 15}
     dt = sketch.heavy_hitters(df, "user_id", k=10).schema["user_id"].dataType.simpleString()
     assert dt == "bigint"
+
+
+def test_star_components_detects_fixpoint_in_producing_round(spark):
+    """The r13 star-forest convergence check (no node appears as both
+    child and parent) sees the fixpoint in the round that PRODUCES the
+    star forest. Path 0-1-2 star-ifies in exactly one round, so a strict
+    1-round budget must now succeed (the old set-equality check needed a
+    second round just to observe small == e, and raised here)."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(df, max_iterations=1, strategy="star").collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0}
