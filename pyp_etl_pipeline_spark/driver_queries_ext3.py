@@ -2570,8 +2570,18 @@ def mm10_image_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     buckets."""
     from pyp_etl_pipeline_spark.multimodal.binary_ops import dhash_features  # noqa: PLC0415
 
-    # same media as mm09
-    hashed = mm09_image_dhash(spark, sf).select("media_id", "dhash_lo", "dhash_hi").distinct()
+    # same media as mm09. The hash relation feeds BOTH self-join legs, and
+    # the MapInPandas synth+decode chain defeats plan canonicalization, so
+    # ReuseExchange misses and the whole Python decode pipeline ran TWICE
+    # (confirmed: 2x MapInPandas chains, 0 ReusedExchange in the before-
+    # plan). Lazy localCheckpoint materializes the tiny (id, lo, hi)
+    # relation once inside the timed action (r13 optimization).
+    hashed = (
+        mm09_image_dhash(spark, sf)
+        .select("media_id", "dhash_lo", "dhash_hi")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     chunks = hashed.select(
         "media_id",
         "dhash_lo",
