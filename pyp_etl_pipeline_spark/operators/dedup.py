@@ -776,8 +776,9 @@ def _star_components(edges: DataFrame, max_iterations: int, strict: bool) -> Dat
     Both operations preserve connectivity; the fixpoint is a forest of
     stars (node -> component minimum) reached in O(log n) rounds. The
     convergence check tests the star-forest property DIRECTLY — no node
-    appears as both a child (u) and a parent (v) — one semi-join count
-    over the new edge set, instead of the former symmetric
+    appears as both a child (u) and a parent (v), AND every child has
+    exactly one parent — one count over the union of the two violation
+    sets per round, instead of the former symmetric
     exceptAll-count set equality against the previous round (two
     shuffle-heavy exceptAlls per round, and it could only see the
     fixpoint one full round AFTER the star forest appeared). A star
@@ -819,8 +820,24 @@ def _star_components(edges: DataFrame, max_iterations: int, strict: bool) -> Dat
             .distinct()
             .localCheckpoint(eager=False)
         )
+        # True star-forest test, BOTH conditions: (a) no child is also a
+        # parent, and (b) every child has exactly one parent. (b) is not
+        # implied by (a): edges {u->v1, u->v2} pass (a) but are NOT a
+        # fixpoint — the next large-star round re-attaches v2 to v1
+        # through u, so stopping here splits a connected component (the
+        # {5-7,5-8,6-7,6-1,4-8,4-2} counterexample, pinned in
+        # test_sampling_clusters). One count job over the union of both
+        # violation sets; it also materializes the lazy checkpoint above.
         parents = small.select(F.col("v").alias("u")).distinct()
-        non_star = small.join(parents, "u", "left_semi").count()
+        multi_parent = (
+            small.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select("u")
+        )
+        non_star = (
+            small.join(parents, "u", "left_semi").select("u").unionByName(multi_parent).count()
+        )
         e = small
         rounds += 1
         if non_star == 0:

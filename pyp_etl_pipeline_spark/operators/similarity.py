@@ -105,17 +105,19 @@ def _lit_double_array(vals) -> Column:
     that round-trips the double, and Spark's decimal->double cast is
     correctly rounded, so every value is bit-exact; the one exception is
     -0.0 (the parser reads ``-0.0`` as decimal and drops the sign), kept
-    exact via a string cast."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "CAST('-0.0' AS DOUBLE)"
-            if (v == 0.0 and math.copysign(1.0, v) < 0)
-            else f"CAST({v!r} AS DOUBLE)"
-            for v in vals
-        )
-        + ")"
-    )
+    exact via a string cast; non-finite values (``repr`` yields ``inf``/
+    ``nan``, which the SQL parser rejects) likewise route through the
+    string cast ('Infinity'/'-Infinity'/'NaN' parse exactly)."""
+
+    def _one(v: float) -> str:
+        if not math.isfinite(v):
+            s = "NaN" if math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
+            return f"CAST('{s}' AS DOUBLE)"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "CAST('-0.0' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+
+    return F.expr("array(" + ",".join(_one(v) for v in vals) + ")")
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -437,6 +439,13 @@ def _kmeans_argmin(xm: Column, centroids: list[list[int]]) -> Column:
     )
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for SQL interpolation (escaping any
+    embedded backtick — the F.col path the fast-SQL builders replaced
+    handled arbitrary names, so these must too)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _sql_micro_vec(col_sql: str) -> str:
     """SQL text of ``_micro_vec`` over an arbitrary SQL expression —
     identical arithmetic (double cast, *1e6, +0.5 double, floor, long)."""
@@ -624,7 +633,7 @@ def semantic_dedup(
     v = vectors.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("__v"),
-        _kmeans_argmin_fast(_sql_micro_vec(f"`{vec_col}`"), centroids)["c"].alias("cluster_id"),
+        _kmeans_argmin_fast(_sql_micro_vec(_bt(vec_col)), centroids)["c"].alias("cluster_id"),
     ).withColumn("__n", l2_norm(F.col("__v")))
     a = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"), "cluster_id")
     b = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"), "cluster_id")
@@ -874,7 +883,7 @@ def pq_encode(
     literals; one pass over the corpus, no shuffle, no join."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    xm_sql = _sql_micro_vec(f"`{vec_col}`")
+    xm_sql = _sql_micro_vec(_bt(vec_col))
     sliced = vectors.select(
         F.col(id_col).alias("id"),
         *[
@@ -994,7 +1003,7 @@ def ivfpq_topk(
     dsub = len(codebooks[0][0])
     spark = vectors.sparkSession
 
-    xm_sql = _sql_micro_vec(f"`{vec_col}`")
+    xm_sql = _sql_micro_vec(_bt(vec_col))
     enc = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _kmeans_argmin_fast(xm_sql, coarse)["c"].alias("vcid"),

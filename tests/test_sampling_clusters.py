@@ -645,3 +645,25 @@ def test_star_components_detects_fixpoint_in_producing_round(spark):
         for r in dup_clusters(df, max_iterations=1, strategy="star").collect()
     }
     assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_star_components_multi_parent_child_is_not_a_fixpoint(spark):
+    """ADVICE r13 counterexample: after one round this graph's edge set
+    has a child with TWO distinct parents — no node is both child and
+    parent, so the incomplete r13 check declared convergence and split
+    the single connected component into clusters {1,5,6,7} / {2,4,8}.
+    The true star-forest test (every child has exactly one parent) must
+    keep iterating and label all seven nodes with cluster 1, identical
+    to hashmin."""
+    df = spark.createDataFrame(
+        [(5, 7), (5, 8), (6, 7), (6, 1), (4, 8), (4, 2)], "id_a long, id_b long"
+    )
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(df, strategy="star").collect()
+    }
+    hashmin = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(df, strategy="hashmin").collect()
+    }
+    assert star == hashmin == {1: 1, 2: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1}
